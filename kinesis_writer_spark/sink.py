@@ -1,0 +1,338 @@
+"""Kinesis-style sink: size-bounded batching, shard-aware routing, retry/replay.
+
+Capability parity targets (implementation original, Spark-first):
+  - soft flush caps                 /root/reference KinesisWriter.scala:27-35,151-180
+  - linear back-off retry (30x)     /root/reference KinesisWriter.scala:24,82-93
+  - replay-from-raw on failure      /root/reference KinesisWriter.scala:215-226
+  - shard discovery + midpoints     /root/reference KinesisWriter.scala:46-80
+  - seeded random routing per flush /root/reference KinesisWriter.scala:37-43,184
+  - returned user-record count      /root/reference KinesisWriter.scala:115,192
+
+Cluster model: one :class:`KinesisStreamWriter` per Spark partition inside
+``foreachPartition`` (batch) or ``foreachBatch`` (streaming). Each partition
+batches independently to ~1 MiB aggregated records and routes each flush to a
+uniformly random open shard, so N executors saturate all shards without
+coordination. No driver-side collect anywhere.
+"""
+
+from __future__ import annotations
+
+import random
+import time
+from collections.abc import Callable, Iterable, Iterator
+
+from .kpl.aggregator import AggRecordBuilder, RecordAggregator
+
+#: Flush once the aggregated record reaches this size (empirical safety margin
+#: below the 1 MiB protocol cap — consumers misbehave near the limit).
+SOFT_MAX_SIZE = 1_000_000
+
+#: At the soft cap, a record larger than this flushes the batch *first*
+#: rather than risk overshooting the protocol cap.
+MAX_LAST_RECORD_SIZE = 100_000
+
+#: Give up after this many retries of one flush.
+MAX_RETRIES = 30
+
+#: Default partition key (routing is done via explicit hash keys).
+DEFAULT_PARTITION_KEY = "a"
+
+
+def retry_delay_seconds(fail_count: int) -> int:
+    """Linear back-off schedule: 2, 4, 6, ... seconds."""
+    return (fail_count + 1) * 2
+
+
+# ---------------------------------------------------------------------------
+# Shard discovery & routing
+# ---------------------------------------------------------------------------
+
+def iter_all_shards(client, stream_name: str) -> Iterator[dict]:
+    """Paginated DescribeStream over every shard of the stream."""
+    start_after: str | None = None
+    while True:
+        kwargs = {"StreamName": stream_name}
+        if start_after is not None:
+            kwargs["ExclusiveStartShardId"] = start_after
+        desc = client.describe_stream(**kwargs)["StreamDescription"]
+        shards = desc["Shards"]
+        yield from shards
+        if not desc.get("HasMoreShards") or not shards:
+            return
+        start_after = shards[-1]["ShardId"]
+
+
+def open_shard_midpoints(client, stream_name: str) -> list[str]:
+    """Hash-range midpoint of every *open* shard, as decimal strings.
+
+    A shard is open while it has no ending sequence number. The midpoint
+    ``start + (end - start) // 2`` is a valid explicit hash key guaranteed to
+    land inside that shard.
+    """
+    midpoints = []
+    for shard in iter_all_shards(client, stream_name):
+        if shard.get("SequenceNumberRange", {}).get("EndingSequenceNumber"):
+            continue
+        lo = int(shard["HashKeyRange"]["StartingHashKey"])
+        hi = int(shard["HashKeyRange"]["EndingHashKey"])
+        midpoints.append(str(lo + (hi - lo) // 2))
+    if not midpoints:
+        raise RuntimeError(f"stream {stream_name!r} has no open shards")
+    return midpoints
+
+
+class ShardRouter:
+    """Uniform random pick over open-shard midpoints, deterministically seeded."""
+
+    def __init__(self, midpoints: list[str], seed: int = 42) -> None:
+        self._midpoints = midpoints
+        self._rng = random.Random(seed)
+
+    def next_hash_key(self) -> str:
+        return self._midpoints[self._rng.randrange(len(self._midpoints))]
+
+
+# ---------------------------------------------------------------------------
+# Batching generator (pure, Spark-agnostic)
+# ---------------------------------------------------------------------------
+
+def batch_records(
+    records: Iterable[tuple[str, str | None, bytes]],
+    soft_max_size: int = SOFT_MAX_SIZE,
+    max_last_record_size: int = MAX_LAST_RECORD_SIZE,
+) -> Iterator[AggRecordBuilder]:
+    """Greedy size-bounded coalescing of (pk, ehk, data) into aggregated records.
+
+    Flush policy:
+      * protocol-level: the 1 MiB cap always flushes (AggRecordBuilder refuses);
+      * at/above ``soft_max_size``: an incoming record over
+        ``max_last_record_size`` flushes *before* being added, anything smaller
+        is added and the batch flushes immediately after.
+    """
+    agg = RecordAggregator()
+    for pk, ehk, data in records:
+        at_soft_cap = agg.size_bytes >= soft_max_size
+        if at_soft_cap and len(data) > max_last_record_size:
+            completed = agg.clear_and_get()
+            if completed is not None:
+                yield completed
+            overflow = agg.add_user_record(pk, data, ehk)
+            if overflow is not None:  # defensive; fresh builder should fit it
+                yield overflow
+        elif at_soft_cap:
+            overflow = agg.add_user_record(pk, data, ehk)
+            if overflow is not None:
+                yield overflow
+            else:
+                completed = agg.clear_and_get()
+                if completed is not None:
+                    yield completed
+        else:
+            overflow = agg.add_user_record(pk, data, ehk)
+            if overflow is not None:
+                yield overflow
+    tail = agg.clear_and_get()
+    if tail is not None:
+        yield tail
+
+
+# ---------------------------------------------------------------------------
+# The writer (per-partition worker)
+# ---------------------------------------------------------------------------
+
+class KinesisStreamWriter:
+    """Writes an iterator of byte payloads to a Kinesis-API-shaped client as
+    KPL aggregated records, with at-least-once retry/replay semantics.
+    """
+
+    def __init__(
+        self,
+        stream_name: str,
+        client,
+        partition_key: str = DEFAULT_PARTITION_KEY,
+        max_retries: int = MAX_RETRIES,
+        sleep: Callable[[float], None] = time.sleep,
+        routing_seed: int = 42,
+    ) -> None:
+        self.stream_name = stream_name
+        self.client = client
+        self.partition_key = partition_key
+        self.max_retries = max_retries
+        self._sleep = sleep
+        midpoints = self._with_retry(lambda: open_shard_midpoints(client, stream_name))
+        self.router = ShardRouter(midpoints, seed=routing_seed)
+
+    # -- retry plumbing -----------------------------------------------------
+
+    def _with_retry(self, action: Callable[[], object]):
+        fail_count = 0
+        while True:
+            try:
+                return action()
+            except Exception:
+                if fail_count >= self.max_retries:
+                    raise
+                self._sleep(retry_delay_seconds(fail_count))
+                fail_count += 1
+
+    # -- send path ----------------------------------------------------------
+
+    def _put_aggregated(self, agg: AggRecordBuilder) -> None:
+        response = self.client.put_records(
+            StreamName=self.stream_name,
+            Records=[
+                {
+                    "Data": agg.to_bytes(),
+                    "PartitionKey": agg.partition_key,
+                    "ExplicitHashKey": agg.explicit_hash_key,
+                }
+            ],
+        )
+        if response.get("FailedRecordCount", 0) > 0:
+            errors = [
+                (r.get("ErrorCode"), r.get("ErrorMessage"))
+                for r in response.get("Records", [])
+                if r.get("ErrorCode")
+            ]
+            raise RuntimeError(f"put_records partial failure: {errors}")
+
+    def send(self, agg: AggRecordBuilder) -> int:
+        """Send one aggregated record; on failure re-aggregate the retained
+        raw batch under a freshly drawn hash key and resend (back-off applies).
+        Returns the number of user records delivered.
+        """
+        fail_count = 0
+        current = agg
+        while True:
+            try:
+                self._put_aggregated(current)
+                return current.num_user_records
+            except Exception:
+                if fail_count >= self.max_retries:
+                    raise
+                self._sleep(retry_delay_seconds(fail_count))
+                fail_count += 1
+                fresh_ehk = self.router.next_hash_key()
+                rebuilt = AggRecordBuilder()
+                for pk, _old_ehk, data in current.raw_records():
+                    rebuilt.add_user_record(pk, data, fresh_ehk)
+                current = rebuilt
+
+    def write(self, payloads: Iterable[bytes]) -> int:
+        """Batch + route + send every payload; returns the user-record count."""
+        # The routing EHK is redrawn after every flush; the generator reads the
+        # current draw through a mutable cell so in-flight batching picks it up.
+        cell = {"ehk": self.router.next_hash_key()}
+
+        def keyed_dynamic() -> Iterator[tuple[str, str, bytes]]:
+            for data in payloads:
+                yield self.partition_key, cell["ehk"], data
+
+        count = 0
+        for agg in batch_records(keyed_dynamic()):
+            count += self.send(agg)
+            cell["ehk"] = self.router.next_hash_key()
+        return count
+
+
+# ---------------------------------------------------------------------------
+# Fake client (the injectable test seam, mirroring the reference's)
+# ---------------------------------------------------------------------------
+
+class FakeKinesisClient:
+    """Offline stand-in for the Kinesis API: captures requests, supports
+    scripted failures and synthetic shard maps.
+    """
+
+    def __init__(self, num_shards: int = 4, fail_first_n_puts: int = 0, throttle_every: int = 0) -> None:
+        self.num_shards = num_shards
+        self.fail_first_n_puts = fail_first_n_puts
+        self.throttle_every = throttle_every
+        self.put_requests: list[dict] = []
+        self.received: list[bytes] = []
+        self._puts_seen = 0
+        space = 1 << 128
+        self.shards = []
+        for i in range(num_shards):
+            lo = i * space // num_shards
+            hi = (i + 1) * space // num_shards - 1
+            self.shards.append(
+                {
+                    "ShardId": f"shardId-{i:012d}",
+                    "HashKeyRange": {"StartingHashKey": str(lo), "EndingHashKey": str(hi)},
+                    "SequenceNumberRange": {"StartingSequenceNumber": "0"},
+                }
+            )
+
+    def describe_stream(self, StreamName: str, ExclusiveStartShardId: str | None = None, **_):
+        shards = self.shards
+        if ExclusiveStartShardId is not None:
+            ids = [s["ShardId"] for s in shards]
+            shards = shards[ids.index(ExclusiveStartShardId) + 1 :]
+        # one shard per page to exercise pagination
+        page, more = shards[:1], len(shards) > 1
+        return {"StreamDescription": {"StreamName": StreamName, "Shards": page, "HasMoreShards": more}}
+
+    def put_records(self, StreamName: str, Records: list[dict]):
+        self._puts_seen += 1
+        self.put_requests.append({"StreamName": StreamName, "Records": Records})
+        if self._puts_seen <= self.fail_first_n_puts:
+            return {
+                "FailedRecordCount": len(Records),
+                "Records": [
+                    {"ErrorCode": "ProvisionedThroughputExceededException", "ErrorMessage": "throttled"}
+                    for _ in Records
+                ],
+            }
+        if self.throttle_every and self._puts_seen % self.throttle_every == 0:
+            raise RuntimeError("LimitExceededException: simulated")
+        for rec in Records:
+            self.received.append(rec["Data"])
+        return {
+            "FailedRecordCount": 0,
+            "Records": [{"SequenceNumber": str(len(self.received)), "ShardId": "shardId-0"} for _ in Records],
+        }
+
+
+# ---------------------------------------------------------------------------
+# Spark fronts
+# ---------------------------------------------------------------------------
+
+def write_dataframe(
+    df,
+    stream_name: str,
+    client_factory: Callable[[], object],
+    data_col: str = "data",
+    max_retries: int = MAX_RETRIES,
+    sleep: Callable[[float], None] = time.sleep,
+) -> int:
+    """Write a DataFrame's binary column to the stream, one independent
+    batcher per partition. Returns the total user-record count (accumulator).
+
+    At 100 TB this is the whole design: partitions batch and ship in parallel,
+    each flush routed to a random shard, no shuffle and no driver collect.
+    """
+    acc = df.sparkSession.sparkContext.accumulator(0)
+
+    def handle_partition(rows) -> None:
+        first = next(rows, None)
+        if first is None:
+            return
+        import itertools
+
+        client = client_factory()
+        writer = KinesisStreamWriter(stream_name, client, max_retries=max_retries, sleep=sleep)
+        payloads = (row[data_col] for row in itertools.chain([first], rows))
+        acc.add(writer.write(payloads))
+
+    df.foreachPartition(handle_partition)
+    return acc.value
+
+
+def foreach_batch_sink(stream_name: str, client_factory: Callable[[], object], data_col: str = "data"):
+    """``writeStream.foreachBatch`` adapter over :func:`write_dataframe`."""
+
+    def sink(batch_df, epoch_id: int) -> None:
+        write_dataframe(batch_df, stream_name, client_factory, data_col=data_col)
+
+    return sink
