@@ -1,0 +1,80 @@
+"""Query registry: every engine operator registers a named DataFrame builder
+and (when SQL-expressible) a DuckDB oracle twin.
+
+This is the driver contract's backbone: ``__spark_entry__.queries()`` and
+``oracle_sql()`` are assembled from this registry. Column names are aliased
+identically on both sides — the driver's compare hashes values after sorting
+columns by name.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class RegisteredQuery:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+    doc: str = ""
+
+
+_REGISTRY: dict[str, RegisteredQuery] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: register a (spark, sf_dir) -> DataFrame builder."""
+
+    def wrap(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = RegisteredQuery(name, fn, oracle, (fn.__doc__ or "").strip())
+        return fn
+
+    return wrap
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _ensure_loaded()
+    return {name: q.fn for name, q in _REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: q.oracle for name, q in _REGISTRY.items() if q.oracle is not None}
+
+
+def get(name: str) -> RegisteredQuery:
+    _ensure_loaded()
+    return _REGISTRY[name]
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every operator module for its registration side effects."""
+    global _LOADED
+    if _LOADED:
+        return
+    from .operators import (  # noqa: F401
+        aggregates,
+        asof,
+        dedup,
+        joins,
+        multimodal,
+        relational,
+        scalar_funcs,
+        similarity,
+        sinks,
+        text,
+        windows,
+    )
+
+    _LOADED = True

@@ -1,0 +1,123 @@
+"""Local mirror of the driver's correctness gate: run every registered query
+on Spark AND its DuckDB oracle SQL, compare row count + schema + values
+(order-insensitive, exact after in-query rounding).
+
+Usage:  PYTHONPATH=/root/repo python tests/oracle_check.py [--sf DIR] [--only name,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import sys
+import time
+
+import duckdb
+
+
+def normalize(df_pandas):
+    """Sort columns by name, canonicalize cell values, sort rows."""
+    import numpy as np
+    import pandas as pd
+
+    df = df_pandas.reindex(sorted(df_pandas.columns), axis=1)
+
+    def canon(v):
+        if v is None:
+            return "∅"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "∅"
+            if v == int(v) and abs(v) < 1e15:
+                return str(int(v))  # 3.0 == 3 across engines
+            return repr(round(v, 9))
+        if isinstance(v, (np.integer,)):
+            return str(int(v))
+        if isinstance(v, (np.floating,)):
+            return canon(float(v))
+        if isinstance(v, pd.Timestamp):
+            if v.tzinfo is not None:
+                v = v.tz_convert("UTC").tz_localize(None)
+            return v.isoformat()
+        if isinstance(v, (bytes, bytearray)):
+            return v.hex()
+        if isinstance(v, (list, np.ndarray)):
+            return "[" + ",".join(canon(x) for x in v) + "]"
+        if isinstance(v, bool) or isinstance(v, np.bool_):
+            return str(bool(v))
+        return str(v)
+
+    rows = sorted(tuple(canon(v) for v in row) for row in df.itertuples(index=False, name=None))
+    return list(df.columns), rows
+
+
+def duckdb_connect(sf_dir: str):
+    con = duckdb.connect()
+    from kinesis_writer_spark.io import TABLES
+
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    from kinesis_writer_spark import registry
+    from kinesis_writer_spark.session import get_spark
+
+    spark = get_spark("oracle_check")
+    con = duckdb_connect(args.sf)
+    queries = registry.all_queries()
+    oracles = registry.all_oracles()
+    only = set(args.only.split(",")) if args.only else None
+
+    n_pass = n_fail = n_rows_only = 0
+    for name in sorted(queries):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, args.sf).toPandas()
+        except Exception as exc:
+            print(f"FAIL  {name}: spark error: {exc}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            n_rows_only += 1
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as exc:
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            n_fail += 1
+            continue
+        s_cols, s_rows = normalize(sdf)
+        o_cols, o_rows = normalize(odf)
+        if [c.lower() for c in s_cols] != [c.lower() for c in o_cols]:
+            print(f"FAIL  {name}: columns {s_cols} vs {o_cols}")
+            n_fail += 1
+        elif len(s_rows) != len(o_rows):
+            print(f"FAIL  {name}: row count {len(s_rows)} vs {len(o_rows)}")
+            n_fail += 1
+        elif s_rows != o_rows:
+            diff_at = next(i for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b)
+            print(f"FAIL  {name}: values differ at sorted row {diff_at}:")
+            print(f"      spark : {s_rows[diff_at]}")
+            print(f"      duckdb: {o_rows[diff_at]}")
+            n_fail += 1
+        else:
+            print(f"PASS  {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
