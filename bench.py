@@ -1,0 +1,78 @@
+"""Engine benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+    {"metric": "...", "value": <total_sec>, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes fully through the noop sink (no driver collect, no I/O
+cost in the measurement beyond the scan itself).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q12_range_join",
+    "q21_topk_per_group",
+    "q30_window_ranking",
+    "q33_tumbling_window",
+    "q37_asof_join",
+    "q50_exact_dedup",
+    "q52_minhash_neardup",
+    "q53_simhash",
+    "q60_cosine_topk",
+    "q62_ivf_ann",
+    "q70_token_stats",
+    "q81_multimodal_decode",
+    "q90_kpl_batch_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from kinesis_writer_spark import registry
+    from kinesis_writer_spark.session import get_spark
+
+    spark = get_spark("bench")
+    queries = registry.all_queries()
+
+    # warm the JVM + file listing outside the measurement
+    from kinesis_writer_spark import io as kio
+
+    for t in kio.TABLES:
+        kio.load(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = queries[name](spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

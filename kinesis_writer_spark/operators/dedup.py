@@ -1,1 +1,449 @@
-"""(filled in incrementally)"""
+"""Deduplication operators for training-data pipelines: exact (content-hash),
+MinHash+LSH near-dup, SimHash, and n-gram Jaccard.
+
+Every approximate pipeline uses the cross-engine MD5-60bit hash
+(:mod:`kinesis_writer_spark.functions.hashing`) so the DuckDB oracle runs the
+*identical* pipeline — the correctness gate is bit-exact, independent of the
+approximation's recall.
+
+Scale notes (100 TB): exact dedup is one hash-shuffle on a 16-byte digest;
+MinHash banding turns the O(n²) pair space into per-bucket joins (shuffle on
+band key); SimHash pairing uses 15-bit pigeonhole chunks (hamming ≤ 3 ⟹ some
+chunk equal) — both avoid any cross join. Signature computation is embarrass-
+ingly parallel, no driver collects anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duckdb_md5_60bit, md5_60bit
+from ..registry import register
+from ._util import tables
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def _doubled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ shifted copy of itself — a corpus with known duplicates."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    copy = documents.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    return documents.unionByName(copy)
+
+
+_DOUBLED_SQL = """
+        SELECT doc_id, text, lang, source, n_chars FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text, lang, source, n_chars FROM documents
+"""
+
+
+@register(
+    "q50_exact_dedup",
+    oracle=f"""
+    WITH corpus AS ({_DOUBLED_SQL}),
+    hashed AS (
+        SELECT doc_id, lang, md5(text) AS content_hash FROM corpus
+    )
+    SELECT lang, COUNT(*) AS n_kept, SUM(n_dups - 1) AS n_removed
+    FROM (
+        SELECT lang, content_hash, MIN(doc_id) AS kept_doc, COUNT(*) AS n_dups
+        FROM hashed GROUP BY lang, content_hash
+    )
+    GROUP BY lang
+    """,
+)
+def q50_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash (keep min doc_id), on a corpus doubled so
+    every document has exactly one duplicate. One shuffle on the digest.
+    """
+    corpus = _doubled_docs(spark, sf_dir)
+    hashed = corpus.select("doc_id", "lang", F.md5(F.col("text").cast("binary")).alias("content_hash"))
+    groups = hashed.groupBy("lang", "content_hash").agg(
+        F.min("doc_id").alias("kept_doc"), F.count(F.lit(1)).alias("n_dups")
+    )
+    return groups.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.col("n_dups") - 1).alias("n_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 16
+_N_BANDS = 2  # 2 bands x 8 rows: selective candidates for ~0.9 thresholds
+
+_WORDS_SPARK = lambda: F.array_distinct(F.split("text", " "))  # noqa: E731
+_WORDS_SQL = "list_distinct(string_split(text, ' '))"
+
+
+def _minhash_sig_spark(words) -> list:
+    return [F.array_min(F.transform(words, lambda w: md5_60bit(w, salt=str(j)))) for j in range(_N_HASHES)]
+
+
+def _minhash_sig_sql() -> list[str]:
+    return [
+        f"list_min(list_transform(words, w -> {duckdb_md5_60bit('w', salt=str(j))}))"
+        for j in range(_N_HASHES)
+    ]
+
+
+@register(
+    "q51_minhash_signatures",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents)
+    SELECT doc_id, [{", ".join(_minhash_sig_sql())}] AS signature
+    FROM w
+    """,
+)
+def q51_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-permutation MinHash signature over each document's word set."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    words = documents.select("doc_id", _WORDS_SPARK().alias("words"))
+    return words.select("doc_id", F.array(*_minhash_sig_spark(F.col("words"))).alias("signature"))
+
+
+def _band_exprs_spark():
+    """Band key = hash of the concatenated signature slice (8 sigs per band)."""
+    out = []
+    rows = _N_HASHES // _N_BANDS
+    for b in range(_N_BANDS):
+        slice_concat = F.concat_ws(
+            ",", *[F.col("signature").getItem(b * rows + r).cast("string") for r in range(rows)]
+        )
+        out.append(md5_60bit(slice_concat, salt=f"band{b}"))
+    return out
+
+
+def _band_exprs_sql() -> list[str]:
+    rows = _N_HASHES // _N_BANDS
+    out = []
+    for b in range(_N_BANDS):
+        concat = " || ',' || ".join(f"CAST(signature[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows))
+        out.append(duckdb_md5_60bit(f"({concat})", salt=f"band{b}"))
+    return out
+
+
+_THRESHOLD = 0.95
+
+_MINHASH_DEDUP_SQL = f"""
+    WITH w AS (SELECT doc_id, lang, {_WORDS_SQL} AS words FROM documents),
+    sigs AS (
+        SELECT doc_id, words, [{", ".join(_minhash_sig_sql())}] AS signature FROM w
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{", ".join(_band_exprs_sql())}]) AS band_key FROM sigs
+    ),
+    reps AS (
+        SELECT band_key, MIN(doc_id) AS rep_id FROM bands GROUP BY band_key
+    ),
+    cand AS (
+        SELECT DISTINCT b.doc_id, r.rep_id
+        FROM bands b JOIN reps r ON b.band_key = r.band_key AND b.doc_id > r.rep_id
+    ),
+    verified AS (
+        SELECT c.doc_id
+        FROM cand c
+        JOIN w wa ON wa.doc_id = c.doc_id
+        JOIN w wb ON wb.doc_id = c.rep_id
+        WHERE len(list_intersect(wa.words, wb.words))::DOUBLE
+                / len(list_distinct(wa.words || wb.words)) >= {_THRESHOLD}
+    ),
+    removed AS (SELECT DISTINCT doc_id FROM verified)
+    SELECT w.lang,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END) AS n_kept,
+           SUM(CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END) AS n_removed
+    FROM w LEFT JOIN removed r ON w.doc_id = r.doc_id
+    GROUP BY w.lang
+"""
+
+
+@register("q52_minhash_neardup", oracle=_MINHASH_DEDUP_SQL)
+def q52_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate *removal*: sign → band (2×8) → compare each
+    doc against its bucket's representative (min doc_id) → drop docs whose
+    exact word-set Jaccard vs the representative is ≥ 0.95. Emits per-lang
+    kept/removed counts.
+
+    Scale design: pair-output dedup is quadratic in cluster size (a 1500-doc
+    duplicate cluster alone is 1.1M pairs) — comparing to one representative
+    per bucket is LINEAR in corpus size: ≤ n_bands verifies per doc,
+    regardless of cluster size. Buckets shuffle on band_key; the rep table
+    is a tiny aggregate broadcast back; no cross join anywhere. (Chained
+    near-dups that match a removed doc but not its representative survive —
+    the standard recall trade of single-round representative dedup.)
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    # small file = 1 scan partition; spread rows so the 16-hash signature
+    # expression uses every core (at 100 TB the scan is already parallel)
+    documents = documents.repartition(spark.sparkContext.defaultParallelism)
+    w = documents.select("doc_id", "lang", _WORDS_SPARK().alias("words"))
+    sigs = w.select("doc_id", "words", F.array(*_minhash_sig_spark(F.col("words"))).alias("signature"))
+    bands = sigs.select("doc_id", F.explode(F.array(*_band_exprs_spark())).alias("band_key"))
+    reps = bands.groupBy("band_key").agg(F.min("doc_id").alias("rep_id"))
+    cand = (
+        bands.join(reps, "band_key")
+        .filter(F.col("doc_id") > F.col("rep_id"))
+        .select("doc_id", "rep_id")
+        .distinct()
+    )
+    wa = w.select(F.col("doc_id"), F.col("words").alias("words_a"))
+    wb = w.select(F.col("doc_id").alias("rep_id"), F.col("words").alias("words_b"))
+    removed = (
+        cand.join(wa, "doc_id")
+        .join(wb, "rep_id")
+        .filter(
+            F.size(F.array_intersect("words_a", "words_b")).cast("double")
+            / F.size(F.array_union("words_a", "words_b"))
+            >= _THRESHOLD
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_removed", F.lit(1))
+    )
+    return (
+        w.join(removed, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("is_removed").isNull(), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("is_removed").isNull(), 0).otherwise(1)).alias("n_removed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 60
+
+
+@register(
+    "q53_simhash",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    h AS (
+        SELECT doc_id, list_transform(words, x -> {duckdb_md5_60bit('x')}) AS hashes FROM w
+    )
+    SELECT doc_id,
+           list_sum(list_transform(range(0, {_SIMHASH_BITS}), k ->
+               CASE WHEN list_sum(list_transform(hashes, h ->
+                        CASE WHEN (h >> k) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (1::BIGINT << k) ELSE 0 END))::BIGINT AS simhash
+    FROM h
+    """,
+)
+def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprint: per bit, majority vote of word-hash bits.
+
+    Spark-shaped: explode distinct words → one groupBy(doc_id) carrying 60
+    vote-sum aggregates (map-side partials make this one narrow shuffle of
+    60 ints per doc) → bit assembly in a single projection. Zero UDFs.
+    """
+    import operator
+    from functools import reduce
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    documents = documents.repartition(spark.sparkContext.defaultParallelism)
+    w = documents.select("doc_id", _WORDS_SPARK().alias("words"))
+    exploded = w.select("doc_id", F.explode("words").alias("word")).withColumn(
+        "h", md5_60bit(F.col("word"))
+    )
+    votes = exploded.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << k)) != 0, 1).otherwise(-1)).alias(f"v{k}")
+            for k in range(_SIMHASH_BITS)
+        ]
+    )
+    simhash = reduce(
+        operator.add,
+        [
+            F.when(F.col(f"v{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0)).cast("bigint")
+            for k in range(_SIMHASH_BITS)
+        ],
+    )
+    return votes.select("doc_id", simhash.alias("simhash"))
+
+
+_SIMHASH_CHUNKS = 4  # 4 x 15-bit pigeonhole chunks: hamming<=3 => chunk equal
+_HAMMING_MAX = 3
+
+_SIMHASH_TABLE_SQL = f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    h AS (
+        SELECT doc_id, list_transform(words, x -> {duckdb_md5_60bit('x')}) AS hashes FROM w
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_sum(list_transform(range(0, {_SIMHASH_BITS}), k ->
+                   CASE WHEN list_sum(list_transform(hashes, hh ->
+                            CASE WHEN (hh >> k) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                        THEN (1::BIGINT << k) ELSE 0 END))::BIGINT AS simhash
+        FROM h
+    )
+"""
+
+
+@register(
+    "q54_simhash_neardup",
+    oracle=_SIMHASH_TABLE_SQL
+    + f"""
+    , chunks AS (
+        SELECT doc_id, simhash, unnest(range(0, {_SIMHASH_CHUNKS})) AS c FROM sh
+    ),
+    keyed AS (
+        SELECT doc_id, simhash, c, (simhash >> (15 * c::INT)) & 32767 AS chunk_key FROM chunks
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a, b.doc_id AS doc_b, b.simhash AS sh_b
+        FROM keyed a JOIN keyed b
+          ON a.c = b.c AND a.chunk_key = b.chunk_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT))::INT AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) <= {_HAMMING_MAX}
+    """,
+)
+def q54_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole banding: hamming ≤ 3 over 60 bits
+    guarantees at least one equal 15-bit chunk, so candidates come from 4
+    chunk-keyed equi-joins (shuffle joins, never a cross join).
+    """
+    sh = q53_simhash(spark, sf_dir)
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).cast("bigint").alias("c"),
+                F.shiftrightunsigned("simhash", 15 * c).bitwiseAND(F.lit(32767)).alias("chunk_key"),
+            )
+            for c in range(_SIMHASH_CHUNKS)
+        ]
+    )
+    chunks = sh.select("doc_id", "simhash", F.explode(chunk_structs).alias("ck")).select(
+        "doc_id", "simhash", F.col("ck.c").alias("c"), F.col("ck.chunk_key").alias("chunk_key")
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "c", "chunk_key"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+        F.col("c").alias("c_b"), F.col("chunk_key").alias("chunk_key_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("c") == F.col("c_b"))
+            & (F.col("chunk_key") == F.col("chunk_key_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "sh_a", "doc_b", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming")).filter(
+        F.col("hamming") <= _HAMMING_MAX
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q55_ngram_jaccard",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, lang, source,
+               list_distinct(list_transform(range(1, len(w) - 1),
+                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+        FROM d
+    ),
+    pairs AS (
+        SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(list_distinct(a.shingles || b.shingles)) AS j
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    )
+    SELECT lang, source, doc_a, doc_b, ROUND(j, 4) AS jaccard
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+                                     ORDER BY j DESC, doc_a ASC, doc_b ASC) AS rn
+        FROM pairs
+    )
+    WHERE rn <= 2
+    """,
+)
+def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram (word-shingle) Jaccard: top-2 most similar pairs per
+    (lang, source) block. Blocking keys bound the pair space — the standard
+    scale pattern when a cheap equality prefilter exists.
+    """
+    from pyspark.sql import Window
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    shingled = documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(w, i + 1),
+                    F.element_at(w, i + 2),
+                    F.element_at(w, i + 3),
+                ),
+            )
+        ).alias("shingles"),
+    )
+    a = shingled.select(
+        F.col("lang").alias("lang"),
+        F.col("source").alias("source"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = shingled.select(
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("lang") == F.col("lang_b"))
+        & (F.col("source") == F.col("source_b"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    ).select(
+        "lang",
+        "source",
+        "doc_a",
+        "doc_b",
+        (
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b"))
+        ).alias("j"),
+    )
+    win = Window.partitionBy("lang", "source").orderBy(
+        F.col("j").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 2)
+        .select("lang", "source", "doc_a", "doc_b", F.round("j", 4).alias("jaccard"))
+    )

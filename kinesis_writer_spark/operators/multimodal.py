@@ -1,1 +1,127 @@
-"""(filled in incrementally)"""
+"""Multimodal column operators: opaque ``binary`` payloads with typed
+metadata, decoded/feature-extracted via Arrow-batched ``mapInPandas``.
+
+The container has no image/audio codecs, so the *decode* step is a
+deterministic fake (clearly marked); everything Spark-side — schema, binary
+columns, Arrow batch shape, mapInPandas signatures, partitioning — is real
+and oracle/unit tested. Swapping the fake for PIL/ffmpeg is a one-function
+change.
+
+Scale notes: binary payloads ride inside Tungsten rows; mapInPandas streams
+Arrow record batches (no per-row Python overhead) and preserves partitioning,
+so decode parallelism equals input partitions at 100 TB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import tables
+
+
+@register(
+    "q80_multimodal_join",
+    oracle="""
+    SELECT d.lang,
+           COUNT(*) AS n_docs,
+           SUM(octet_length(CAST(d.text AS BLOB))) AS total_payload_bytes,
+           ROUND(AVG(sqrt(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm,
+           MIN(len(e.embedding)) AS dim
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.lang
+    """,
+)
+def q80_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row assembly: join text docs with their embedding vectors,
+    carry the payload as a binary column, aggregate per language.
+    """
+    from ..functions.vectors import sq_norm
+
+    documents, embeddings = tables(spark, sf_dir, "documents", "embeddings")
+    rows = documents.join(embeddings, F.col("doc_id") == F.col("vec_id")).select(
+        "lang",
+        F.encode("text", "utf-8").alias("payload"),
+        "embedding",
+    )
+    return rows.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.octet_length("payload")).alias("total_payload_bytes"),
+        F.round(F.avg(F.sqrt(sq_norm("embedding"))), 4).alias("avg_norm"),
+        F.min(F.size("embedding")).alias("dim"),
+    )
+
+
+# -- the deterministic fake codec (swap for a real one when available) ------
+
+
+def _fake_decode(payload: bytes) -> dict:
+    """Deterministic stand-in for an image/audio decoder.
+
+    A real deployment would decode here (PIL / libsndfile / ffmpeg); the
+    container has none of those, so we extract structural byte features that
+    an oracle can recompute. Raises on None like a real codec would.
+    """
+    if payload is None:
+        raise ValueError("cannot decode null payload")
+    head = payload[:16]
+    return {
+        "n_bytes": len(payload),
+        "first_byte": head[0] if head else None,
+        "head_checksum": int(sum(head)),
+    }
+
+
+def decode_features(df: DataFrame, payload_col: str = "payload", keep: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """mapInPandas decode stage: binary payload → typed feature columns.
+
+    Arrow-batched; the generator signature (Iterator[pd.DataFrame] →
+    Iterator[pd.DataFrame]) is the real production shape for a codec UDF.
+    """
+    import pandas as pd
+
+    keep_cols = list(keep)
+    schema = (
+        ", ".join(f"{c} long" for c in keep_cols)
+        + ", n_bytes long, first_byte long, head_checksum long"
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf[payload_col].map(_fake_decode)
+            out = pd.DataFrame(
+                {
+                    **{c: pdf[c] for c in keep_cols},
+                    "n_bytes": feats.map(lambda d: d["n_bytes"]),
+                    "first_byte": feats.map(lambda d: d["first_byte"]),
+                    "head_checksum": feats.map(lambda d: d["head_checksum"]),
+                }
+            )
+            yield out
+
+    return df.mapInPandas(decode, schema)
+
+
+@register(
+    "q81_multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           list_sum(list_transform(range(1, 17), i -> ascii(substr(text, i, 1))))::BIGINT
+               AS head_checksum
+    FROM documents
+    """,
+)
+def q81_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode pipeline end-to-end: text → binary payload column →
+    Arrow-batched mapInPandas feature extraction. The oracle recomputes the
+    fake codec's byte features in SQL (corpus is ASCII, so byte == codepoint).
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    payloads = documents.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return decode_features(payloads)

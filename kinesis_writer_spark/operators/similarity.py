@@ -1,1 +1,197 @@
-"""(filled in incrementally)"""
+"""Similarity search over embeddings: brute-force cosine top-k (baseline),
+sign-LSH bucketed near-dup (scale path), and IVF cell-probed ANN.
+
+Scale notes (100 TB): the brute-force variant is only sane because the query
+set is tiny and *broadcast* — the big side streams once, no shuffle. The LSH
+variant buckets both sides on a sign code so candidate generation is an
+equi-join; IVF assigns vectors to coarse cells (broadcast centroid argmax)
+and probes only the query's cell. All cosine math is JVM higher-order
+functions; oracles compute the identical double-precision formula.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, duckdb_cosine
+from ..registry import register
+from ._util import tables
+
+
+@register(
+    "q60_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               {duckdb_cosine('q.qv', 'e.embedding')} AS cos
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    """,
+)
+def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for each query vector (vec_id % 100 = 0).
+
+    The query side is broadcast; the corpus streams through one stage
+    computing zip_with/aggregate dot products, then a per-query top-k window.
+    """
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    q = embeddings.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(embeddings, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine("qv", "embedding").alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rank")
+    )
+
+
+_LSH_BITS = 4  # sign of the first 4 dimensions → 16 buckets
+
+
+def _sign_code_spark(col: str):
+    bits = [
+        F.when(F.element_at(col, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(_LSH_BITS)
+    ]
+    return reduce(lambda a, b: a + b, bits).cast("int")
+
+
+def _sign_code_sql(col: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(_LSH_BITS)
+    )
+    return f"CAST({terms} AS INT)"
+
+
+@register(
+    "q61_lsh_cosine_neardup",
+    oracle=f"""
+    WITH coded AS (
+        SELECT vec_id, embedding, {_sign_code_sql('embedding')} AS bucket FROM embeddings
+    ),
+    cand AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {duckdb_cosine('a.embedding', 'b.embedding')} AS cos
+        FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(cos, 4) AS cosine
+    FROM cand WHERE cos >= 0.35
+    """,
+)
+def q61_lsh_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH near-duplicate pairs: bucket on the 4-bit sign code of the
+    leading dimensions (axis-aligned random hyperplanes), verify cosine ≥
+    0.35 within buckets only — candidate generation is an equi-join on the
+    bucket key, never a cross join.
+    """
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    coded = embeddings.select("vec_id", "embedding", _sign_code_spark("embedding").alias("bucket"))
+    a = coded.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+    )
+    b = coded.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("bucket").alias("bucket_b")
+    )
+    cand = a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))).select(
+        "vec_a", "vec_b", cosine("emb_a", "emb_b").alias("cos")
+    )
+    return cand.filter(F.col("cos") >= 0.35).select(
+        "vec_a", "vec_b", F.round("cos", 4).alias("cosine")
+    )
+
+
+_N_CENTROIDS = 8
+
+
+@register(
+    "q62_ivf_ann",
+    oracle=f"""
+    WITH centroids AS (
+        SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, centroid_id FROM (
+            SELECT e.vec_id, e.embedding, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                      ORDER BY {duckdb_cosine('e.embedding', 'c.cv')} DESC,
+                                               c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv, centroid_id AS qcell
+        FROM assigned WHERE vec_id % 100 = 50
+    ),
+    probed AS (
+        SELECT q.query_id, a.vec_id AS neighbor_id,
+               {duckdb_cosine('q.qv', 'a.embedding')} AS cos
+        FROM q JOIN assigned a ON a.centroid_id = q.qcell AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM probed
+    )
+    WHERE rank <= 3
+    """,
+)
+def q62_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize every vector to its nearest of 8
+    centroids (broadcast argmax — the IVF *assignment* plumbing), then answer
+    each query by probing only its own cell. At 100 TB the assignment is one
+    broadcast pass and cells are the partitioning key for the probe join.
+
+    Centroids here are the first 8 vectors (deterministic stand-in for a
+    k-means codebook, which would be trained offline).
+    """
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    centroids = embeddings.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    scored = F.broadcast(centroids).crossJoin(embeddings).select(
+        "vec_id", "embedding", "centroid_id", cosine("embedding", "cv").alias("ccos")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    q = assigned.filter(F.col("vec_id") % 100 == 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("centroid_id").alias("qcell"),
+    )
+    probed = (
+        F.broadcast(q)
+        .join(assigned, (F.col("centroid_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cosine("qv", "embedding").alias("cos"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        probed.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rank")
+    )

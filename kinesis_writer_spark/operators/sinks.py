@@ -1,1 +1,83 @@
-"""(filled in incrementally)"""
+"""The kinesis-writer capability surfaced as plan-level operators: payload
+serialization → size-bounded KPL batching, exposed as a DataFrame so the
+driver can check it.
+
+Rows-only checks (greedy varint-exact byte packing is not SQL-expressible);
+the byte-level correctness is covered by the golden/property unit tests in
+tests/test_kpl.py and tests/test_sink.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import tables
+
+
+def batch_stats(df: DataFrame, data_col: str = "data") -> DataFrame:
+    """mapInPandas KPL batcher: binary payloads → one row per aggregated
+    record (n_records, size_bytes, pk of first record). Batching is
+    per-partition — the cluster-parallel shape — with generator state
+    carried across Arrow batches inside each partition.
+    """
+    import pandas as pd
+
+    from ..kpl.aggregator import RecordAggregator
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        agg = RecordAggregator()
+        out_rows: list[tuple[int, int]] = []
+        for pdf in batches:
+            for data in pdf[data_col]:
+                completed = agg.add_user_record("a", bytes(data))
+                if completed is not None:
+                    out_rows.append((completed.num_user_records, completed.size_bytes))
+            if out_rows:
+                yield pd.DataFrame(out_rows, columns=["n_records", "size_bytes"])
+                out_rows = []
+        tail = agg.clear_and_get()
+        if tail is not None:
+            yield pd.DataFrame(
+                [(tail.num_user_records, tail.size_bytes)], columns=["n_records", "size_bytes"]
+            )
+
+    return df.mapInPandas(run, "n_records long, size_bytes long")
+
+
+@register("q90_kpl_batch_stats", oracle=None)
+def q90_kpl_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON payloads → per-partition KPL aggregation; returns one
+    row per ~1 MiB aggregated record. Deterministic: single sorted partition.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    payloads = (
+        events.orderBy("event_id")
+        .coalesce(1)
+        .select(
+            F.encode(
+                # repeat the record 20x so several 1 MiB batches fill even at sf0.001
+                F.repeat(F.to_json(F.struct("event_id", "user_id", "event_type", "value")), 20),
+                "utf-8",
+            ).alias("data")
+        )
+    )
+    return batch_stats(payloads)
+
+
+@register("q91_ehk_derivation", oracle=None)
+def q91_ehk_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit MD5 explicit-hash-key derivation (reference
+    AggRecord.java:231-243) as an Arrow-batched pandas UDF over customer
+    names — decimal strings because 2^128-1 exceeds SQL integer types.
+    Rows-only here; byte parity with hashlib is unit-tested.
+    """
+    from ..functions.hashing import md5_uint128_decimal
+
+    (customer,) = tables(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey", md5_uint128_decimal(F.col("c_name")).alias("explicit_hash_key")
+    ).orderBy("c_custkey").limit(100)

@@ -1,1 +1,245 @@
-"""(filled in incrementally)"""
+"""Text-analysis operators for training-data pipelines: token statistics,
+corpus-driven language ID, quality scoring, and document fingerprinting.
+
+All pure built-in Spark expressions (split/explode/higher-order functions +
+joins); the "model" inputs (language profiles, stopword lists) are derived
+from the corpus itself inside the query, so everything is deterministic and
+oracle-checkable. At 100 TB the derived profiles are tiny aggregates that
+broadcast back over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duckdb_md5_60bit, md5_60bit
+from ..registry import register
+from ._util import tables
+
+
+@register(
+    "q70_token_stats",
+    oracle="""
+    SELECT doc_id, lang,
+           len(string_split(text, ' '))                       AS n_tokens,
+           len(list_distinct(string_split(text, ' ')))        AS n_distinct,
+           ROUND(len(list_distinct(string_split(text, ' ')))::DOUBLE
+                 / len(string_split(text, ' ')), 4)           AS type_token_ratio,
+           ROUND(list_sum(list_transform(string_split(text, ' '),
+                 w -> CAST(length(w) AS DOUBLE)))
+                 / len(string_split(text, ' ')), 4)           AS avg_token_len,
+           length(text)                                       AS n_chars_actual
+    FROM documents
+    """,
+)
+def q70_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics: counts, type/token ratio, mean length."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tok_lens = F.transform(toks, lambda w: F.length(w).cast("double"))
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 4).alias(
+            "type_token_ratio"
+        ),
+        F.round(
+            F.aggregate(tok_lens, F.lit(0.0), lambda acc, x: acc + x) / F.size(toks), 4
+        ).alias("avg_token_len"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "q71_lang_profiles",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    freq AS (
+        SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY lang, token
+    )
+    SELECT lang, token, n, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
+        FROM freq
+    )
+    WHERE rank <= 5
+    """,
+)
+def q71_lang_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most frequent tokens per language (explode → agg → window)."""
+    (documents,) = tables(spark, sf_dir, "documents")
+    tok = documents.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    freq = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    return freq.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+
+
+@register(
+    "q72_lang_id",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    freq AS (
+        SELECT lang, token, COUNT(*) AS n FROM tok GROUP BY lang, token
+    ),
+    profile AS (
+        SELECT lang AS profile_lang, list(token ORDER BY token) AS profile_tokens
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS rank
+            FROM freq
+        )
+        WHERE rank <= 10
+        GROUP BY lang
+    ),
+    scored AS (
+        SELECT d.doc_id, d.lang AS true_lang, p.profile_lang,
+               len(list_intersect(list_distinct(string_split(d.text, ' ')),
+                                  p.profile_tokens)) AS overlap
+        FROM documents d CROSS JOIN profile p
+    ),
+    best AS (
+        SELECT doc_id, true_lang, profile_lang AS predicted_lang
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY overlap DESC, profile_lang ASC) AS rn
+            FROM scored
+        )
+        WHERE rn = 1
+    )
+    SELECT true_lang, predicted_lang, COUNT(*) AS n_docs
+    FROM best GROUP BY true_lang, predicted_lang
+    """,
+)
+def q72_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-driven language ID: build top-10-token profiles per language,
+    classify each doc by maximum token overlap, emit the confusion matrix.
+
+    The profile table is a tiny aggregate → broadcast; classification is a
+    broadcast nested-loop over |langs| profiles per doc — linear in corpus
+    size at 100 TB.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    tok = documents.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    freq = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("token").asc())
+    profile = (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .groupBy(F.col("lang").alias("profile_lang"))
+        .agg(F.sort_array(F.collect_list("token")).alias("profile_tokens"))
+    )
+    scored = documents.crossJoin(F.broadcast(profile)).select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        "profile_lang",
+        F.size(
+            F.array_intersect(F.array_distinct(F.split("text", " ")), F.col("profile_tokens"))
+        ).alias("overlap"),
+    )
+    w_best = Window.partitionBy("doc_id").orderBy(F.col("overlap").desc(), F.col("profile_lang").asc())
+    best = (
+        scored.withColumn("rn", F.row_number().over(w_best))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "true_lang", F.col("profile_lang").alias("predicted_lang"))
+    )
+    return best.groupBy("true_lang", "predicted_lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "q73_quality_score",
+    oracle="""
+    WITH stats AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' ')))::DOUBLE
+                 / len(string_split(text, ' ')) AS ttr,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE length(replace(text, ' ', ''))::DOUBLE / length(text) END AS density
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               ROUND(0.4 * LEAST(n_tokens / 50.0, 1.0) + 0.4 * ttr + 0.2 * density, 4) AS quality
+        FROM stats
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(quality), 4) AS avg_quality,
+           SUM(CASE WHEN quality >= 0.6 THEN 1 ELSE 0 END) AS n_high_quality
+    FROM scored GROUP BY lang
+    """,
+)
+def q73_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length saturation + type/token ratio +
+    non-space density, aggregated per language.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    density = F.when(F.length("text") == 0, F.lit(0.0)).otherwise(
+        F.length(F.regexp_replace(F.col("text"), " ", "")).cast("double") / F.length("text")
+    )
+    quality = F.round(
+        0.4 * F.least(F.size(toks) / F.lit(50.0), F.lit(1.0)) + 0.4 * ttr + 0.2 * density, 4
+    )
+    scored = documents.select("doc_id", "lang", quality.alias("quality"))
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality"), 4).alias("avg_quality"),
+        F.sum(F.when(F.col("quality") >= 0.6, 1).otherwise(0)).alias("n_high_quality"),
+    )
+
+
+@register(
+    "q74_fingerprint",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(w) - 2),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS shingles
+        FROM d
+    ),
+    hashed AS (
+        SELECT doc_id,
+               list_sort(list_transform(shingles, s -> {duckdb_md5_60bit('s')}))[1:3] AS fp
+        FROM sh
+    )
+    SELECT doc_id, fp[1] AS fp1, fp[2] AS fp2, fp[3] AS fp3
+    FROM hashed
+    """,
+)
+def q74_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: the 3 smallest hashes over the
+    document's 4-word shingles (rolling-hash sketch; docs sharing any
+    fingerprint are near-dup candidates).
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 4),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(w, i + 1),
+                F.element_at(w, i + 2),
+                F.element_at(w, i + 3),
+                F.element_at(w, i + 4),
+            ),
+        )
+    )
+    fp = F.slice(F.sort_array(F.transform(shingles, lambda s: md5_60bit(s))), 1, 3)
+    return documents.select(
+        "doc_id",
+        F.element_at(fp, 1).alias("fp1"),
+        F.element_at(fp, 2).alias("fp2"),
+        F.element_at(fp, 3).alias("fp3"),
+    )

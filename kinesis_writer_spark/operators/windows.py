@@ -133,7 +133,9 @@ def q33_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND e.ts <  time_bucket(INTERVAL '30 minutes', e.ts) - k * INTERVAL '30 minutes'
                       + INTERVAL '1 hour'
     )
-    SELECT window_start, COUNT(*) AS n_events, ROUND(AVG(value), 4) AS avg_value
+    SELECT window_start, COUNT(*) AS n_events,
+           CAST(FLOOR(SUM(CAST(ROUND(value * 100) AS BIGINT)) * 10.0 / COUNT(*)) AS BIGINT)
+               AS avg_value_milli
     FROM assigned GROUP BY window_start
     """,
 )
@@ -144,10 +146,22 @@ def q34_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment rule Spark's Expand-based window implementation uses.
     """
     (events,) = tables(spark, sf_dir, "events")
+    # Exactness across engines: (a) sum integer cents, not doubles (addition
+    # order differs between engines); (b) FLOOR the scaled average rather
+    # than ROUND — both engines floor the identical double identically,
+    # while ROUND differs on representational midpoints (Spark rounds the
+    # shortest decimal repr, DuckDB the double itself).
+    cents = F.round(F.col("value") * 100).cast("bigint")
     return (
         events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value"))
-        .select(F.col("w.start").alias("window_start"), "n_events", "avg_value")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents).alias("sum_cents"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            F.floor(F.col("sum_cents") * 10.0 / F.col("n_events")).cast("bigint").alias(
+                "avg_value_milli"
+            ),
+        )
     )
 
 

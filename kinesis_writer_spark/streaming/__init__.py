@@ -1,0 +1,21 @@
+"""Structured Streaming layer: file-replay sources, windowed aggregations
+with watermarks, stateful dedup, and the KPL foreachBatch sink.
+"""
+
+from .windows import (
+    dedup_stream,
+    read_event_stream,
+    run_available_now,
+    session_values,
+    sliding_counts,
+    tumbling_counts,
+)
+
+__all__ = [
+    "read_event_stream",
+    "tumbling_counts",
+    "sliding_counts",
+    "session_values",
+    "dedup_stream",
+    "run_available_now",
+]

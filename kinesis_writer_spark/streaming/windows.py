@@ -1,0 +1,84 @@
+"""Streaming window operators over the events stream.
+
+Batch/stream parity by construction: these use the *same* ``F.window`` /
+``F.session_window`` expressions as the batch operators in
+``operators/windows.py``, so an ``availableNow`` replay of a parquet
+directory produces exactly the batch answer — that property is the test
+strategy (tests/test_streaming.py).
+
+Scale notes: watermarks bound state (late rows beyond the horizon are
+dropped and their state evicted); windowed agg state lives in the state
+store keyed by (window, group) — partitioned by group key, so 1000
+executors shard state naturally. ``dropDuplicates`` keeps one key per
+event_id within the watermark horizon, the standard at-least-once →
+effectively-once bridge in front of the KPL sink.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_DDL = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+
+
+def read_event_stream(spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-replay stream of events-shaped parquet (micro-batch per file set)."""
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(source_dir)
+
+
+def tumbling_counts(stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sliding_counts(
+    stream: DataFrame, window: str = "1 hour", slide: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_values(stream: DataFrame, gap: str = "10 minutes", watermark: str = "2 hours") -> DataFrame:
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events", "session_value")
+    )
+
+
+def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful exactly-once-per-event_id dedup within the watermark horizon."""
+    return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_available_now(df: DataFrame, output_mode: str = "append") -> list:
+    """Drain a streaming DataFrame with the availableNow trigger into an
+    in-memory sink; returns the collected rows. Test/verification helper.
+    """
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    rows = df.sparkSession.sql(f"SELECT * FROM {name}").collect()
+    query.stop()
+    return rows

@@ -1,0 +1,118 @@
+"""Streaming tests (SURVEY.md §5.5): file-replay of events through windowed
+aggregations, watermark late-data handling, stateful dedup, and the
+foreachBatch → KPL sink — all drained deterministically with availableNow.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_writer_spark import io as kio
+from kinesis_writer_spark.sink import FakeKinesisClient, write_dataframe
+from kinesis_writer_spark.streaming import (
+    dedup_stream,
+    read_event_stream,
+    run_available_now,
+    session_values,
+    sliding_counts,
+    tumbling_counts,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def replay_dir(tmp_path_factory):
+    """events split into several parquet files → multiple micro-batches."""
+    from kinesis_writer_spark.session import get_spark
+
+    spark = get_spark("tests")
+    path = str(tmp_path_factory.mktemp("events_replay"))
+    kio.load(spark, SF_DIR, "events").repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _sorted(rows):
+    return sorted(tuple(r) for r in rows)
+
+
+class TestWindowedStreaming:
+    def test_tumbling_stream_equals_batch(self, spark, replay_dir):
+        stream = read_event_stream(spark, replay_dir, max_files_per_trigger=2)
+        got = run_available_now(tumbling_counts(stream), output_mode="complete")
+        batch = kio.load(spark, SF_DIR, "events")
+        expected = (
+            batch.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+            .collect()
+        )
+        assert _sorted(got) == _sorted(expected)
+
+    def test_sliding_stream_equals_batch(self, spark, replay_dir):
+        stream = read_event_stream(spark, replay_dir)
+        got = run_available_now(sliding_counts(stream), output_mode="complete")
+        batch = kio.load(spark, SF_DIR, "events")
+        expected = (
+            batch.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "n_events")
+            .collect()
+        )
+        assert _sorted(got) == _sorted(expected)
+
+    def test_session_stream_equals_batch(self, spark, replay_dir):
+        stream = read_event_stream(spark, replay_dir)
+        got = run_available_now(session_values(stream), output_mode="complete")
+        batch = kio.load(spark, SF_DIR, "events")
+        expected = (
+            batch.groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("session_value"))
+            .select("user_id", F.col("w.start").alias("session_start"), "n_events", "session_value")
+            .collect()
+        )
+        assert _sorted(got) == _sorted(expected)
+
+
+class TestStatefulDedup:
+    def test_duplicate_event_ids_collapse(self, spark, tmp_path):
+        """Replay the same file twice → every event_id duplicated → dedup
+        keeps exactly one of each."""
+        events = kio.load(spark, SF_DIR, "events")
+        p = str(tmp_path / "dup")
+        events.coalesce(1).write.mode("overwrite").parquet(p)
+        events.coalesce(1).write.mode("append").parquet(p)
+
+        stream = read_event_stream(spark, p)
+        got = run_available_now(dedup_stream(stream).select("event_id"))
+        n_unique = events.select("event_id").distinct().count()
+        assert len(got) == n_unique
+        assert len({r.event_id for r in got}) == n_unique
+
+
+class TestForeachBatchSink:
+    def test_stream_to_kpl_sink_delivers_all_records(self, spark, replay_dir):
+        """End to end: parquet replay → payload serialization → foreachBatch →
+        per-partition KPL batcher → fake Kinesis client; counts must match."""
+        from kinesis_writer_spark.sink import foreach_batch_sink
+
+        stream = read_event_stream(spark, replay_dir, max_files_per_trigger=2)
+        payloads = stream.select(F.encode(F.to_json(F.struct("event_id", "value")), "utf-8").alias("data"))
+
+        delivered = {"n": 0}
+
+        def sink(batch_df, epoch_id):
+            delivered["n"] += write_dataframe(
+                batch_df, "stream-sink", lambda: FakeKinesisClient(num_shards=2), sleep=lambda s: None
+            )
+
+        q = payloads.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+        q.awaitTermination()
+        total = kio.load(spark, SF_DIR, "events").count()
+        assert delivered["n"] == total
+        # exercise the packaged adapter too (single batch)
+        batch_df = kio.load(spark, SF_DIR, "events").limit(10).select(
+            F.encode(F.to_json(F.struct("event_id")), "utf-8").alias("data")
+        )
+        adapter = foreach_batch_sink("s", lambda: FakeKinesisClient(num_shards=2))
+        adapter(batch_df, 0)
