@@ -70,6 +70,7 @@ def _ensure_loaded() -> None:
         joins,
         multimodal,
         relational,
+        relational2,
         scalar_funcs,
         similarity,
         sinks,

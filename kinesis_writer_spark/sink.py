@@ -294,6 +294,20 @@ class FakeKinesisClient:
         }
 
 
+def default_client_factory(region_name: str | None = None):
+    """Real AWS client factory (boto3), gated behind an import so the engine
+    works fully offline: tests and the driver inject :class:`FakeKinesisClient`.
+    """
+    try:
+        import boto3  # noqa: PLC0415
+    except ImportError as exc:  # pragma: no cover - boto3 absent in CI image
+        raise RuntimeError(
+            "boto3 is not installed; pass an explicit client_factory "
+            "(e.g. lambda: FakeKinesisClient()) or install boto3"
+        ) from exc
+    return lambda: boto3.client("kinesis", region_name=region_name)
+
+
 # ---------------------------------------------------------------------------
 # Spark fronts
 # ---------------------------------------------------------------------------

@@ -1,0 +1,84 @@
+"""Plan-quality regression tests: assert the physical plans keep the shapes
+that make the engine scale — predicate pushdown, column pruning, broadcast
+joins, top-k without global sort, no cartesian products in LSH pipelines.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kinesis_writer_spark import registry
+from tests.conftest import SF_DIR
+
+
+def formatted_plan(df) -> str:
+    jdf = df._jdf
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    qs = registry.all_queries()
+    return {name: formatted_plan(qs[name](spark, SF_DIR)) for name in qs}
+
+
+class TestPushdownAndPruning:
+    def test_q01_filter_pushed_to_scan(self, plans):
+        p = plans["q01_pricing_summary"]
+        assert "LessThanOrEqual(l_shipdate" in p
+
+    def test_q01_column_pruning(self, plans):
+        p = plans["q01_pricing_summary"]
+        read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+        assert "l_orderkey" not in read_schema  # unused columns never scanned
+        assert "l_partkey" not in read_schema
+
+    def test_q02_all_predicates_pushed(self, plans):
+        p = plans["q02_filter_predicates"]
+        assert "GreaterThanOrEqual(p_size,10)" in p
+        assert "In(p_brand" in p
+        assert "StringContains(p_type,BRASS)" in p
+
+
+class TestJoinStrategies:
+    def test_q13_dims_broadcast_not_shuffled(self, plans):
+        p = plans["q13_broadcast_join"]
+        assert "BroadcastHashJoin" in p
+        assert "SortMergeJoin" not in p
+
+    def test_q05_nation_region_broadcast(self, plans):
+        assert "BroadcastHashJoin" in plans["q05_local_supplier_volume"]
+
+    def test_no_cartesian_products_anywhere(self, plans):
+        # LSH/banding designs exist precisely to avoid cross joins; the only
+        # sanctioned broadcast-NL joins are the tiny-side similarity scans
+        allowed_bnl = {"q60_cosine_topk", "q62_ivf_ann", "q72_lang_id", "q12_range_join", "q38_asof_join_banded"}
+        for name, p in plans.items():
+            if "CartesianProduct" in p:
+                pytest.fail(f"{name} plans a CartesianProduct")
+            if "BroadcastNestedLoopJoin" in p and name not in allowed_bnl:
+                pytest.fail(f"{name} plans an unexpected BroadcastNestedLoopJoin")
+
+
+class TestTopK:
+    def test_global_topk_avoids_full_sort(self, plans):
+        assert "TakeOrderedAndProject" in plans["q22_sort_limit"]
+
+    def test_q03_topk_avoids_full_sort(self, plans):
+        assert "TakeOrderedAndProject" in plans["q03_shipping_priority"]
+
+
+class TestAggregation:
+    def test_q01_partial_aggregation_and_single_shuffle(self, plans):
+        # map-side combine: only |groups| rows cross the one exchange
+        p = plans["q01_pricing_summary"]
+        assert "partial_sum" in p
+        # one shuffle node in the plan tree (each node renders once in the
+        # tree and once in the detail section)
+        assert p.count("+- Exchange") == 1
+
+    def test_no_python_udfs_in_relational_core(self, plans):
+        for name in ("q01_pricing_summary", "q30_window_ranking", "q43_array_funcs", "q53_simhash"):
+            assert "BatchEvalPython" not in plans[name], f"{name} fell back to row-Python"
+            assert "ArrowEvalPython" not in plans[name], f"{name} uses a pandas UDF"
