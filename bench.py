@@ -26,6 +26,7 @@ HEADLINE = [
     "q33_tumbling_window",
     "q37_asof_join",
     "q50_exact_dedup",
+    "q63_salted_agg",
     "q52_minhash_neardup",
     "q53_simhash",
     "q60_cosine_topk",

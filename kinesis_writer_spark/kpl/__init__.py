@@ -8,6 +8,7 @@ wire format — no code is translated from the reference.
 """
 
 from .aggregator import AggRecordBuilder, RecordAggregator
+from .deaggregator import DeaggregationError, UserRecord, deaggregate, is_aggregated
 from .protocol import (
     DIGEST_SIZE,
     MAGIC,
@@ -20,6 +21,10 @@ from .protocol import (
 __all__ = [
     "AggRecordBuilder",
     "RecordAggregator",
+    "deaggregate",
+    "is_aggregated",
+    "DeaggregationError",
+    "UserRecord",
     "MAGIC",
     "MAX_BYTES_PER_RECORD",
     "DIGEST_SIZE",

@@ -74,6 +74,7 @@ def _ensure_loaded() -> None:
         scalar_funcs,
         similarity,
         sinks,
+        skew,
         text,
         windows,
     )

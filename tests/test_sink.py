@@ -40,6 +40,24 @@ class TestShardDiscovery:
         client.shards[1]["SequenceNumberRange"]["EndingSequenceNumber"] = "99"
         assert len(open_shard_midpoints(client, "s")) == 2
 
+    def test_discovery_retries_on_transient_failures(self):
+        class FlakyClient(FakeKinesisClient):
+            def __init__(self):
+                super().__init__(num_shards=2)
+                self.calls = 0
+
+            def describe_stream(self, *a, **kw):
+                self.calls += 1
+                if self.calls <= 2:
+                    raise RuntimeError("LimitExceededException: simulated")
+                return super().describe_stream(*a, **kw)
+
+        sleeps = []
+        client = FlakyClient()
+        writer = KinesisStreamWriter("s", client, sleep=sleeps.append)
+        assert sleeps == [2, 4]  # back-off applied to the discovery phase too
+        assert writer.write([b"x"]) == 1
+
     def test_router_deterministic_with_seed(self):
         mids = [str(i) for i in range(8)]
         a = ShardRouter(mids, seed=42)
