@@ -107,6 +107,60 @@ def decode_features(df: DataFrame, payload_col: str = "payload", keep: tuple[str
 
 
 @register(
+    "q82_grouped_normalize",
+    oracle="""
+    WITH norms AS (
+        SELECT vec_id, label,
+               sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT label, AVG(nrm) AS mu,
+               CASE WHEN COUNT(*) > 1 THEN stddev_samp(nrm) ELSE 0.0 END AS sigma
+        FROM norms GROUP BY label
+    )
+    SELECT n.vec_id, n.label,
+           CAST(FLOOR(1000.0 * CASE WHEN s.sigma > 0 THEN (n.nrm - s.mu) / s.sigma
+                                    ELSE 0.0 END) AS BIGINT) AS z_milli
+    FROM norms n JOIN stats s ON n.label = s.label
+    """,
+)
+def q82_grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-label z-score of embedding norms.
+
+    The pandas function receives each label group as one DataFrame (Arrow
+    batch) — the canonical grouped-map shape for per-entity normalization /
+    feature scaling in training pipelines. Norm computation stays JVM-side;
+    only (vec_id, label, nrm) crosses into Python. FLOOR-scaled output keeps
+    the cross-engine compare exact (stddev is order-sensitive in the last
+    ulp, but 1e-3 granularity absorbs it).
+    """
+    import math
+
+    import pandas as pd
+
+    from ..functions.vectors import sq_norm
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    norms = embeddings.select("vec_id", "label", F.sqrt(sq_norm("embedding")).alias("nrm"))
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["nrm"].mean()
+        sigma = pdf["nrm"].std(ddof=1) if len(pdf) > 1 else 0.0
+        z = (pdf["nrm"] - mu) / sigma if sigma and sigma > 0 else pdf["nrm"] * 0.0
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "label": pdf["label"],
+                "z_milli": [int(math.floor(v * 1000.0)) for v in z],
+            }
+        )
+
+    return norms.groupBy("label").applyInPandas(normalize, "vec_id long, label int, z_milli long")
+
+
+@register(
     "q81_multimodal_decode",
     oracle="""
     SELECT doc_id,

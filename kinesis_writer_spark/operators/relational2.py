@@ -208,6 +208,32 @@ def q58_conditional_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q64_unpivot",
+    oracle="""
+    SELECT o_orderkey, metric, ROUND(val, 2) AS val
+    FROM (
+        SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders
+    )
+    WHERE o_orderkey < 300
+    """,
+)
+def q64_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): melt two measure columns into (metric, val)
+    rows via the native unpivot operator (Expand — no shuffle, no UDF).
+    """
+    (orders,) = tables(spark, sf_dir, "orders")
+    narrow = orders.filter(F.col("o_orderkey") < 300).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_custkey").cast("double").alias("custkey"),
+    )
+    melted = narrow.unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "raw_val")
+    return melted.select("o_orderkey", "metric", F.round("raw_val", 2).alias("val"))
+
+
+@register(
     "q59_exists_in_subquery",
     oracle="""
     SELECT s.s_suppkey, s.s_name

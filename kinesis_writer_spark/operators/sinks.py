@@ -51,12 +51,18 @@ def batch_stats(df: DataFrame, data_col: str = "data") -> DataFrame:
 @register("q90_kpl_batch_stats", oracle=None)
 def q90_kpl_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → JSON payloads → per-partition KPL aggregation; returns one
-    row per ~1 MiB aggregated record. Deterministic: single sorted partition.
+    row per ~1 MiB aggregated record.
+
+    Parallel *and* deterministic: hash-repartition on user_id (stable
+    assignment) + sortWithinPartitions gives every partition a reproducible
+    record sequence, so batch boundaries — and the output rows — are
+    identical run to run while 8 batchers work concurrently. This is the
+    exact shape `write_dataframe` uses on a cluster.
     """
     (events,) = tables(spark, sf_dir, "events")
     payloads = (
-        events.orderBy("event_id")
-        .coalesce(1)
+        events.repartition(8, "user_id")
+        .sortWithinPartitions("event_id")
         .select(
             F.encode(
                 # repeat the record 20x so several 1 MiB batches fill even at sf0.001
