@@ -83,31 +83,60 @@ _N_BANDS = 2  # 2 bands x 8 rows: selective candidates for ~0.9 thresholds
 _WORDS_SPARK = lambda: F.array_distinct(F.split("text", " "))  # noqa: E731
 _WORDS_SQL = "list_distinct(string_split(text, ' '))"
 
+# One MD5 per word, then 16 affine permutations (a_j*h + b_j) mod p over the
+# 32-bit down-projection — the classic universal-hash MinHash family. 16×
+# cheaper than 16 independent cryptographic hashes per word, and the affine
+# step stays in whole-stage codegen as plain integer arithmetic. Constants
+# are fixed literals so the DuckDB oracle computes the identical family.
+# a_j < 2^31 and h' < 2^32 keep a_j*h' + b_j < 2^63 (no overflow on either
+# engine); p is the smallest prime above 2^32.
+_MINHASH_P = 4294967311
+_MINHASH_MASK = 0xFFFFFFFF
+_MINHASH_A = [((j + 1) * 0x9E3779B1) % (2**31) | 1 for j in range(_N_HASHES)]
+_MINHASH_B = [(j * 0x85EBCA77 + 0x165667B1) % (2**31) for j in range(_N_HASHES)]
 
-def _minhash_sig_spark(words) -> list:
-    return [F.array_min(F.transform(words, lambda w: md5_60bit(w, salt=str(j)))) for j in range(_N_HASHES)]
+
+def _word_hashes_spark(words):
+    return F.transform(words, lambda w: md5_60bit(w).bitwiseAND(F.lit(_MINHASH_MASK)))
+
+
+_WORD_HASHES_SQL = (
+    f"list_transform(words, w -> {duckdb_md5_60bit('w')} & {_MINHASH_MASK})"
+)
+
+
+def _minhash_sig_spark(hashes) -> list:
+    return [
+        F.array_min(
+            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_P))
+        )
+        for a, b in zip(_MINHASH_A, _MINHASH_B)
+    ]
 
 
 def _minhash_sig_sql() -> list[str]:
     return [
-        f"list_min(list_transform(words, w -> {duckdb_md5_60bit('w', salt=str(j))}))"
-        for j in range(_N_HASHES)
+        f"list_min(list_transform(hashes, h -> ({a} * h + {b}) % {_MINHASH_P}))"
+        for a, b in zip(_MINHASH_A, _MINHASH_B)
     ]
 
 
 @register(
     "q51_minhash_signatures",
     oracle=f"""
-    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents)
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    hs AS (SELECT doc_id, {_WORD_HASHES_SQL} AS hashes FROM w)
     SELECT doc_id, [{", ".join(_minhash_sig_sql())}] AS signature
-    FROM w
+    FROM hs
     """,
 )
 def q51_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-permutation MinHash signature over each document's word set."""
+    """16-permutation MinHash signature over each document's word set
+    (one MD5 per word + affine universal-hash permutations)."""
     (documents,) = tables(spark, sf_dir, "documents")
     words = documents.select("doc_id", _WORDS_SPARK().alias("words"))
-    return words.select("doc_id", F.array(*_minhash_sig_spark(F.col("words"))).alias("signature"))
+    hs = words.select("doc_id", _word_hashes_spark(F.col("words")).alias("hashes"))
+    return hs.select("doc_id", F.array(*_minhash_sig_spark(F.col("hashes"))).alias("signature"))
 
 
 def _band_exprs_spark():
@@ -135,8 +164,11 @@ _THRESHOLD = 0.95
 
 _MINHASH_DEDUP_SQL = f"""
     WITH w AS (SELECT doc_id, lang, {_WORDS_SQL} AS words FROM documents),
+    hs AS (
+        SELECT doc_id, words, {_WORD_HASHES_SQL} AS hashes FROM w
+    ),
     sigs AS (
-        SELECT doc_id, words, [{", ".join(_minhash_sig_sql())}] AS signature FROM w
+        SELECT doc_id, words, [{", ".join(_minhash_sig_sql())}] AS signature FROM hs
     ),
     bands AS (
         SELECT doc_id, unnest([{", ".join(_band_exprs_sql())}]) AS band_key FROM sigs
@@ -185,8 +217,16 @@ def q52_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small file = 1 scan partition; spread rows so the 16-hash signature
     # expression uses every core (at 100 TB the scan is already parallel)
     documents = documents.repartition(spark.sparkContext.defaultParallelism)
-    w = documents.select("doc_id", "lang", _WORDS_SPARK().alias("words"))
-    sigs = w.select("doc_id", "words", F.array(*_minhash_sig_spark(F.col("words"))).alias("signature"))
+    # w feeds four consumers (signatures, both verify sides, final rollup);
+    # persist so split+distinct runs once per row instead of four times.
+    # MEMORY_AND_DISK: spills rather than OOMs when the word sets are large.
+    from pyspark import StorageLevel
+
+    w = documents.select("doc_id", "lang", _WORDS_SPARK().alias("words")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    hs = w.select("doc_id", "words", _word_hashes_spark(F.col("words")).alias("hashes"))
+    sigs = hs.select("doc_id", "words", F.array(*_minhash_sig_spark(F.col("hashes"))).alias("signature"))
     bands = sigs.select("doc_id", F.explode(F.array(*_band_exprs_spark())).alias("band_key"))
     reps = bands.groupBy("band_key").agg(F.min("doc_id").alias("rep_id"))
     cand = (
