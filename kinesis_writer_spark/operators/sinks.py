@@ -74,6 +74,45 @@ def q90_kpl_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_stats(payloads)
 
 
+@register(
+    "q92_kpl_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q92_kpl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full KPL codec roundtrip, oracle-checked: events → JSON payloads →
+    per-partition aggregation into ~1 MiB wire records (magic + protobuf +
+    MD5) → deaggregation → JSON decode → per-type aggregate. The result must
+    equal a plain SQL aggregate over the source table, proving the wire
+    codec is lossless end-to-end *inside* a distributed plan.
+
+    Both codec hops are narrow mapInPandas transforms; the only shuffle is
+    the final small groupBy. This is the full producer→consumer path of the
+    reference (AggRecord.java:61-74 wire format) exercised at plan level.
+    """
+    from ..sources.kpl_stream import aggregate_payloads, deaggregate_records
+
+    (events,) = tables(spark, sf_dir, "events")
+    payloads = events.repartition(8, "user_id").select(
+        F.encode(F.to_json(F.struct("event_id", "event_type")), "utf-8").alias("data")
+    )
+    wires = aggregate_payloads(payloads)
+    decoded = deaggregate_records(wires).select(
+        F.from_json(F.decode("data", "utf-8"), "event_id bigint, event_type string").alias("r")
+    )
+    return decoded.groupBy(F.col("r.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("r.event_id").alias("min_id"),
+        F.max("r.event_id").alias("max_id"),
+    )
+
+
 @register("q91_ehk_derivation", oracle=None)
 def q91_ehk_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """128-bit MD5 explicit-hash-key derivation (reference
