@@ -8,13 +8,8 @@ from __future__ import annotations
 import pytest
 
 from kinesis_writer_spark import registry
+from kinesis_writer_spark.plans import formatted_plan
 from tests.conftest import SF_DIR
-
-
-def formatted_plan(df) -> str:
-    jdf = df._jdf
-    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    return jdf.queryExecution().explainString(mode)
 
 
 @pytest.fixture(scope="module")
