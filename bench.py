@@ -31,9 +31,12 @@ HEADLINE = [
     "q53_simhash",
     "q60_cosine_topk",
     "q62_ivf_ann",
+    "q66_train_test_split",
     "q70_token_stats",
+    "q76_deterministic_shuffle",
     "q81_multimodal_decode",
     "q90_kpl_batch_stats",
+    "q92_kpl_roundtrip",
 ]
 
 
