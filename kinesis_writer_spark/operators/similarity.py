@@ -195,3 +195,40 @@ def q62_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rank")
     )
+
+
+@register(
+    "q83_label_centroids",
+    oracle="""
+    WITH expl AS (
+        SELECT label,
+               unnest(range(1, len(embedding) + 1)) AS pos,
+               unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        FROM embeddings
+    )
+    SELECT label, pos, COUNT(*) AS n_vectors,
+           CAST(FLOOR(AVG(v) * 100000) AS BIGINT) AS centroid_1e5
+    FROM expl
+    GROUP BY label, pos
+    """,
+)
+def q83_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (the k-means update step / class-mean
+    primitive), long form: one row per (label, dimension).
+
+    posexplode multiplies rows by the dimensionality, then one groupBy with
+    map-side partials collapses them to |labels|x|dims| rows before the
+    exchange — at 100 TB the shuffle carries only partial sums, never
+    vectors. Re-assembly to array form is
+    ``groupBy(label).agg(array_sort(collect_list(struct(pos, val))))`` over
+    this (tiny) result. Output is floor-scaled to 1e-5 so the cross-engine
+    compare is exact despite summation-order ulps.
+    """
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    expl = embeddings.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "v")
+    return expl.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.floor(F.avg("v") * 100000).cast("bigint").alias("centroid_1e5"),
+    )

@@ -197,6 +197,115 @@ def q73_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q77_pii_redact",
+    oracle="""
+    WITH joined AS (
+        SELECT d.doc_id,
+               d.text || ' uid ' || CAST(e.user_id AS VARCHAR)
+                      || ' mail u' || CAST(e.user_id AS VARCHAR) || '@host' AS text
+        FROM documents d JOIN events e ON d.doc_id = e.event_id
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[0-9]+'))                    AS n_numbers,
+           len(regexp_extract_all(text, '[A-Za-z0-9]+@[A-Za-z0-9]+')) AS n_emails,
+           length(regexp_replace(regexp_replace(text,
+                  '[A-Za-z0-9]+@[A-Za-z0-9]+', '<EMAIL>', 'g'),
+                  '[0-9]+', '<NUM>', 'g'))                            AS redacted_len
+    FROM joined
+    WHERE len(regexp_extract_all(text, '[0-9]+')) > 0
+       OR len(regexp_extract_all(text, '[A-Za-z0-9]+@[A-Za-z0-9]+')) > 0
+    """,
+)
+def q77_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing: count and redact number runs and email-shaped
+    tokens (the shape of every pre-training scrub pass). The corpus is
+    word-soup with no PII, so the query first splices event-derived ids and
+    email-shaped tokens into the text (deterministically), then scrubs them
+    back out. Pure ``regexp_extract_all``/``regexp_replace`` — JVM-evaluated
+    per row, so scrubbing 100 TB is a single streaming pass at scan
+    parallelism; the splice join exists only to make the redaction
+    observable on synthetic data.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    (events,) = tables(spark, sf_dir, "events")
+    joined = documents.join(events, F.col("doc_id") == F.col("event_id")).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" uid "),
+            F.col("user_id").cast("string"),
+            F.lit(" mail u"),
+            F.col("user_id").cast("string"),
+            F.lit("@host"),
+        ).alias("text"),
+    )
+    num_pat, email_pat = "[0-9]+", "[A-Za-z0-9]+@[A-Za-z0-9]+"
+    n_numbers = F.size(F.expr(f"regexp_extract_all(text, '{num_pat}', 0)"))
+    n_emails = F.size(F.expr(f"regexp_extract_all(text, '{email_pat}', 0)"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email_pat, "<EMAIL>"), num_pat, "<NUM>"
+    )
+    return (
+        joined.select(
+            "doc_id",
+            n_numbers.alias("n_numbers"),
+            n_emails.alias("n_emails"),
+            F.length(redacted).alias("redacted_len"),
+        )
+        .filter((F.col("n_numbers") > 0) | (F.col("n_emails") > 0))
+    )
+
+
+@register(
+    "q78_repetition_ngrams",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    bigrams AS (
+        SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                              i -> w[i] || ' ' || w[i+1])) AS bg
+        FROM d
+    ),
+    counts AS (
+        SELECT doc_id, bg, COUNT(*) AS n FROM bigrams GROUP BY doc_id, bg
+    )
+    SELECT doc_id,
+           SUM(n) AS n_bigrams,
+           MAX(n) AS top_bigram_count,
+           ROUND(MAX(n)::DOUBLE / SUM(n), 4) AS top_bigram_ratio
+    FROM counts
+    GROUP BY doc_id
+    HAVING MAX(n) > 1
+    """,
+)
+def q78_repetition_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (Gopher-style quality rule): fraction of all
+    bigrams taken by the single most-repeated bigram; docs with any repeated
+    bigram are surfaced. explode → two-level groupBy, both with map-side
+    partials; bigrams of a doc stay in the doc's partition so the first
+    aggregation is shuffle-local at scale when the scan is doc-partitioned.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)),
+    )
+    exploded = documents.select("doc_id", F.explode(bigrams).alias("bg"))
+    counts = exploded.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.max("n").alias("top_bigram_count"),
+            F.round(F.max("n").cast("double") / F.sum("n"), 4).alias("top_bigram_ratio"),
+        )
+        .filter(F.col("top_bigram_count") > 1)
+    )
+
+
+@register(
     "q74_fingerprint",
     oracle=f"""
     WITH d AS (
