@@ -32,6 +32,8 @@ HEADLINE = [
     "q60_cosine_topk",
     "q62_ivf_ann",
     "q66_train_test_split",
+    "q84_market_share",
+    "q89_nation_trade_matrix",
     "q70_token_stats",
     "q76_deterministic_shuffle",
     "q81_multimodal_decode",

@@ -71,6 +71,7 @@ def _ensure_loaded() -> None:
         multimodal,
         relational,
         relational2,
+        relational3,
         sampling,
         scalar_funcs,
         similarity,

@@ -48,7 +48,15 @@ class TestJoinStrategies:
     def test_no_cartesian_products_anywhere(self, plans):
         # LSH/banding designs exist precisely to avoid cross joins; the only
         # sanctioned broadcast-NL joins are the tiny-side similarity scans
-        allowed_bnl = {"q60_cosine_topk", "q62_ivf_ann", "q72_lang_id", "q12_range_join", "q38_asof_join_banded"}
+        # q84's BNL is a 1-row scalar broadcast (the target nation name)
+        allowed_bnl = {
+            "q60_cosine_topk",
+            "q62_ivf_ann",
+            "q72_lang_id",
+            "q12_range_join",
+            "q38_asof_join_banded",
+            "q84_market_share",
+        }
         for name, p in plans.items():
             if "CartesianProduct" in p:
                 pytest.fail(f"{name} plans a CartesianProduct")
