@@ -4,6 +4,7 @@ with watermarks, stateful dedup, and the KPL foreachBatch sink.
 
 from .windows import (
     dedup_stream,
+    enrich_stream,
     read_event_stream,
     run_available_now,
     session_values,
@@ -13,6 +14,7 @@ from .windows import (
 
 __all__ = [
     "read_event_stream",
+    "enrich_stream",
     "tumbling_counts",
     "sliding_counts",
     "session_values",

@@ -82,3 +82,15 @@ def run_available_now(df: DataFrame, output_mode: str = "append") -> list:
     rows = df.sparkSession.sql(f"SELECT * FROM {name}").collect()
     query.stop()
     return rows
+
+
+def enrich_stream(stream: DataFrame, dim: DataFrame, stream_key: str, dim_key: str) -> DataFrame:
+    """Stream-static enrichment join: every micro-batch joins against the
+    static dimension, broadcast so the stream side never shuffles.
+
+    The canonical lookup/enrichment shape: at 100 TB/day the stream stays
+    partitioned as it arrives; only the (small) dim ships to executors. The
+    dim snapshot is re-resolved per micro-batch, so slowly-changing
+    dimensions refresh without restarting the query.
+    """
+    return stream.join(F.broadcast(dim), stream.__getattr__(stream_key) == dim.__getattr__(dim_key))

@@ -116,3 +116,44 @@ class TestForeachBatchSink:
         )
         adapter = foreach_batch_sink("s", lambda: FakeKinesisClient(num_shards=2))
         adapter(batch_df, 0)
+
+
+class TestStreamStaticJoin:
+    def test_enrichment_equals_batch_join(self, spark, replay_dir):
+        """Stream-static broadcast enrichment: availableNow replay joined to
+        the customer dim must equal the same batch join."""
+        from kinesis_writer_spark.streaming import enrich_stream
+
+        customer = kio.load(spark, SF_DIR, "customer")
+        stream = read_event_stream(spark, replay_dir, max_files_per_trigger=2)
+        enriched = enrich_stream(stream, customer, "user_id", "c_custkey").select(
+            "event_id", "user_id", "c_name", "c_mktsegment"
+        )
+        got = run_available_now(enriched)
+        batch = kio.load(spark, SF_DIR, "events")
+        expected = batch.join(
+            customer, batch.user_id == customer.c_custkey
+        ).select("event_id", "user_id", "c_name", "c_mktsegment").collect()
+        assert _sorted(got) == _sorted(expected)
+
+
+class TestStreamingDeaggregation:
+    def test_kpl_source_works_on_streams(self, spark, tmp_path):
+        """The deaggregating KPL source is a narrow mapInPandas, so the same
+        code path runs on a readStream: capture wire records to parquet,
+        replay them as a stream, deaggregate, count user records."""
+        from kinesis_writer_spark.sources.kpl_stream import (
+            aggregate_payloads,
+            deaggregate_records,
+        )
+
+        events = kio.load(spark, SF_DIR, "events")
+        payloads = events.select(
+            F.encode(F.to_json(F.struct("event_id", "value")), "utf-8").alias("data")
+        ).repartition(4)
+        capture = str(tmp_path / "wire_capture")
+        aggregate_payloads(payloads).write.mode("overwrite").parquet(capture)
+
+        wire_stream = spark.readStream.schema("wire binary").parquet(capture)
+        got = run_available_now(deaggregate_records(wire_stream).select("data"))
+        assert len(got) == events.count()
