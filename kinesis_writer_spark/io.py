@@ -61,3 +61,91 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for the SQL API."""
     for name in TABLES:
         load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Format breadth: schema-explicit CSV / JSON-lines ingest
+# ---------------------------------------------------------------------------
+
+
+def read_csv(spark: SparkSession, path: str, schema: str, **options) -> DataFrame:
+    """CSV ingest with a REQUIRED explicit schema (DDL string).
+
+    Schema inference reads the data twice and guesses types per-run — at
+    100 TB that is both a full extra pass and a correctness hazard, so this
+    engine refuses to infer: ingestion schemas are declared. Malformed rows
+    land in ``_corrupt_record`` (PERMISSIVE) instead of failing the job;
+    pass ``mode="FAILFAST"`` to make them fatal.
+    """
+    reader = spark.read.schema(schema).option("header", True)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.csv(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str, **options) -> DataFrame:
+    """JSON-lines ingest with a REQUIRED explicit schema (DDL string); same
+    no-inference policy and corrupt-record handling as :func:`read_csv`.
+    """
+    reader = spark.read.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.json(path)
+
+
+# ---------------------------------------------------------------------------
+# Size-targeted table writes (the small-files problem)
+# ---------------------------------------------------------------------------
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    target_rows_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet write with explicit file-count control.
+
+    At 100 TB the failure mode is millions of tiny files (one per task per
+    partition value): every downstream scan then pays listing + open costs
+    that dwarf the reads. ``target_rows_per_file`` repartitions by the
+    partition columns (plus a within-partition spreader when a single value
+    exceeds the target) so each Hive partition gets a bounded number of
+    right-sized files. With no target, AQE's coalesced shuffle output is
+    left as-is.
+    """
+    if target_rows_per_file is not None:
+        n_files = max(1, -(-df.count() // target_rows_per_file))
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            # row-level spreader: rows of one hot partition value fan out
+            # across up to n_files tasks (id is deterministic given input
+            # partitioning), while the partitionBy below still routes each
+            # row to its own Hive partition directory
+            spread = F.monotonically_increasing_id() % n_files
+            df = (
+                df.withColumn("_spread", spread)
+                .repartition(n_files, *partition_by, "_spread")
+                .drop("_spread")
+            )
+        else:
+            df = df.repartition(n_files)
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def compact_table(spark: SparkSession, path: str, target_rows_per_file: int) -> None:
+    """Rewrite a parquet directory into right-sized files (offline
+    compaction for layouts degraded by many small incremental writes)."""
+    import tempfile
+
+    df = spark.read.parquet(path)
+    with tempfile.TemporaryDirectory(dir=os.path.dirname(path.rstrip("/"))) as tmp:
+        staged = os.path.join(tmp, "staged")
+        write_table(df, staged, target_rows_per_file=target_rows_per_file)
+        staged_df = spark.read.parquet(staged)
+        write_table(staged_df, path, target_rows_per_file=target_rows_per_file)

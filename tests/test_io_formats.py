@@ -1,0 +1,78 @@
+"""Format breadth + file-size control: schema-explicit CSV/JSONL ingest
+round-trips, corrupt-record handling, and the size-targeted writer that
+bounds files per partition (the small-files defense).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_writer_spark import io as kio
+from tests.conftest import SF_DIR
+
+NATION_DDL = "n_nationkey int, n_name string, n_regionkey int"
+
+
+@pytest.fixture(scope="module")
+def nation(spark):
+    return kio.load(spark, SF_DIR, "nation")
+
+
+class TestCsvJsonl:
+    def test_csv_roundtrip(self, spark, nation, tmp_path):
+        p = str(tmp_path / "nation_csv")
+        nation.coalesce(1).write.option("header", True).csv(p)
+        back = kio.read_csv(spark, p, NATION_DDL)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+    def test_jsonl_roundtrip(self, spark, nation, tmp_path):
+        p = str(tmp_path / "nation_jsonl")
+        nation.coalesce(1).write.json(p)
+        back = kio.read_jsonl(spark, p, NATION_DDL)
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+    def test_corrupt_records_survive_permissive(self, spark, tmp_path):
+        p = tmp_path / "bad.jsonl"
+        p.write_text('{"n_nationkey": 1, "n_name": "A", "n_regionkey": 0}\n{not json\n')
+        ddl = NATION_DDL + ", _corrupt_record string"
+        back = kio.read_jsonl(spark, str(p), ddl).cache()
+        assert back.count() == 2
+        assert back.filter(F.col("_corrupt_record").isNotNull()).count() == 1
+        back.unpersist()
+
+
+class TestSizeTargetedWrite:
+    def test_unpartitioned_file_count(self, spark, tmp_path):
+        orders = kio.load(spark, SF_DIR, "orders")  # 1500 rows at sf0.001
+        p = str(tmp_path / "orders_sized")
+        kio.write_table(orders, p, target_rows_per_file=500)
+        files = glob.glob(os.path.join(p, "*.parquet"))
+        assert len(files) == 3
+        assert spark.read.parquet(p).count() == orders.count()
+
+    def test_partitioned_write_bounds_files_and_preserves_rows(self, spark, tmp_path):
+        events = kio.load(spark, SF_DIR, "events")
+        p = str(tmp_path / "events_by_type")
+        kio.write_table(events, p, partition_by=("event_type",), target_rows_per_file=200)
+        back = spark.read.parquet(p)
+        assert back.count() == events.count()
+        # every partition directory exists and holds a bounded file count
+        part_dirs = glob.glob(os.path.join(p, "event_type=*"))
+        assert part_dirs
+        n_files_total = len(glob.glob(os.path.join(p, "event_type=*", "*.parquet")))
+        n_target = -(-events.count() // 200)
+        assert n_files_total <= n_target * len(part_dirs)
+
+    def test_compaction_reduces_file_count(self, spark, tmp_path):
+        orders = kio.load(spark, SF_DIR, "orders")
+        p = str(tmp_path / "fragmented")
+        orders.repartition(64).write.parquet(p)  # 64 tiny files
+        assert len(glob.glob(os.path.join(p, "*.parquet"))) == 64
+        kio.compact_table(spark, p, target_rows_per_file=1000)
+        files = glob.glob(os.path.join(p, "*.parquet"))
+        assert len(files) == 2
+        assert spark.read.parquet(p).count() == orders.count()
