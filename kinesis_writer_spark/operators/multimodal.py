@@ -179,3 +179,100 @@ def q81_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
     payloads = documents.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     return decode_features(payloads)
+
+
+# -- frame sampling / resize (video-shaped payloads) ------------------------
+
+FRAME_BYTES = 256  # fake codec: fixed-size frames inside the payload
+
+
+def frame_sample(
+    df: DataFrame,
+    payload_col: str = "payload",
+    keep: tuple[str, ...] = ("doc_id",),
+    every_n: int = 4,
+) -> DataFrame:
+    """Frame-sampling stage: explode each "video" payload into one row per
+    sampled frame (every Nth fixed-size chunk), carrying the frame bytes.
+
+    The chunking is the deterministic fake codec (a real one would call
+    ffmpeg per Arrow batch); the output shape — keep-columns + frame_idx +
+    frame binary — and the row-expansion inside mapInPandas are the real
+    production plumbing. Expansion happens executor-side per batch, so a
+    100 TB corpus never materializes all frames at once.
+    """
+    import pandas as pd
+
+    keep_cols = list(keep)
+    schema = (
+        ", ".join(f"{c} long" for c in keep_cols)
+        + ", frame_idx long, frame_len long, frame binary"
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                payload = bytes(row[payload_col])
+                n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
+                for idx in range(0, n_frames, every_n):
+                    frame = payload[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                    rows.append(
+                        tuple(row[c] for c in keep_cols) + (idx, len(frame), frame)
+                    )
+            yield pd.DataFrame(rows, columns=keep_cols + ["frame_idx", "frame_len", "frame"])
+
+    return df.mapInPandas(sample, schema)
+
+
+def resize_payload(df: DataFrame, payload_col: str = "payload", target_bytes: int = 1024) -> DataFrame:
+    """Resize stage (fake codec): truncate-or-zero-pad every payload to a
+    fixed size — the schema/batch shape of a real thumbnailer. Adds
+    ``resized`` (binary) and ``orig_bytes``; preserves all other columns.
+    """
+    import pandas as pd
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema += ", resized binary, orig_bytes long"
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col].map(bytes)
+            out = pdf.copy()
+            out["resized"] = payloads.map(
+                lambda b: b[:target_bytes].ljust(target_bytes, b"\x00")
+            )
+            out["orig_bytes"] = payloads.map(len)
+            yield out
+
+    return df.mapInPandas(resize, schema)
+
+
+@register(
+    "q93_frame_sample",
+    oracle=f"""
+    WITH vids AS (
+        SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents
+    ),
+    frames AS (
+        SELECT doc_id,
+               unnest(range(0, CAST(CEIL(n_bytes::DOUBLE / {FRAME_BYTES}) AS BIGINT), 4))
+                   AS frame_idx,
+               n_bytes
+        FROM vids
+    )
+    SELECT doc_id, frame_idx,
+           LEAST({FRAME_BYTES}, n_bytes - frame_idx * {FRAME_BYTES}) AS frame_len
+    FROM frames
+    """,
+)
+def q93_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video-shaped binary payloads (every 4th fixed-size
+    frame), checked against pure frame-arithmetic in SQL: the mapInPandas
+    expansion must produce exactly the frame indexes and lengths the
+    arithmetic predicts.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    vids = documents.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    frames = frame_sample(vids, keep=("doc_id",), every_n=4)
+    return frames.select("doc_id", "frame_idx", "frame_len")

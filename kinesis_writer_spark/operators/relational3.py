@@ -297,3 +297,28 @@ def q89_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+# One SQL text, two engines: the engine's spark.sql surface runs the exact
+# string the DuckDB oracle runs — no translation layer at all.
+_SHARED_SQL = """
+    SELECT o_orderpriority, o_orderstatus,
+           COUNT(*) AS n_orders,
+           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS total_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+@register("q94_sql_api", oracle=_SHARED_SQL)
+def q94_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL entry point: registers the fixture tables as views and runs
+    the *identical* ANSI SQL text the DuckDB oracle runs (GROUPING SETS +
+    exact-cents sum) through ``spark.sql`` — same string, two engines, one
+    result. Everything the DataFrame operators can do is reachable through
+    this surface too.
+    """
+    from .. import io
+
+    io.register_views(spark, sf_dir)
+    return spark.sql(_SHARED_SQL)

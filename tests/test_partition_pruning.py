@@ -53,3 +53,27 @@ def test_approx_count_distinct_error_bound(spark):
         F.countDistinct("l_orderkey").alias("exact"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.02
+
+
+def test_resize_payload_shapes(spark):
+    """Fake-codec resize: fixed output size, originals preserved."""
+    from kinesis_writer_spark.operators.multimodal import resize_payload
+
+    df = spark.createDataFrame(
+        [(1, b"short"), (2, b"x" * 5000)], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: r for r in resize_payload(df, target_bytes=1024).collect()}
+    assert len(bytes(rows[1].resized)) == 1024 and rows[1].orig_bytes == 5
+    assert len(bytes(rows[2].resized)) == 1024 and rows[2].orig_bytes == 5000
+    assert bytes(rows[1].resized)[:5] == b"short"
+
+
+def test_frame_sample_every_n(spark):
+    from kinesis_writer_spark.operators.multimodal import FRAME_BYTES, frame_sample
+
+    payload = bytes(range(256)) * 10  # 10 frames of 256B
+    df = spark.createDataFrame([(7, payload)], "doc_id long, payload binary")
+    rows = frame_sample(df, keep=("doc_id",), every_n=4).collect()
+    assert [r.frame_idx for r in rows] == [0, 4, 8]
+    assert all(r.frame_len == FRAME_BYTES for r in rows)
+    assert bytes(rows[1].frame) == payload[4 * FRAME_BYTES : 5 * FRAME_BYTES]
