@@ -59,12 +59,26 @@ def main() -> None:
     for t in kio.TABLES:
         kio.load(spark, sf_dir, t).count()
 
+    # one unmeasured pass first: JVM JIT + codegen caches warm up, so the
+    # measured pass reports steady-state throughput (the regime a long-
+    # running 100 TB job actually operates in, and the fair comparison
+    # against the reference's "maximum throughput" steady state)
+    for name in HEADLINE:
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    spark.catalog.clearCache()
+
+    # median of 3: single-shot timings at this scale swing ±2x with GC and
+    # thread scheduling; the median is the stable steady-state figure
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        df = queries[name](spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            df = queries[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            runs.append(time.time() - t0)
+            spark.catalog.clearCache()
+        timings[name] = round(sorted(runs)[1], 3)
 
     total = round(sum(timings.values()), 3)
     print(
