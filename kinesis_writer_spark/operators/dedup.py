@@ -487,3 +487,113 @@ def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .select("lang", "source", "doc_a", "doc_b", F.round("j", 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 25
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every node's
+    label converges to the smallest node id reachable from it.
+
+    Returns (node, comp) for every node appearing in ``edges``. Each
+    iteration is one shuffle join + aggregate (label exchange along edges);
+    iteration count is the graph diameter, which for near-dup clusters is
+    tiny (dup clusters are dense). Every round ``localCheckpoint``s its
+    labels — iterative plans MUST truncate lineage physically: cached-plan
+    reuse is not guaranteed across self-referencing rounds, and without
+    truncation the plan doubles per round (measured: exponential round
+    times, 160 s by round 5 on a 234-node graph; with checkpointing every
+    round is ~0.4 s). On a cluster use ``checkpoint()`` to reliable storage
+    instead — same shape, executor-loss tolerant. The only driver-side
+    value is the scalar changed-count per round; the pair space itself was
+    already bounded by LSH banding upstream.
+    """
+    bi = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        bi.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            bi.join(labels, bi.b == labels.node)
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.node2, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+                F.col("comp").alias("old_comp"),
+            )
+            .localCheckpoint()
+        )
+        n_changed = new_labels.filter(F.col("comp") != F.col("old_comp")).count()
+        labels = new_labels.select("node", "comp")
+        if n_changed == 0:
+            break
+    return labels
+
+
+@register(
+    "q96_dedup_clusters",
+    oracle=_SIMHASH_TABLE_SQL.replace("WITH w", "WITH RECURSIVE w", 1)
+    + f"""
+    , chunks AS (
+        SELECT doc_id, simhash, unnest(range(0, {_SIMHASH_CHUNKS})) AS c FROM sh
+    ),
+    keyed AS (
+        SELECT doc_id, simhash, c, (simhash >> (15 * c::INT)) & 32767 AS chunk_key FROM chunks
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a, b.doc_id AS doc_b, b.simhash AS sh_b
+        FROM keyed a JOIN keyed b
+          ON a.c = b.c AND a.chunk_key = b.chunk_key AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM cand
+        WHERE bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) <= {_HAMMING_MAX}
+    ),
+    bi AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM bi
+        UNION
+        SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a
+    ),
+    comp AS (
+        SELECT a AS node, LEAST(a, MIN(b)) AS comp_id FROM reach GROUP BY a
+    )
+    SELECT comp_id, COUNT(*) AS n_docs, MAX(node) AS max_doc
+    FROM comp GROUP BY comp_id
+    """,
+)
+def q96_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assembly: SimHash candidate pairs (q54) stitched
+    into connected components by iterative min-label propagation, one row
+    per duplicate cluster. The oracle computes the same components via a
+    recursive-CTE transitive closure — tractable at test size, while the
+    Spark side's per-round label exchange is the shape that scales (rounds
+    = cluster diameter, each round one shuffle).
+    """
+    pairs = q54_simhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    comps = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comps.groupBy(F.col("comp").alias("comp_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("node").alias("max_doc"),
+    )

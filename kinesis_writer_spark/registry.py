@@ -69,6 +69,7 @@ def _ensure_loaded() -> None:
         dedup,
         joins,
         multimodal,
+        pipeline,
         relational,
         relational2,
         relational3,

@@ -64,3 +64,28 @@ class TestConsistentSampling:
         for s in strings:
             expected = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
             assert got[s] == expected, s
+
+
+class TestConnectedComponents:
+    def test_known_graph(self, spark):
+        """Path 1-2-3-4, triangle 10-11-12, lone edge 20-21."""
+        from kinesis_writer_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+            "src long, dst long",
+        )
+        comp = {r.node: r.comp for r in connected_components(edges).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    def test_long_chain_converges(self, spark):
+        """A 30-node path needs multiple rounds; min label must still reach
+        the far end (exercises the iteration/convergence logic)."""
+        from kinesis_writer_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(100, 130)], "src long, dst long"
+        )
+        comp = {r.node: r.comp for r in connected_components(edges, max_iters=50).collect()}
+        assert set(comp.values()) == {100}
+        assert len(comp) == 31
