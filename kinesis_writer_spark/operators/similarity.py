@@ -232,3 +232,147 @@ def q83_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.floor(F.avg("v") * 100000).cast("bigint").alias("centroid_1e5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) training — deterministic, oracle-checked
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_SCALE = 1_000_000  # centroids live as 1e-6-scaled BIGINT arrays
+
+
+def _km_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2 in scaled
+    space; ties break on cluster_id). Centroids are a tiny broadcast."""
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "cvec",
+            lambda x, c: (x.cast("double") * _KM_SCALE - c.cast("double"))
+            * (x.cast("double") * _KM_SCALE - c.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "embedding", "cluster_id", d2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cluster_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cluster_id")
+    )
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """Recompute centroids as the element-wise mean of assigned vectors,
+    floor-scaled back to BIGINT (keeps the next assignment deterministic
+    across engines and partitionings)."""
+    expl = assigned.select(
+        "cluster_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    means = expl.groupBy("cluster_id", "pos").agg(
+        F.floor(F.avg("v") * _KM_SCALE).cast("bigint").alias("cval")
+    )
+    return means.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cval"))), lambda s: s.cval
+        ).alias("cvec")
+    )
+
+
+def _km_sql_assign(vec_src: str, cent_src: str) -> str:
+    return f"""
+        SELECT vec_id, embedding, cluster_id FROM (
+            SELECT v.vec_id, v.embedding, c.cluster_id,
+                   list_sum(list_transform(list_zip(v.embedding, c.cvec),
+                       p -> (CAST(p[1] AS DOUBLE) * {_KM_SCALE} - CAST(p[2] AS DOUBLE))
+                          * (CAST(p[1] AS DOUBLE) * {_KM_SCALE} - CAST(p[2] AS DOUBLE)))) AS d2,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY list_sum(list_transform(list_zip(v.embedding, c.cvec),
+                                          p -> (CAST(p[1] AS DOUBLE) * {_KM_SCALE} - CAST(p[2] AS DOUBLE))
+                                             * (CAST(p[1] AS DOUBLE) * {_KM_SCALE} - CAST(p[2] AS DOUBLE)))) ASC,
+                                      c.cluster_id ASC) AS rn
+            FROM {vec_src} v CROSS JOIN {cent_src} c
+        ) WHERE rn = 1
+    """
+
+
+def _km_sql_update(assign_src: str) -> str:
+    return f"""
+        SELECT cluster_id, list(cval ORDER BY pos) AS cvec FROM (
+            SELECT cluster_id, pos, CAST(FLOOR(AVG(v) * {_KM_SCALE}) AS BIGINT) AS cval
+            FROM (
+                SELECT cluster_id,
+                       unnest(range(1, len(embedding) + 1)) AS pos,
+                       unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+                FROM {assign_src}
+            )
+            GROUP BY cluster_id, pos
+        ) GROUP BY cluster_id
+    """
+
+
+@register(
+    "q97_kmeans",
+    oracle=f"""
+    WITH c0 AS (
+        SELECT vec_id AS cluster_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS cvec
+        FROM embeddings WHERE vec_id < {_KM_K}
+    ),
+    a1 AS ({_km_sql_assign('embeddings', 'c0')}),
+    c1 AS ({_km_sql_update('a1')}),
+    a2 AS ({_km_sql_assign('embeddings', 'c1')}),
+    c2 AS ({_km_sql_update('a2')})
+    SELECT a.cluster_id,
+           COUNT(*) AS n_vectors,
+           MIN(a.vec_id) AS min_vec,
+           (SELECT list_sum(c.cvec) FROM c2 c WHERE c.cluster_id = a.cluster_id)
+               AS centroid_checksum
+    FROM a2 a
+    GROUP BY a.cluster_id
+    """,
+)
+def q97_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of k-means (k=4) over the embeddings, fully
+    deterministic and oracle-checked: centroids are floor-quantized to
+    1e-6-scaled BIGINT arrays after every update, so the next assignment's
+    argmin is bit-identical across engines and partition orders (raw
+    double means would drift in the last ulp and could flip boundary
+    assignments).
+
+    Spark shape per iteration: assignment is a broadcast of k tiny centroid
+    arrays + per-partition argmin (no shuffle on the vector side beyond the
+    window's vec_id partitioning); the update is posexplode → groupBy
+    (cluster, dim) partial means → re-assembled arrays. At 100 TB this is
+    the standard distributed Lloyd step; more iterations = a loop around
+    the same two stages with localCheckpoint per round (see
+    connected_components for why).
+    """
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    vectors = embeddings.select("vec_id", "embedding")
+    c = embeddings.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint")
+        ).alias("cvec"),
+    )
+    assigned = None
+    for _ in range(2):
+        assigned = _km_assign(vectors, c)
+        c = _km_update(assigned)
+    checksums = c.select(
+        "cluster_id",
+        F.aggregate("cvec", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "centroid_checksum"
+        ),
+    )
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec"))
+        .join(F.broadcast(checksums), "cluster_id")
+    )

@@ -56,6 +56,7 @@ class TestJoinStrategies:
             "q12_range_join",
             "q38_asof_join_banded",
             "q84_market_share",
+            "q97_kmeans",  # k=4 centroid broadcast
         }
         for name, p in plans.items():
             if "CartesianProduct" in p:
