@@ -126,3 +126,95 @@ def q91_ehk_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.select(
         "c_custkey", md5_uint128_decimal(F.col("c_name")).alias("explicit_hash_key")
     ).orderBy("c_custkey").limit(100)
+
+
+_UINT128_MAX_STR = str((1 << 128) - 1)  # 39 digits
+
+
+@register(
+    "q98_validate_records",
+    oracle=f"""
+    WITH cand AS (
+        SELECT c_custkey,
+               CASE c_custkey % 5
+                    WHEN 1 THEN ''
+                    WHEN 2 THEN repeat('k', 300)
+                    ELSE c_name END AS pk,
+               CASE c_custkey % 5
+                    WHEN 3 THEN 'not-a-number'
+                    WHEN 4 THEN '340282366920938463463374607431768211456'
+                    WHEN 0 THEN CAST(c_custkey AS VARCHAR)
+                    ELSE NULL END AS ehk
+        FROM customer
+    ),
+    checked AS (
+        SELECT c_custkey,
+               CASE
+                 WHEN octet_length(CAST(pk AS BLOB)) < 1   THEN 'pk_too_short'
+                 WHEN octet_length(CAST(pk AS BLOB)) > 256 THEN 'pk_too_long'
+                 WHEN ehk IS NOT NULL AND NOT regexp_matches(ehk, '^[0-9]+$')
+                      THEN 'ehk_not_decimal'
+                 WHEN ehk IS NOT NULL AND (
+                        length(COALESCE(NULLIF(regexp_replace(ehk, '^0+', ''), ''), '0')) > 39
+                        OR (length(COALESCE(NULLIF(regexp_replace(ehk, '^0+', ''), ''), '0')) = 39
+                            AND COALESCE(NULLIF(regexp_replace(ehk, '^0+', ''), ''), '0')
+                                > '{_UINT128_MAX_STR}'))
+                      THEN 'ehk_out_of_range'
+                 ELSE 'valid'
+               END AS reason
+        FROM cand
+    )
+    SELECT reason, COUNT(*) AS n_records, MIN(c_custkey) AS first_key
+    FROM checked GROUP BY reason
+    """,
+)
+def q98_validate_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-validation predicates (reference AggRecord.java:195-229) as
+    plan-level filters: partition key must be 1-256 UTF-8 bytes, explicit
+    hash key a decimal integer in [0, 2^128-1]. Candidate records derive
+    deterministically from the customer table with one violation class per
+    key residue; output counts per rejection reason.
+
+    2^128-1 exceeds every SQL integer type, so the range check normalizes
+    leading zeros and compares decimal strings by (length, lexicographic) —
+    exact, overflow-free, and identical in both engines. The payload-size
+    cap (≤ 1 MiB - 20 B framing) is enforced in the sink's Python
+    validators and unit tests; it is omitted here only because a >1 MiB
+    per-row fixture would bloat the oracle run.
+    """
+    (customer,) = tables(spark, sf_dir, "customer")
+    residue = F.col("c_custkey") % 5
+    cand = customer.select(
+        "c_custkey",
+        F.when(residue == 1, F.lit(""))
+        .when(residue == 2, F.lit("k" * 300))
+        .otherwise(F.col("c_name"))
+        .alias("pk"),
+        F.when(residue == 3, F.lit("not-a-number"))
+        .when(residue == 4, F.lit("340282366920938463463374607431768211456"))
+        .when(residue == 0, F.col("c_custkey").cast("string"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("ehk"),
+    )
+    norm_ehk = F.coalesce(
+        F.nullif(F.regexp_replace(F.col("ehk"), "^0+", ""), F.lit("")), F.lit("0")
+    )
+    reason = (
+        F.when(F.octet_length("pk") < 1, "pk_too_short")
+        .when(F.octet_length("pk") > 256, "pk_too_long")
+        .when(F.col("ehk").isNotNull() & ~F.col("ehk").rlike("^[0-9]+$"), "ehk_not_decimal")
+        .when(
+            F.col("ehk").isNotNull()
+            & (
+                (F.length(norm_ehk) > 39)
+                | ((F.length(norm_ehk) == 39) & (norm_ehk > F.lit(_UINT128_MAX_STR)))
+            ),
+            "ehk_out_of_range",
+        )
+        .otherwise("valid")
+    )
+    return (
+        cand.select("c_custkey", reason.alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n_records"), F.min("c_custkey").alias("first_key"))
+    )
