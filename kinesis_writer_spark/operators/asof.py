@@ -1,13 +1,17 @@
 """As-of join: for each event, the most recent order of the same customer at
 or before the event timestamp. PySpark has no native ASOF JOIN — the engine
-composes it from an equi-join on the entity key plus a windowed top-1
+composes it as a *union merge*: tag both sides, union on the entity key, and
+take a running ``last(..., ignorenulls)`` over one (user, time) window
 (SURVEY.md §2.2 "composite" operator).
 
-Scale notes: the shuffle keys on user_id (high cardinality), so the join and
-the window share one partitioning — Catalyst reuses the exchange. For
-extremely hot keys, pre-bucketing both tables on the key removes the shuffle
-entirely; the band variant (limit how far back the order may be) bounds the
-join fan-out.
+Scale notes: the union-merge form costs exactly ONE shuffle (on user_id) and
+is linear in |events| + |orders| — no join fan-out at all, unlike the naive
+equi-join + rank idiom whose intermediate is sum over users of |events_u| x
+|orders_u| before the rank-1 filter prunes it. At 100 TB that quadratic
+blow-up is the difference between a plan that finishes and one that spills
+forever; the merge form's per-row state is a single struct. For extremely
+hot keys, pre-bucketing both tables on the key removes even that shuffle;
+the band variant (q38) bounds fan-out where a join IS wanted.
 """
 
 from __future__ import annotations
@@ -36,22 +40,55 @@ from ._util import tables
     """,
 )
 def q37_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join (backward): latest order ≤ event time per event."""
+    """As-of join (backward): latest order ≤ event time per event.
+
+    Union-merge plan: orders (kind=0) sort before events (kind=1) at equal
+    timestamps, so the inclusive `<=` bound falls out of the sort order; the
+    running `last(struct, ignorenulls)` carries the latest order forward.
+    Order-vs-order ties (same o_orderdate) break by ascending o_orderkey so
+    the running last keeps the max key — identical to the oracle's
+    ROW_NUMBER ... ORDER BY o_orderdate DESC, o_orderkey DESC.
+    """
     events, orders = tables(spark, sf_dir, "events", "orders")
-    joined = events.join(
-        orders,
-        (F.col("o_custkey") == F.col("user_id")) & (F.col("o_orderdate") <= F.col("ts")),
+    ev = events.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(None).cast("date").alias("o_orderdate"),
+        F.lit(None).cast("double").alias("o_totalprice"),
     )
-    w = Window.partitionBy("event_id").orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+    od = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast(events.schema["event_id"].dataType).alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+    )
+    merged = ev.unionByName(od)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    order_state = F.when(
+        F.col("kind") == 0, F.struct("o_orderkey", "o_totalprice")
+    )
+    last_order = F.last(order_state, ignorenulls=True).over(w)
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        merged.withColumn("asof", last_order)
+        .filter((F.col("kind") == 1) & F.col("asof").isNotNull())
         .select(
             "event_id",
             "user_id",
             "ts",
-            F.col("o_orderkey").alias("asof_orderkey"),
-            F.round("o_totalprice", 2).alias("asof_totalprice"),
+            F.col("asof.o_orderkey").alias("asof_orderkey"),
+            F.round("asof.o_totalprice", 2).alias("asof_totalprice"),
         )
     )
 
