@@ -57,9 +57,12 @@ def q84_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue into each customer region, per order year.
 
     Six-table join: the fact-fact lineitem⋈orders edge shuffles on the order
-    key; every dimension hop (customer, supplier, nation×2, region) is a
-    broadcast. The share division happens after integer-cents sums, so the
-    ratio is a deterministic function of exact integers.
+    key; the fixed-size dims (nation×2, region) are broadcast by hint, while
+    customer and supplier are left unhinted — they scale with SF, so the
+    planner broadcasts them while they fit and falls back to shuffle joins
+    at 100 TB instead of OOMing the driver. The share division happens after
+    integer-cents sums, so the ratio is a deterministic function of exact
+    integers.
     """
     lineitem, orders, customer, supplier, nation, region = tables(
         spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation", "region"
@@ -75,10 +78,10 @@ def q84_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flows = (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(region), F.col("cn_region") == F.col("r_regionkey"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .crossJoin(target_name)
         .select(
@@ -124,7 +127,7 @@ def q84_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q85_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Returned-item reporting (TPC-H Q10 re-cut): top 20 customers by
     revenue lost to returns. The return-flag filter pushes to the lineitem
-    scan; top-20 compiles to TakeOrderedAndProject (per-partition heaps, no
+    scan; customer joins unhinted (it scales with SF); top-20 compiles to TakeOrderedAndProject (per-partition heaps, no
     global sort), with exact integer ordering so ties are impossible to
     mis-order across engines.
     """
@@ -132,7 +135,7 @@ def q85_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned = (
         lineitem.filter(F.col("l_returnflag") == "R")
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
         .agg(
             F.sum(_REV_CENTS_SPARK()).alias("lost_cents"),
@@ -161,13 +164,14 @@ def q85_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q86_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promo-class revenue share per month (TPC-H Q14 re-cut; the "promo"
     class is parts whose type contains BRASS). One fact-fact shuffle join
-    (lineitem⋈orders), part as broadcast; percentages derive from exact
+    (lineitem⋈orders); part is unhinted (broadcast while it fits, shuffle
+    at scale); percentages derive from exact
     cents sums.
     """
     lineitem, part, orders = tables(spark, sf_dir, "lineitem", "part", "orders")
     promo = F.col("p_type").contains("BRASS")
     joined = (
-        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .select(
             F.date_trunc("month", "o_orderdate").alias("order_month"),
@@ -212,7 +216,7 @@ def q87_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "c_name",
@@ -243,17 +247,18 @@ def q87_large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q88_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heavy suppliers of small parts (TPC-H Q20 re-cut): suppliers who
     shipped more than 50 units of sub-size-15 parts. The part predicate
-    prunes via a broadcast semi-shaped join before the aggregate.
+    prunes via a semi-shaped join (planner-chosen broadcast at test scale)
+    before the aggregate.
     """
     lineitem, part, supplier = tables(spark, sf_dir, "lineitem", "part", "supplier")
     small_parts = part.filter(F.col("p_size") < 15).select("p_partkey")
     shipped = (
-        lineitem.join(F.broadcast(small_parts), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(small_parts, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 50)
     )
-    return shipped.join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey")).select(
+    return shipped.join(supplier, F.col("l_suppkey") == F.col("s_suppkey")).select(
         "s_suppkey", "s_name", F.round("qty", 2).alias("shipped_qty")
     )
 
@@ -277,7 +282,9 @@ def q88_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q89_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-nation trade matrix (TPC-H Q7 generalized): revenue flowing
     from each customer nation to each different supplier nation. One
-    fact-fact shuffle; all dims broadcast; output is |nations|² rows max.
+    fact-fact shuffle; nation dims broadcast by hint, customer/supplier
+    left to the planner (SF-scaling tables must not be force-broadcast);
+    output is |nations|² rows max.
     """
     lineitem, orders, customer, supplier, nation = tables(
         spark, sf_dir, "lineitem", "orders", "customer", "supplier", "nation"
@@ -286,9 +293,9 @@ def q89_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
-        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
         .groupBy("cust_nation", "supp_nation")
