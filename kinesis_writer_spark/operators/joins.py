@@ -278,3 +278,34 @@ def q13_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
         )
     )
+
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+FROM {customer} c
+JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM {orders} o
+  WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+) t{on_clause}
+"""
+
+
+@register(
+    "q39_lateral_topk_join",
+    oracle=_LATERAL_SQL.format(customer="customer", orders="orders", on_clause=" ON true"),
+)
+def q39_lateral_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: each customer's two most expensive orders,
+    written as the same ANSI ``JOIN LATERAL`` text both engines run
+    (DuckDB additionally wants ``ON true``). Catalyst decorrelates the
+    per-row subquery into a ``WindowGroupLimit`` (partial per-partition
+    top-2 heaps before the shuffle, final after) joined back on the
+    customer key — no nested-loop per-customer re-scan survives, so the
+    shape scales linearly with both inputs. Deterministic tie-break on
+    the order key keeps both engines' top-2 identical.
+    """
+    customer, orders = tables(spark, sf_dir, "customer", "orders")
+    customer.createOrReplaceTempView("q39_customer")
+    orders.createOrReplaceTempView("q39_orders")
+    return spark.sql(_LATERAL_SQL.format(customer="q39_customer", orders="q39_orders", on_clause=""))

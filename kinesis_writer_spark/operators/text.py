@@ -352,3 +352,70 @@ def q74_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(fp, 2).alias("fp2"),
         F.element_at(fp, 3).alias("fp3"),
     )
+
+
+@register(
+    "q79_bigram_lm_score",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    flat AS (
+        SELECT doc_id, lang,
+               unnest(list_transform(range(1, len(w)),
+                   i -> struct_pack(w1 := w[i], b := w[i] || ' ' || w[i+1]))) AS s
+        FROM d
+    ),
+    f2 AS (SELECT doc_id, lang, s.w1 AS w1, s.b AS b FROM flat),
+    bgc AS (SELECT lang, b, COUNT(*) AS cb FROM f2 GROUP BY lang, b),
+    unic AS (SELECT lang, w1, COUNT(*) AS cu FROM f2 GROUP BY lang, w1),
+    scored AS (
+        SELECT f.doc_id, f.lang, COUNT(*) AS n_bigrams,
+               ROUND(AVG(LOG10(bgc.cb::DOUBLE / unic.cu)), 4) AS avg_logprob
+        FROM f2 f
+        JOIN bgc ON f.lang = bgc.lang AND f.b = bgc.b
+        JOIN unic ON f.lang = unic.lang AND f.w1 = unic.w1
+        GROUP BY f.doc_id, f.lang
+    )
+    SELECT doc_id, lang, n_bigrams, avg_logprob FROM scored
+    """,
+)
+def q79_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KenLM-style corpus quality scoring without an external model: train a
+    per-language bigram LM on the corpus itself (conditional probability
+    c(w1 w2)/c(w1·) from two aggregates), then score each document by its
+    mean log10 bigram probability — the classic perplexity filter for
+    pretraining data, made deterministic and oracle-checkable because the
+    "model" is a pure function of the same table.
+
+    Shape at 100 TB: the explode keeps bigrams in their document's
+    partition; both count tables come from map-side-partial aggregations;
+    the score joins shuffle on (lang, bigram)/(lang, word) — vocabulary-
+    sized keys, naturally well-distributed. Nothing touches the driver. A
+    real deployment swaps the self-trained counts for a broadcast KenLM
+    table; the plan shape is identical.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(w) - 2),
+        lambda i: F.struct(
+            F.element_at(w, i + 1).alias("w1"),
+            F.concat_ws(" ", F.element_at(w, i + 1), F.element_at(w, i + 2)).alias("b"),
+        ),
+    )
+    flat = (
+        documents.select("doc_id", "lang", F.explode(pairs).alias("s"))
+        .select("doc_id", "lang", "s.w1", "s.b")
+    )
+    bgc = flat.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("cb"))
+    unic = flat.groupBy("lang", "w1").agg(F.count(F.lit(1)).alias("cu"))
+    return (
+        flat.join(bgc, ["lang", "b"])
+        .join(unic, ["lang", "w1"])
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(F.log10(F.col("cb").cast("double") / F.col("cu"))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
