@@ -93,6 +93,18 @@ def read_jsonl(spark: SparkSession, path: str, schema: str, **options) -> DataFr
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC scan. Self-describing columnar format like parquet — no schema
+    argument needed; Catalyst gets the same predicate pushdown and column
+    pruning (``PushedFilters`` / pruned ``ReadSchema`` in the plan), so ORC
+    lakes scan with the identical cost model as the parquet fixtures.
+    """
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.orc(path)
+
+
 # ---------------------------------------------------------------------------
 # Size-targeted table writes (the small-files problem)
 # ---------------------------------------------------------------------------
@@ -104,8 +116,9 @@ def write_table(
     partition_by: tuple[str, ...] = (),
     target_rows_per_file: int | None = None,
     mode: str = "overwrite",
+    format: str = "parquet",
 ) -> None:
-    """Parquet write with explicit file-count control.
+    """Columnar write (parquet or orc) with explicit file-count control.
 
     At 100 TB the failure mode is millions of tiny files (one per task per
     partition value): every downstream scan then pays listing + open costs
@@ -135,7 +148,7 @@ def write_table(
     writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    writer.format(format).save(path)
 
 
 def compact_table(spark: SparkSession, path: str, target_rows_per_file: int) -> None:

@@ -76,3 +76,29 @@ class TestSizeTargetedWrite:
         files = glob.glob(os.path.join(p, "*.parquet"))
         assert len(files) == 2
         assert spark.read.parquet(p).count() == orders.count()
+
+
+class TestOrc:
+    def test_orc_roundtrip_schema_and_rows(self, spark, nation, tmp_path):
+        p = str(tmp_path / "nation_orc")
+        kio.write_table(nation, p, format="orc")
+        back = kio.read_orc(spark, p)
+        assert back.schema == nation.schema
+        assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+    def test_orc_predicate_pushdown_and_pruning(self, spark, tmp_path):
+        orders = kio.load(spark, SF_DIR, "orders")
+        p = str(tmp_path / "orders_orc")
+        kio.write_table(orders, p, format="orc")
+        df = kio.read_orc(spark, p).filter(F.col("o_custkey") == 7).select("o_orderkey")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [" in plan and "o_custkey" in plan
+        # pruned scan: only the two referenced columns reach the reader
+        assert "o_totalprice" not in plan
+
+    def test_orc_partitioned_write(self, spark, tmp_path):
+        events = kio.load(spark, SF_DIR, "events")
+        p = str(tmp_path / "events_orc")
+        kio.write_table(events, p, partition_by=("event_type",), target_rows_per_file=200, format="orc")
+        back = kio.read_orc(spark, p)
+        assert back.count() == events.count()
