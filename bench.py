@@ -25,6 +25,7 @@ HEADLINE = [
     "q30_window_ranking",
     "q33_tumbling_window",
     "q37_asof_join",
+    "q39_lateral_topk_join",
     "q50_exact_dedup",
     "q63_salted_agg",
     "q52_minhash_neardup",
@@ -35,6 +36,7 @@ HEADLINE = [
     "q84_market_share",
     "q89_nation_trade_matrix",
     "q70_token_stats",
+    "q79_bigram_lm_score",
     "q76_deterministic_shuffle",
     "q81_multimodal_decode",
     "q90_kpl_batch_stats",
