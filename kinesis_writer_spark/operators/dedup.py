@@ -357,8 +357,14 @@ def q54_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs via pigeonhole banding: hamming ≤ 3 over 60 bits
     guarantees at least one equal 15-bit chunk, so candidates come from 4
     chunk-keyed equi-joins (shuffle joins, never a cross join).
+
+    The fingerprint table is materialized once (``localCheckpoint``) before
+    the self-join: without it both join sides recompute the full explode +
+    60-vote aggregation (measured 3.4× slower at sf0.01). It is n_docs rows
+    of two longs — at 100 TB use ``checkpoint()`` to reliable storage, same
+    shape.
     """
-    sh = q53_simhash(spark, sf_dir)
+    sh = q53_simhash(spark, sf_dir).localCheckpoint()
     chunk_structs = F.array(
         *[
             F.struct(
