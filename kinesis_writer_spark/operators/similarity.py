@@ -174,10 +174,15 @@ def q62_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding", "centroid_id", cosine("embedding", "cv").alias("ccos")
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())
+    # materialized once: both the query side and the probe side consume the
+    # assignment, and without this each consumer re-runs the 8-way cosine
+    # scoring + window (at 100 TB: checkpoint to reliable storage, or write
+    # the assignment table — it IS the IVF index)
     assigned = (
         scored.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "embedding", "centroid_id")
+        .localCheckpoint()
     )
     q = assigned.filter(F.col("vec_id") % 100 == 50).select(
         F.col("vec_id").alias("query_id"),
