@@ -1,0 +1,355 @@
+"""Retrieval scoring and corpus-hygiene operators: TF-IDF, BM25, train/test
+decontamination, and embedding-cosine near-duplicate removal.
+
+These extend the LLM-data-pipeline surface (SURVEY.md §2.2) with the scoring
+primitives a pretraining corpus pipeline runs right before export: rank terms
+and documents (TF-IDF / BM25), strip evaluation contamination (n-gram overlap
+between held-out and train splits), and drop semantically-duplicate vectors.
+
+Scale notes (100 TB): every "model input" here (document frequencies, global
+doc-length stats, query-term lists, centroid tables) is a vocabulary- or
+constant-sized aggregate that broadcasts back over the corpus; the corpus side
+is touched only by narrow projections, exploded-token aggregations with
+map-side partials, and equi-joins on hash keys. Score arithmetic that feeds a
+ranking is floor-scaled to integers before any cross-row sum, so results are
+bit-stable across engines, partition counts, and summation orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duckdb_md5_60bit, md5_60bit
+from ..functions.vectors import cosine, duckdb_cosine
+from ..registry import register
+from ._util import tables
+from .sampling import _bucket, _duckdb_bucket
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q99_tfidf",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               tf.tf * LN(n.n_docs::DOUBLE / df.df) AS score
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, ROUND(score, 4) AS tfidf, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term ASC) AS rank
+        FROM scored
+    )
+    WHERE rank <= 3
+    """,
+)
+def q99_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (tf × ln(N/df)).
+
+    Spark shape: one exploded-token lineage → groupBy(doc, term) with
+    map-side partials; document frequencies are a vocabulary-sized aggregate
+    OF that tf table (no second pass over text); N is a 1-row aggregate
+    broadcast via cross join. The per-doc top-k window repartitions on
+    doc_id only — all inputs to the score are integers, so the double
+    product is bit-identical across engines and the rank tie-break (term
+    asc) fires only on structurally-equal scores.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    tok = documents.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            (F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tf", "df", F.round("score", 4).alias("tfidf"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_NQ = 5  # query = the 5 globally most frequent tokens
+_BM25_SCALE = 1_000_000  # per-term scores floor-scaled to 1e-6 BIGINT
+
+
+@register(
+    "q100_bm25",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    q AS (
+        SELECT term, df FROM (
+            SELECT term, COUNT(*) AS df, SUM(tf) AS total,
+                   ROW_NUMBER() OVER (ORDER BY SUM(tf) DESC, term ASC) AS rn
+            FROM tf GROUP BY term
+        ) WHERE rn <= {_BM25_NQ}
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               SUM(len(string_split(text, ' ')))::DOUBLE / COUNT(*) AS avgdl
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ),
+    per_term AS (
+        SELECT tf.doc_id,
+               CAST(FLOOR({_BM25_SCALE} *
+                    LN((stats.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0) *
+                    (tf.tf * ({_BM25_K1} + 1.0)) /
+                    (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                        + {_BM25_B} * dl.dl / stats.avgdl))) AS BIGINT) AS s
+        FROM tf JOIN q ON tf.term = q.term
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+    )
+    SELECT doc_id, COUNT(*) AS n_terms_matched, SUM(s) AS score_1e6
+    FROM per_term
+    GROUP BY doc_id
+    ORDER BY score_1e6 DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def q100_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for a corpus-derived query (the 5 globally most
+    frequent tokens), k1=1.2, b=0.75.
+
+    Determinism across engines: per-(doc, term) scores are floor-scaled to
+    1e-6 BIGINTs *before* the per-doc sum, so the ranking key is an exact
+    integer no matter what order partial sums combine in. avgdl is computed
+    as exact-integer token sum ÷ count (never AVG over doubles). Spark
+    shape: the query-term table (5 rows) and the global stats (1 row) are
+    broadcast; the big side is the tf aggregate joined narrowly to per-doc
+    lengths; final ranking is a TakeOrdered (orderBy + limit), no full sort.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    tok = documents.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    w_q = Window.orderBy(F.col("total").desc(), F.col("term").asc())
+    q = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total"))
+        .withColumn("rn", F.row_number().over(w_q))
+        .filter(F.col("rn") <= _BM25_NQ)
+        .select("term", "df")
+    )
+    stats = documents.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size(F.split("text", " "))).cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    dl = documents.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tfc = (F.col("tf") * (_BM25_K1 + 1.0)) / (
+        F.col("tf") + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    per_term = (
+        tf.join(F.broadcast(q), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.floor(_BM25_SCALE * idf * tfc).cast("bigint").alias("s"))
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms_matched"), F.sum("s").alias("score_1e6"))
+        .orderBy(F.col("score_1e6").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/test decontamination (8-gram overlap)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8  # 8-word shingles, the standard eval-decontamination unit
+
+
+@register(
+    "q101_decontamination",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w,
+               CASE WHEN {_duckdb_bucket('split')} < 80 THEN 'train'
+                    WHEN {_duckdb_bucket('split')} < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang, split,
+               unnest(list_distinct(list_transform(range(1, len(w) - {_DECON_N - 2}),
+                   i -> {duckdb_md5_60bit(
+                       " || ' ' || ".join(f"w[i+{k}]" for k in range(_DECON_N))
+                   )}))) AS g
+        FROM assigned
+    ),
+    train_grams AS (
+        SELECT DISTINCT g FROM grams WHERE split = 'train'
+    ),
+    test_docs AS (
+        SELECT DISTINCT doc_id, lang FROM assigned WHERE split = 'test'
+    ),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM grams t JOIN train_grams tr ON t.g = tr.g
+        WHERE t.split = 'test'
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_test_docs,
+           SUM(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS n_contaminated
+    FROM test_docs d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    GROUP BY d.lang
+    """,
+)
+def q101_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag test-split documents sharing any 8-word
+    shingle with any train-split document (the overlap rule used to scrub
+    benchmark contamination from pretraining corpora). Splits come from the
+    same consistent hash as q66, so the check is reproducible end-to-end.
+
+    Spark shape: shingles are hashed to 60-bit ints at explode time, so the
+    overlap check is an equi-join on a bigint — the shuffle carries 8 bytes
+    per gram, never the text. The train side collapses to DISTINCT hashes
+    before the join (map-side partials), and the join is a LEFT SEMI: test
+    grams short-circuit on first match. At 100 TB the train-gram table is
+    the big side; the same plan holds with the semi-join replaced by a
+    bloom-filter pre-pass if the gram table outgrows the shuffle budget.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    b = _bucket("split")
+    w = F.split("text", " ")
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - _DECON_N),
+            lambda i: md5_60bit(
+                F.concat_ws(
+                    " ", *[F.element_at(w, i + k + 1) for k in range(_DECON_N)]
+                )
+            ),
+        )
+    )
+    assigned = documents.select(
+        "doc_id",
+        "lang",
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test").alias("split"),
+        F.when(F.size(w) >= _DECON_N, grams_arr).otherwise(
+            F.array().cast("array<bigint>")
+        ).alias("grams"),
+    )
+    grams = assigned.select("doc_id", "lang", "split", F.explode("grams").alias("g"))
+    train_grams = grams.filter(F.col("split") == "train").select("g").distinct()
+    test_docs = assigned.filter(F.col("split") == "test").select("doc_id", "lang")
+    contaminated = (
+        grams.filter(F.col("split") == "test")
+        .join(train_grams, "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        test_docs.join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_test_docs"),
+            F.sum(F.when(F.col("hit").isNull(), 0).otherwise(1)).alias("n_contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate removal
+# ---------------------------------------------------------------------------
+
+_EMB_TAU = 0.35
+
+
+@register(
+    "q102_embedding_neardup",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.label, b.vec_id AS dup_id
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {duckdb_cosine('a.embedding', 'b.embedding')} >= {_EMB_TAU}
+    ),
+    removed AS (SELECT DISTINCT label, dup_id FROM pairs)
+    SELECT e.label,
+           COUNT(*) AS n_vectors,
+           SUM(CASE WHEN r.dup_id IS NULL THEN 0 ELSE 1 END) AS n_removed,
+           SUM(CASE WHEN r.dup_id IS NULL THEN 1 ELSE 0 END) AS n_kept
+    FROM embeddings e
+    LEFT JOIN removed r ON e.label = r.label AND e.vec_id = r.dup_id
+    GROUP BY e.label
+    """,
+)
+def q102_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate removal: within each label block, drop
+    every vector whose cosine to a lower-id same-label vector is ≥ 0.35
+    (keep-first semantic dedup — the embedding-space analogue of q52).
+
+    Label blocking bounds the pair space exactly like (lang, source) does in
+    q55: the self-join is an equi-join on label, never a cross join, and at
+    100 TB the block key would be the ANN cell id from q62 (IVF assignment)
+    so blocks stay O(corpus/k). Cosine is the shared zip_with/aggregate
+    formula — bit-identical in the DuckDB oracle.
+    """
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    a = embeddings.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
+    bb = embeddings.select(
+        F.col("label").alias("label_b"), F.col("vec_id").alias("dup_id"), F.col("embedding").alias("emb_b")
+    )
+    removed = (
+        a.join(bb, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("dup_id")))
+        .filter(cosine("emb_a", "emb_b") >= _EMB_TAU)
+        .select(F.col("label").alias("r_label"), "dup_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        embeddings.join(
+            removed,
+            (F.col("label") == F.col("r_label")) & (F.col("vec_id") == F.col("dup_id")),
+            "left",
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("hit").isNull(), 0).otherwise(1)).alias("n_removed"),
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias("n_kept"),
+        )
+    )

@@ -73,6 +73,7 @@ def _ensure_loaded() -> None:
         relational,
         relational2,
         relational3,
+        retrieval,
         sampling,
         scalar_funcs,
         similarity,
