@@ -105,6 +105,40 @@ def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
     return reader.orc(path)
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-media ingest via Spark's ``binaryFile`` source: one row per file
+    with ``(path, modificationTime, length, content binary)`` — the ingest
+    edge for multimodal corpora (images/audio/video land as opaque payloads
+    plus typed metadata, then flow into the ``mapInPandas`` decode stages in
+    :mod:`..operators.multimodal`).
+
+    ``glob`` filters by filename pattern *during listing* (pushed down, files
+    never open); ``max_bytes`` prunes oversized blobs with a pushed filter on
+    the ``length`` metadata column, again without reading content. At 100 TB
+    the listing itself is the bottleneck — shard ingest across top-level
+    prefixes and compact small files into parquet with the payload as a
+    binary column (``write_table``) so downstream passes scan columnar data,
+    not millions of loose objects.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.load(path)
+    if max_bytes is not None:
+        from pyspark.sql import functions as F
+
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # Size-targeted table writes (the small-files problem)
 # ---------------------------------------------------------------------------

@@ -4,6 +4,7 @@ with watermarks, stateful dedup, and the KPL foreachBatch sink.
 
 from .windows import (
     dedup_stream,
+    dedup_stream_within_watermark,
     enrich_stream,
     read_event_stream,
     run_available_now,
@@ -19,5 +20,6 @@ __all__ = [
     "sliding_counts",
     "session_values",
     "dedup_stream",
+    "dedup_stream_within_watermark",
     "run_available_now",
 ]

@@ -66,6 +66,22 @@ def dedup_stream(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return stream.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def dedup_stream_within_watermark(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stateful dedup with BOUNDED state: ``dropDuplicatesWithinWatermark``
+    evicts each key's state once the watermark passes its event time, so
+    duplicates are only guaranteed collapsed when they arrive within the
+    watermark delay of the first occurrence.
+
+    This is the variant an unbounded 100 TB/day stream must run: plain
+    ``dropDuplicates`` on a streaming DataFrame keeps every key seen forever
+    (state grows without bound unless the dedup key embeds the window),
+    while this operator's state is O(keys per watermark horizon). The trade
+    is at-least-once beyond the horizon — exactly the reference sink's
+    delivery contract (SURVEY.md §3, replay duplicates accepted).
+    """
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
 def run_available_now(df: DataFrame, output_mode: str = "append") -> list:
     """Drain a streaming DataFrame with the availableNow trigger into an
     in-memory sink; returns the collected rows. Test/verification helper.

@@ -78,6 +78,46 @@ class TestSizeTargetedWrite:
         assert spark.read.parquet(p).count() == orders.count()
 
 
+class TestBinaryFiles:
+    """binaryFile source: the raw-media ingest edge for multimodal columns."""
+
+    @pytest.fixture()
+    def media_dir(self, tmp_path):
+        d = tmp_path / "media"
+        (d / "sub").mkdir(parents=True)
+        (d / "a.img").write_bytes(b"\x89IMG" + bytes(range(64)))
+        (d / "b.img").write_bytes(b"\x89IMG" + bytes(200))
+        (d / "sub" / "c.img").write_bytes(b"\x89IMGxy")
+        (d / "notes.txt").write_text("not media")
+        return str(d)
+
+    def test_glob_and_recursion(self, spark, media_dir):
+        df = kio.read_binary_files(spark, media_dir, glob="*.img")
+        names = sorted(os.path.basename(r.path) for r in df.select("path").collect())
+        assert names == ["a.img", "b.img", "c.img"]  # txt skipped, sub/ found
+
+    def test_max_bytes_prunes_on_metadata(self, spark, media_dir):
+        df = kio.read_binary_files(spark, media_dir, glob="*.img", max_bytes=100)
+        assert df.count() == 2  # b.img (204 B) pruned
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "length" in plan  # filter on the metadata column, not content
+
+    def test_content_flows_into_decode_stage(self, spark, media_dir):
+        from kinesis_writer_spark.operators.multimodal import decode_features
+
+        files = kio.read_binary_files(spark, media_dir, glob="*.img")
+        payloads = files.select(
+            F.crc32(F.col("path").cast("binary")).alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+        feats = decode_features(payloads)
+        rows = {r.n_bytes: r for r in feats.collect()}
+        assert set(rows) == {68, 204, 6}
+        assert all(r.first_byte == 0x89 for r in rows.values())
+        # head checksum of a.img: 0x89 + ord('I','M','G') + sum(0..11)
+        assert rows[68].head_checksum == 0x89 + sum(b"IMG") + sum(range(12))
+
+
 class TestOrc:
     def test_orc_roundtrip_schema_and_rows(self, spark, nation, tmp_path):
         p = str(tmp_path / "nation_orc")

@@ -12,6 +12,7 @@ from kinesis_writer_spark import io as kio
 from kinesis_writer_spark.sink import FakeKinesisClient, write_dataframe
 from kinesis_writer_spark.streaming import (
     dedup_stream,
+    dedup_stream_within_watermark,
     read_event_stream,
     run_available_now,
     session_values,
@@ -85,6 +86,24 @@ class TestStatefulDedup:
 
         stream = read_event_stream(spark, p)
         got = run_available_now(dedup_stream(stream).select("event_id"))
+        n_unique = events.select("event_id").distinct().count()
+        assert len(got) == n_unique
+        assert len({r.event_id for r in got}) == n_unique
+
+    def test_within_watermark_dedup_bounds_state(self, spark, tmp_path):
+        """dropDuplicatesWithinWatermark collapses duplicates arriving inside
+        the horizon while keeping only bounded per-key state. Same doubled
+        replay as above: every duplicate arrives within the (huge) watermark,
+        so the output matches unbounded dedup exactly."""
+        events = kio.load(spark, SF_DIR, "events")
+        p = str(tmp_path / "dup_wm")
+        events.coalesce(1).write.mode("overwrite").parquet(p)
+        events.coalesce(1).write.mode("append").parquet(p)
+
+        stream = read_event_stream(spark, p)
+        got = run_available_now(
+            dedup_stream_within_watermark(stream, watermark="10 days").select("event_id")
+        )
         n_unique = events.select("event_id").distinct().count()
         assert len(got) == n_unique
         assert len({r.event_id for r in got}) == n_unique
