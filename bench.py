@@ -41,6 +41,11 @@ HEADLINE = [
     "q81_multimodal_decode",
     "q90_kpl_batch_stats",
     "q92_kpl_roundtrip",
+    "q99_tfidf",
+    "q100_bm25",
+    "q101_decontamination",
+    "q102_embedding_neardup",
+    "q105_time_rollup",
 ]
 
 

@@ -329,3 +329,161 @@ def q94_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     io.register_views(spark, sf_dir)
     return spark.sql(_SHARED_SQL)
+
+
+@register(
+    "q103_scalar_subquery",
+    oracle="""
+    WITH bal AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+        FROM customer
+    ),
+    threshold AS (
+        SELECT SUM(bal_cents)::DOUBLE / COUNT(*) AS avg_cents
+        FROM bal WHERE bal_cents > 0
+    ),
+    rich AS (
+        SELECT b.c_custkey, b.c_nationkey, b.bal_cents
+        FROM bal b CROSS JOIN threshold t
+        WHERE b.bal_cents > t.avg_cents
+    )
+    SELECT r.c_nationkey,
+           COUNT(DISTINCT r.c_custkey) AS n_custs,
+           SUM(CASE WHEN o.rn = 1 THEN r.bal_cents ELSE 0 END) AS total_bal_cents,
+           COUNT(o.o_orderkey) AS n_orders
+    FROM rich r
+    LEFT JOIN (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        FROM orders
+    ) o ON o.o_custkey = r.c_custkey
+    GROUP BY r.c_nationkey
+    """,
+)
+def q103_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 cut to the fixture schema: customers with above-average
+    positive balance, per nation, with their order activity — the
+    uncorrelated scalar-subquery-in-predicate pattern (the Q22 threshold).
+
+    The threshold is an exact integer-cents sum ÷ count (never AVG over
+    doubles), so the `>` predicate is bit-stable across engines and
+    summation orders. Spark shape: the 1-row threshold broadcasts via cross
+    join and the predicate applies map-side; the order fan-out is de-dup-
+    weighted (each customer's balance counted once via the rn=1 row) so the
+    join and the balance sum stay exact.
+    """
+    customer, orders = tables(spark, sf_dir, "customer", "orders")
+    bal = customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal_cents"),
+    )
+    threshold = bal.filter(F.col("bal_cents") > 0).agg(
+        (F.sum("bal_cents").cast("double") / F.count(F.lit(1))).alias("avg_cents")
+    )
+    rich = bal.crossJoin(F.broadcast(threshold)).filter(
+        F.col("bal_cents") > F.col("avg_cents")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    ordered = orders.select(
+        "o_custkey", "o_orderkey", F.row_number().over(w).alias("rn")
+    )
+    return (
+        rich.join(ordered, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_nationkey")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_custs"),
+            F.sum(F.when(F.col("rn") == 1, F.col("bal_cents")).otherwise(0)).alias(
+                "total_bal_cents"
+            ),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q104_semi_join_chain",
+    oracle="""
+    WITH small_parts AS (
+        SELECT p_partkey FROM part WHERE p_size < 10
+    ),
+    heavy AS (
+        SELECT l_suppkey, CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) AS total_qty
+        FROM lineitem
+        WHERE year(l_shipdate) = 1995
+          AND l_partkey IN (SELECT p_partkey FROM small_parts)
+        GROUP BY l_suppkey
+        HAVING SUM(l_quantity) > 100
+    )
+    SELECT s.s_suppkey, s.s_name, h.total_qty,
+           CAST(ROUND(s.s_acctbal * 100, 0) AS BIGINT) AS acctbal_cents
+    FROM supplier s JOIN heavy h ON s.s_suppkey = h.l_suppkey
+    """,
+)
+def q104_semi_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 cut to the fixture schema: suppliers who moved > 100 units
+    of small parts in 1995 — a nested semi-join chain (part → lineitem →
+    supplier) where each hop only *filters*, never widens.
+
+    Spark shape: the part filter becomes a LEFT SEMI join into lineitem
+    (broadcast at this selectivity — small_parts is a key list, no
+    payload), the HAVING aggregate shrinks to qualifying suppliers, and the
+    supplier join carries the aggregate out. Quantity totals are rounded to
+    exact integers before comparison on both engines.
+    """
+    part, lineitem, supplier = tables(spark, sf_dir, "part", "lineitem", "supplier")
+    small_parts = part.filter(F.col("p_size") < 10).select("p_partkey")
+    heavy = (
+        lineitem.filter(F.year("l_shipdate") == 1995)
+        .join(small_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("raw_qty"))
+        .filter(F.col("raw_qty") > 100)
+        .select("l_suppkey", F.round("raw_qty", 0).cast("bigint").alias("total_qty"))
+    )
+    return supplier.join(heavy, F.col("s_suppkey") == F.col("l_suppkey")).select(
+        "s_suppkey",
+        "s_name",
+        "total_qty",
+        F.round(F.col("s_acctbal") * 100, 0).cast("bigint").alias("acctbal_cents"),
+    )
+
+
+# Hypertable-style multi-resolution rollup: one Expand pass produces every
+# resolution; identical SQL text runs on both engines (like q94).
+_TIME_ROLLUP_SQL = """
+    WITH e AS (
+        SELECT date_trunc('day', ts) AS day_ts,
+               date_trunc('hour', ts) AS hour_ts,
+               event_type, value
+        FROM events
+    )
+    SELECT CASE WHEN GROUPING(hour_ts) = 1 THEN 'day' ELSE 'hour' END AS resolution,
+           COALESCE(hour_ts, day_ts) AS bucket_ts,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM e
+    GROUP BY GROUPING SETS ((day_ts, event_type), (hour_ts, event_type))
+"""
+
+
+@register("q105_time_rollup", oracle=_TIME_ROLLUP_SQL)
+def q105_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: the events stream rolled
+    up to hour AND day resolutions in ONE pass (GROUPING SETS → a single
+    Expand + one shuffle), tagged by resolution — the batch shape of a
+    TimescaleDB continuous aggregate / downsampling cascade.
+
+    At 100 TB the Expand doubles rows before the exchange but each copy
+    collapses in the map-side partial agg, so the shuffle carries only
+    (bucket, type) partials per resolution — strictly cheaper than running
+    the resolutions as separate jobs re-scanning the source.
+    """
+    from .. import io
+
+    io.register_views(spark, sf_dir)
+    return spark.sql(_TIME_ROLLUP_SQL)
