@@ -263,3 +263,118 @@ def q76_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("shuffle_key")
         .limit(100)
     )
+
+
+_PACK_BUDGET = 2048  # tokens per training sequence / bin
+
+
+@register(
+    "q106_sequence_pack",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tokens AS start_offset
+        FROM toks
+    )
+    SELECT lang,
+           CAST(FLOOR(start_offset / {_PACK_BUDGET}) AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           MIN(doc_id) AS first_doc
+    FROM placed
+    GROUP BY lang, CAST(FLOOR(start_offset / {_PACK_BUDGET}) AS BIGINT)
+    """,
+)
+def q106_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget training
+    bins (2048 tokens) per language, by contiguous fill order — each doc's
+    bin is its running-token start offset ÷ budget (docs may straddle a
+    boundary; the tokens spill into the next sequence exactly as concat-
+    and-chunk pretraining packing does).
+
+    One window (running sum per lang, ordered by the deterministic doc key)
+    + one aggregate — at 100 TB the window partitions by the stratum so no
+    single-partition sort exists, and bin assignment is a pure function of
+    the running sum, needing no sequential packer state.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    toks = documents.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = toks.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return placed.groupBy(
+        "lang",
+        F.floor(F.col("start_offset") / _PACK_BUDGET).cast("bigint").alias("bin_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+_CHUNK_LEN = 32
+_CHUNK_STRIDE = 16
+
+
+@register(
+    "q107_sliding_chunks",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest(range(0, GREATEST(len(w) - {_CHUNK_LEN} + {_CHUNK_STRIDE}, 1),
+                            {_CHUNK_STRIDE})) AS start_tok,
+               len(w) AS doc_tokens
+        FROM d
+    )
+    SELECT doc_id,
+           CAST(start_tok / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           LEAST({_CHUNK_LEN}, doc_tokens - start_tok) AS chunk_tokens
+    FROM chunks
+    """,
+)
+def q107_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (the retrieval/embedding-pipeline splitter):
+    each document yields overlapping 32-token windows at stride 16; emits
+    one row per chunk with its index and actual token count (the final
+    window is allowed to be short).
+
+    The chunk lattice is computed from the token count alone (sequence +
+    explode — a narrow rowcount expansion, no shuffle); slicing the actual
+    words out is `slice(w, start+1, len)` on the same row when the chunk
+    text is needed downstream. At 100 TB the expansion factor is
+    len/stride ≈ 2×, paid inside the scan stage.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n = F.size(w)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(n - _CHUNK_LEN + _CHUNK_STRIDE - 1, F.lit(0)),
+        F.lit(_CHUNK_STRIDE),
+    )
+    chunks = documents.select(
+        "doc_id", n.alias("doc_tokens"), F.explode(starts).alias("start_tok")
+    )
+    return chunks.select(
+        "doc_id",
+        (F.col("start_tok") / _CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+        F.least(F.lit(_CHUNK_LEN), F.col("doc_tokens") - F.col("start_tok")).alias(
+            "chunk_tokens"
+        ),
+    )
