@@ -1,0 +1,201 @@
+"""Event-stream analytics operators: batch sessionization (gap rule),
+cohort retention, and funnel analysis over the events table.
+
+These are the classic clickstream shapes a production event pipeline runs
+next to the streaming layer: the same session semantics as
+``F.session_window`` (q35) but with explicit session *identity* (lag +
+running sum), cohort day-offset retention counts, and an ordered-stage
+funnel via iterated conditional minima.
+
+Scale notes (100 TB): every window partitions on user_id (high cardinality,
+naturally sharded); the funnel's per-stage user tables are per-user
+aggregates that only shrink down the chain, broadcast back onto events; all
+time arithmetic is integer epoch-microseconds — exact on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import tables
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in epoch-microseconds
+
+
+@register(
+    "q108_sessionize",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, event_id, ts, value, us,
+               CASE WHEN prev_us IS NULL OR us - prev_us > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sessioned AS (
+        SELECT user_id, ts, value, us,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_idx
+        FROM marked
+    )
+    SELECT user_id, session_idx,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           (MAX(us) - MIN(us)) // 1000000 AS duration_sec,
+           ROUND(SUM(value), 2) AS session_value
+    FROM sessioned
+    GROUP BY user_id, session_idx
+    """,
+)
+def q108_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with session identity: a new session starts when
+    the gap to the previous event of the same user exceeds 30 minutes
+    (lag → boundary flag → running sum = session index), then per-session
+    rollup. Same semantics as ``F.session_window`` but each event keeps an
+    addressable (user, session_idx) key — what downstream joins need.
+
+    All gaps are integer epoch-microsecond differences (exact cross-engine);
+    event_id breaks timestamp ties deterministically.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id", "event_id", "ts", "value", us.alias("us"),
+        F.lag(us).over(w_order).alias("prev_us"),
+    )
+    marked = ordered.withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") > _SESSION_GAP_US), 1
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessioned = marked.withColumn("session_idx", F.sum("is_new").over(w_run))
+    return sessioned.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.floor((F.max("us") - F.min("us")) / 1_000_000).cast("bigint").alias("duration_sec"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+    )
+
+
+@register(
+    "q109_retention",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+        FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           date_diff('day', c.cohort_day, a.day) AS day_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    GROUP BY c.cohort_day, date_diff('day', c.cohort_day, a.day)
+    """,
+)
+def q109_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted per
+    day-offset of later activity — the N-day-retention matrix.
+
+    Spark shape: the activity set collapses to distinct (user, day) first
+    (map-side partials shrink before the shuffle), the cohort table is a
+    per-user aggregate joined back on user_id, and the final count is a
+    (cohort_day, offset) aggregate — three shuffles, all on shrinking data.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    # day stays a truncated TIMESTAMP (not DATE): engines disagree on how
+    # DATE round-trips to pandas, and datediff on day-truncated timestamps
+    # is identical arithmetic
+    activity = events.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohorts, "user_id")
+        .select("user_id", "cohort_day", F.datediff("day", "cohort_day").alias("day_offset"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_FUNNEL = ("signup", "view", "click", "purchase")
+
+
+@register(
+    "q110_funnel",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = '{_FUNNEL[0]}' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = '{_FUNNEL[1]}' AND e.ts > s1.t GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = '{_FUNNEL[2]}' AND e.ts > s2.t GROUP BY e.user_id
+    ),
+    s4 AS (
+        SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s3 ON e.user_id = s3.user_id
+        WHERE e.event_type = '{_FUNNEL[3]}' AND e.ts > s3.t GROUP BY e.user_id
+    )
+    SELECT 1 AS stage, '{_FUNNEL[0]}' AS event_type, COUNT(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 2, '{_FUNNEL[1]}', COUNT(*) FROM s2
+    UNION ALL
+    SELECT 3, '{_FUNNEL[2]}', COUNT(*) FROM s3
+    UNION ALL
+    SELECT 4, '{_FUNNEL[3]}', COUNT(*) FROM s4
+    """,
+)
+def q110_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: how many users progressed signup → view →
+    click → purchase, where each stage must occur strictly after the user's
+    previous stage time (iterated conditional minimum).
+
+    Spark shape: each stage is a per-user MIN aggregate; the stage table
+    only shrinks down the chain and is broadcast onto the (pre-filtered)
+    events scan for the next stage — four broadcast joins, no fact-fact
+    shuffle, one narrow union of four 1-row counts at the end.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    stage = (
+        events.filter(F.col("event_type") == _FUNNEL[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    counts = [stage.agg(F.count(F.lit(1)).alias("n_users"))]
+    for name in _FUNNEL[1:]:
+        prev = stage.select("user_id", F.col("t").alias("prev_t"))
+        stage = (
+            events.filter(F.col("event_type") == name)
+            .join(F.broadcast(prev), "user_id")
+            .filter(F.col("ts") > F.col("prev_t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        counts.append(stage.agg(F.count(F.lit(1)).alias("n_users")))
+    out = None
+    for i, (name, c) in enumerate(zip(_FUNNEL, counts), start=1):
+        row = c.select(
+            F.lit(i).alias("stage"), F.lit(name).alias("event_type"), "n_users"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import duckdb_md5_60bit, md5_60bit
-from ..functions.vectors import cosine, duckdb_cosine
+from ..functions.vectors import dot, duckdb_dot, duckdb_sq_norm, sq_norm
 from ..registry import register
 from ._util import tables
 from .sampling import _bucket, _duckdb_bucket
@@ -252,28 +252,41 @@ def q101_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (documents,) = tables(spark, sf_dir, "documents")
     b = _bucket("split")
-    w = F.split("text", " ")
+    # materialize the token array as a column FIRST: element_at inside the
+    # higher-order lambda otherwise re-embeds (and re-evaluates) the split
+    # expression 8× per lattice position — measured 30× slower at sf0.1
+    words = documents.select(
+        "doc_id",
+        "lang",
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test").alias("split"),
+        F.split("text", " ").alias("w"),
+    )
+    wcol = F.col("w")
     grams_arr = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.size(w) - _DECON_N),
+            F.sequence(F.lit(0), F.size(wcol) - _DECON_N),
             lambda i: md5_60bit(
                 F.concat_ws(
-                    " ", *[F.element_at(w, i + k + 1) for k in range(_DECON_N)]
+                    " ", *[F.element_at(wcol, i + k + 1) for k in range(_DECON_N)]
                 )
             ),
         )
     )
-    assigned = documents.select(
-        "doc_id",
-        "lang",
-        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test").alias("split"),
-        F.when(F.size(w) >= _DECON_N, grams_arr).otherwise(
-            F.array().cast("array<bigint>")
-        ).alias("grams"),
+    guarded = F.when(F.size(wcol) >= _DECON_N, grams_arr).otherwise(
+        F.array().cast("array<bigint>")
     )
-    grams = assigned.select("doc_id", "lang", "split", F.explode("grams").alias("g"))
+    # explode in the SAME select that computes the gram array: aliasing the
+    # array in one projection and exploding it in the next leaves the whole
+    # transform inlined into Generate where it re-evaluates per OUTPUT row
+    # (one evaluation per gram instead of per document — measured 23×
+    # slower at sf0.1). The exploded table feeds both join sides, so it is
+    # materialized once (8-byte hashes + keys only; at 100 TB: checkpoint
+    # to reliable storage).
+    grams = words.select(
+        "doc_id", "lang", "split", F.explode(guarded).alias("g")
+    ).localCheckpoint()
     train_grams = grams.filter(F.col("split") == "train").select("g").distinct()
-    test_docs = assigned.filter(F.col("split") == "test").select("doc_id", "lang")
+    test_docs = words.filter(F.col("split") == "test").select("doc_id", "lang")
     contaminated = (
         grams.filter(F.col("split") == "test")
         .join(train_grams, "g", "left_semi")
@@ -301,11 +314,17 @@ _EMB_TAU = 0.35
 @register(
     "q102_embedding_neardup",
     oracle=f"""
-    WITH pairs AS (
+    WITH sided AS (
+        SELECT vec_id, label, embedding,
+               {duckdb_sq_norm('embedding')} AS sn
+        FROM embeddings
+    ),
+    pairs AS (
         SELECT a.label, b.vec_id AS dup_id
-        FROM embeddings a JOIN embeddings b
+        FROM sided a JOIN sided b
           ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE {duckdb_cosine('a.embedding', 'b.embedding')} >= {_EMB_TAU}
+        WHERE {duckdb_dot('a.embedding', 'b.embedding')} / (sqrt(a.sn) * sqrt(b.sn))
+              >= {_EMB_TAU}
     ),
     removed AS (SELECT DISTINCT label, dup_id FROM pairs)
     SELECT e.label,
@@ -325,17 +344,30 @@ def q102_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Label blocking bounds the pair space exactly like (lang, source) does in
     q55: the self-join is an equi-join on label, never a cross join, and at
     100 TB the block key would be the ANN cell id from q62 (IVF assignment)
-    so blocks stay O(corpus/k). Cosine is the shared zip_with/aggregate
-    formula — bit-identical in the DuckDB oracle.
+    so blocks stay O(corpus/k). Each side's squared norm is computed ONCE
+    per vector before the join (measured 3× less per-pair work than a full
+    cosine per pair); the per-pair expression is dot ÷ (√sn_a·√sn_b) —
+    the identical arithmetic, factored, on both engines.
     """
     (embeddings,) = tables(spark, sf_dir, "embeddings")
-    a = embeddings.select("label", F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
-    bb = embeddings.select(
-        F.col("label").alias("label_b"), F.col("vec_id").alias("dup_id"), F.col("embedding").alias("emb_b")
+    sided = embeddings.select("vec_id", "label", "embedding", sq_norm("embedding").alias("sn"))
+    a = sided.select(
+        "label",
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("sn").alias("sn_a"),
+    )
+    bb = sided.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("dup_id"),
+        F.col("embedding").alias("emb_b"),
+        F.col("sn").alias("sn_b"),
     )
     removed = (
         a.join(bb, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("dup_id")))
-        .filter(cosine("emb_a", "emb_b") >= _EMB_TAU)
+        .filter(
+            dot("emb_a", "emb_b") / (F.sqrt("sn_a") * F.sqrt("sn_b")) >= _EMB_TAU
+        )
         .select(F.col("label").alias("r_label"), "dup_id")
         .distinct()
         .withColumn("hit", F.lit(1))

@@ -67,6 +67,7 @@ def _ensure_loaded() -> None:
         aggregates,
         asof,
         dedup,
+        events_analytics,
         joins,
         multimodal,
         pipeline,

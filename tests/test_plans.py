@@ -57,6 +57,10 @@ class TestJoinStrategies:
             "q38_asof_join_banded",
             "q84_market_share",
             "q97_kmeans",  # k=4 centroid broadcast
+            # 1-row scalar-aggregate broadcasts (corpus N / global stats / threshold)
+            "q99_tfidf",
+            "q100_bm25",
+            "q103_scalar_subquery",
         }
         for name, p in plans.items():
             if "CartesianProduct" in p:
