@@ -235,3 +235,44 @@ def q36_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("latest_value"),
         )
     )
+
+
+_HOUR_US = 3_600_000_000  # 1 hour in epoch-microseconds
+
+
+@register(
+    "q111_time_range_frame",
+    oracle=f"""
+    SELECT user_id, event_id,
+           COUNT(*) OVER w AS n_last_hour,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS cents_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {_HOUR_US} PRECEDING AND CURRENT ROW)
+    """,
+)
+def q111_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per user, the trailing-1-hour event count and
+    value sum at every event — the rolling-window feature every fraud /
+    rate-limit / CTR pipeline computes.
+
+    The frame is a RANGE over integer epoch-microseconds (never a row
+    frame: simultaneous events are peers and must all join the frame —
+    identical semantics on both engines). Value sums are integer cents.
+    Partitioned by user_id, so at 100 TB the sort is per-user within the
+    shuffle partition, never global.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-_HOUR_US, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(cents).over(w).alias("cents_last_hour"),
+    )
