@@ -451,12 +451,7 @@ def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.size(w) - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(w, i + 1),
-                    F.element_at(w, i + 2),
-                    F.element_at(w, i + 3),
-                ),
+                lambda i: F.array_join(F.slice(w, i + 1, 3), " "),
             )
         ).alias("shingles"),
     )

@@ -265,11 +265,7 @@ def q101_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams_arr = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(wcol) - _DECON_N),
-            lambda i: md5_60bit(
-                F.concat_ws(
-                    " ", *[F.element_at(wcol, i + k + 1) for k in range(_DECON_N)]
-                )
-            ),
+            lambda i: md5_60bit(F.array_join(F.slice(wcol, i + 1, _DECON_N), " ")),
         )
     )
     guarded = F.when(F.size(wcol) >= _DECON_N, grams_arr).otherwise(
