@@ -217,3 +217,37 @@ def q45_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pos") < 4)
         .select("vec_id", "pos", F.round(F.col("raw_val").cast("double"), 4).alias("val"))
     )
+
+
+@register(
+    "q112_variant_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                    THEN 1 ELSE 0 END) AS n_missing
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q112_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via VARIANT (Spark 4): ``parse_json`` once, then
+    typed ``variant_get`` path extraction — the engine's answer to schema-
+    on-read JSON columns. Compared to per-path ``get_json_object`` (q44),
+    the document parses once per row and every extraction reads the binary
+    variant encoding; at 100 TB that is the difference between N parses and
+    one. ``try_variant_get`` on an absent path returns NULL instead of
+    failing, matching the oracle's json_extract semantics.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.missing", "string")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.sum(F.when(missing.isNull(), 1).otherwise(0)).alias("n_missing"),
+    )
