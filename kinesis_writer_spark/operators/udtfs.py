@@ -1,0 +1,73 @@
+"""User-facing Python UDTF surface (Spark 4): table functions callable from
+SQL with lateral correlation.
+
+The engine's UDF story is: built-in expressions in every hot path (see
+SCALE.md), Arrow-batched pandas UDFs when Python is unavoidable, and — for
+user extensions that RETURN ROWS — the Python UDTF API demonstrated here.
+The n-gram UDTF below deliberately duplicates what `zip_with`/`slice` do
+natively (q78/q79) so the oracle can verify the UDTF machinery itself;
+row-at-a-time Python is the price of arbitrary user logic, paid only on
+the explicitly-opted-in path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import udtf
+
+from ..registry import register
+from ._util import tables
+
+
+@udtf(returnType="pos int, gram string")
+class NgramUDTF:
+    """Emit (position, n-gram) rows for a whitespace-tokenized text."""
+
+    def eval(self, text: str, n: int):  # noqa: A002
+        if text is None:
+            return
+        words = text.split(" ")
+        for i in range(len(words) - n + 1):
+            yield i, " ".join(words[i : i + n])
+
+
+def register_udtfs(spark: SparkSession) -> None:
+    spark.udtf.register("ngrams", NgramUDTF)
+
+
+@register(
+    "q113_udtf_ngrams",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+    grams AS (
+        SELECT lang, unnest(list_transform(range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+        FROM d
+    )
+    SELECT lang, gram, COUNT(*) AS n
+    FROM grams
+    GROUP BY lang, gram
+    HAVING COUNT(*) >= 3
+    """,
+)
+def q113_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral-correlated Python UDTF: per document, the registered
+    ``ngrams(text, 3)`` table function expands trigrams; repeated trigrams
+    (n ≥ 3) are counted per language. The plan is scan → BatchEvalPythonUDTF
+    → hash aggregate; the UDTF runs inside the scan stage at scan
+    parallelism, so even the slow path scales linearly. The oracle computes
+    the identical expansion natively — verifying the UDTF row contract,
+    correlation, and null handling.
+    """
+    register_udtfs(spark)
+    (documents,) = tables(spark, sf_dir, "documents")
+    documents.createOrReplaceTempView("documents_udtf")
+    return spark.sql(
+        """
+        SELECT d.lang, g.gram, COUNT(*) AS n
+        FROM documents_udtf d, LATERAL ngrams(d.text, 3) g
+        GROUP BY d.lang, g.gram
+        HAVING COUNT(*) >= 3
+        """
+    )

@@ -81,6 +81,7 @@ def _ensure_loaded() -> None:
         sinks,
         skew,
         text,
+        udtfs,
         windows,
     )
 

@@ -6,6 +6,7 @@ from .windows import (
     dedup_stream,
     dedup_stream_within_watermark,
     enrich_stream,
+    interval_join_streams,
     read_event_stream,
     run_available_now,
     session_values,
@@ -16,6 +17,7 @@ from .windows import (
 __all__ = [
     "read_event_stream",
     "enrich_stream",
+    "interval_join_streams",
     "tumbling_counts",
     "sliding_counts",
     "session_values",

@@ -100,6 +100,41 @@ def run_available_now(df: DataFrame, output_mode: str = "append") -> list:
     return rows
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    watermark: str = "2 hours",
+    within: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: match each left event to right events of the
+    same key within a bounded event-time interval (right.ts ∈ [left.ts,
+    left.ts + within]).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance — the two requirements that let Spark EVICT join state: each
+    side buffers only rows younger than (watermark + interval), so state is
+    bounded at 100 TB/day instead of growing with the stream. The classic
+    use: impressions ⋈ clicks attribution within an attribution window.
+    """
+    lw = left.withWatermark("ts", watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("ts").alias("l_ts"),
+    )
+    rw = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("ts").alias("r_ts"),
+    )
+    return lw.join(
+        rw,
+        F.expr(
+            f"l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL {within}"
+        ),
+    )
+
+
 def enrich_stream(stream: DataFrame, dim: DataFrame, stream_key: str, dim_key: str) -> DataFrame:
     """Stream-static enrichment join: every micro-batch joins against the
     static dimension, broadcast so the stream side never shuffles.

@@ -176,3 +176,31 @@ class TestStreamingDeaggregation:
         wire_stream = spark.readStream.schema("wire binary").parquet(capture)
         got = run_available_now(deaggregate_records(wire_stream).select("data"))
         assert len(got) == events.count()
+
+
+class TestStreamStreamJoin:
+    def test_interval_join_equals_batch(self, spark, replay_dir):
+        """Stream-stream interval join (clicks-within-window attribution
+        shape): view->click pairs per user within 30 minutes must equal the
+        same batch join."""
+        from kinesis_writer_spark.streaming import interval_join_streams
+
+        views = read_event_stream(spark, replay_dir).filter(F.col("event_type") == "view")
+        clicks = read_event_stream(spark, replay_dir).filter(F.col("event_type") == "click")
+        got = run_available_now(interval_join_streams(views, clicks))
+
+        batch = kio.load(spark, SF_DIR, "events")
+        bv = batch.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("l_key"), F.col("event_id").alias("l_event_id"),
+            F.col("ts").alias("l_ts"),
+        )
+        bc = batch.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("r_key"), F.col("event_id").alias("r_event_id"),
+            F.col("ts").alias("r_ts"),
+        )
+        expected = bv.join(
+            bc,
+            F.expr("l_key = r_key AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 30 minutes"),
+        ).collect()
+        assert len(got) == len(expected)
+        assert _sorted(got) == _sorted(expected)
