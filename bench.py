@@ -46,6 +46,9 @@ HEADLINE = [
     "q101_decontamination",
     "q102_embedding_neardup",
     "q105_time_rollup",
+    "q108_sessionize",
+    "q111_time_range_frame",
+    "q112_variant_json",
 ]
 
 

@@ -417,3 +417,52 @@ def q79_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("lp"), 4).alias("avg_logprob"),
         )
     )
+
+
+# BPE-ish pre-tokenizer: letter runs, single digits, punctuation runs —
+# the GPT-2-style split shape, restricted to RE2-safe syntax so the DuckDB
+# oracle compiles the IDENTICAL pattern.
+_BPE_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+"
+
+
+@register(
+    "q114_regex_tokens",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               regexp_extract_all(text, '{_BPE_PATTERN}') AS pieces,
+               len(string_split(text, ' ')) AS n_ws_tokens
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           len(pieces) AS n_pieces,
+           len(list_filter(pieces, p -> regexp_matches(p, '^[A-Za-z]+$')))
+               AS n_word_pieces,
+           n_ws_tokens,
+           ROUND(len(pieces)::DOUBLE / n_ws_tokens, 4) AS pieces_per_word
+    FROM tok
+    """,
+)
+def q114_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting: split each document with a GPT-2-style
+    pre-tokenizer pattern (letter runs / single digits / punctuation runs)
+    and report piece counts against the whitespace token count — the
+    tokens-per-word fertility estimate used to budget training data.
+
+    `regexp_extract_all` is JVM-evaluated per row (one linear regex pass,
+    no explode needed for the counts), so tokenizing 100 TB is a narrow
+    map-side projection at scan parallelism.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    pieces = F.expr(f"regexp_extract_all(text, '{_BPE_PATTERN}', 0)")
+    word_re = "^[A-Za-z]+$"
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.size(pieces).alias("n_pieces"),
+        F.size(F.filter(pieces, lambda p: p.rlike(word_re))).alias("n_word_pieces"),
+        F.size(F.split("text", " ")).alias("n_ws_tokens"),
+        F.round(
+            F.size(pieces).cast("double") / F.size(F.split("text", " ")), 4
+        ).alias("pieces_per_word"),
+    )
