@@ -378,3 +378,54 @@ def q107_sliding_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_tokens"
         ),
     )
+
+
+@register(
+    "q115_weighted_priority_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS weight,
+               ({duckdb_md5_60bit('CAST(doc_id AS VARCHAR)', salt='wps')} + 1)
+                   / 1152921504606846976.0 AS u
+        FROM documents
+    ),
+    prio AS (
+        SELECT doc_id, lang, weight,
+               CAST(FLOOR(-1000000.0 * LN(u) / weight) AS BIGINT) AS nlp_scaled
+        FROM keyed
+    )
+    SELECT doc_id, lang, weight, nlp_scaled
+    FROM prio
+    ORDER BY nlp_scaled ASC, doc_id ASC
+    LIMIT 100
+    """,
+)
+def q115_weighted_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis priority
+    form): each doc draws a deterministic uniform u from its salted key
+    hash and gets priority exp-draw −ln(u)/w with w = its token count; the
+    k smallest priorities are the weighted sample. Longer documents are
+    proportionally more likely to be picked — the data-mixing primitive for
+    token-weighted corpus sampling.
+
+    Reproducible (hash-derived u, no rand()), single narrow pass + one
+    TakeOrdered: each partition keeps a local top-k heap, k rows reach the
+    driver regardless of corpus size. Priorities are floor-scaled to BIGINT
+    so the ranking key is exact cross-engine (ln of identical doubles, one
+    multiply, one floor).
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    # u in (0, 1]: (hash + 1) / 2^60 — hash is uniform in [0, 2^60)
+    u = (md5_60bit(F.col("doc_id").cast("string"), salt="wps") + 1) / F.lit(
+        float(1 << 60)
+    )
+    weight = F.size(F.split("text", " "))
+    prio = F.floor(-1_000_000.0 * F.log(u) / weight).cast("bigint")
+    return (
+        documents.select(
+            "doc_id", "lang", weight.alias("weight"), prio.alias("nlp_scaled")
+        )
+        .orderBy(F.col("nlp_scaled").asc(), F.col("doc_id").asc())
+        .limit(100)
+    )
