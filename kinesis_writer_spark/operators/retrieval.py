@@ -252,9 +252,6 @@ def q101_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (documents,) = tables(spark, sf_dir, "documents")
     b = _bucket("split")
-    # materialize the token array as a column FIRST: element_at inside the
-    # higher-order lambda otherwise re-embeds (and re-evaluates) the split
-    # expression 8× per lattice position — measured 30× slower at sf0.1
     words = documents.select(
         "doc_id",
         "lang",
