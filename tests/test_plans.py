@@ -77,6 +77,43 @@ class TestTopK:
         assert "TakeOrderedAndProject" in plans["q03_shipping_priority"]
 
 
+class TestNewOperatorShapes:
+    def test_q101_semi_join_on_hashes(self, plans):
+        # decontamination overlap = LEFT SEMI on 60-bit gram keys, no fanout
+        assert "LeftSemi" in plans["q101_decontamination"]
+
+    def test_q104_semi_join_chain(self, plans):
+        assert "LeftSemi" in plans["q104_semi_join_chain"]
+
+    def test_q105_single_expand_rollup(self, plans):
+        # one Expand feeds both resolutions — never two scans of events
+        p = plans["q105_time_rollup"]
+        assert p.count("+- Expand") == 1
+        assert "partial_count" in p
+
+    def test_q100_bm25_takeordered(self, plans):
+        assert "TakeOrderedAndProject" in plans["q100_bm25"]
+
+    def test_q115_weighted_sample_takeordered(self, plans):
+        assert "TakeOrderedAndProject" in plans["q115_weighted_priority_sample"]
+
+    def test_q111_single_window_pass(self, plans):
+        # both trailing metrics share one Window node / one exchange
+        p = plans["q111_time_range_frame"]
+        assert p.count("+- Window") == 1
+
+    def test_q110_funnel_stays_broadcast(self, plans):
+        # every stage table joins back broadcast — no fact-fact shuffle join
+        p = plans["q110_funnel"]
+        assert "SortMergeJoin" not in p
+
+    def test_scans_pruned_for_text_queries(self, plans):
+        for name in ("q99_tfidf", "q101_decontamination", "q114_regex_tokens"):
+            for line in plans[name].splitlines():
+                if "ReadSchema" in line:
+                    assert "source" not in line, f"{name} scans unused column"
+
+
 class TestAggregation:
     def test_q01_partial_aggregation_and_single_shuffle(self, plans):
         # map-side combine: only |groups| rows cross the one exchange
