@@ -113,12 +113,27 @@ def q92_kpl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q91_ehk_derivation", oracle=None)
+@register(
+    "q91_ehk_derivation",
+    oracle="""
+    SELECT c_custkey,
+           CAST(
+             CAST(CAST(('0x' || substr(md5(c_name), 1, 16)) AS UBIGINT) AS UHUGEINT)
+               * CAST('18446744073709551616' AS UHUGEINT)
+             + CAST(CAST(('0x' || substr(md5(c_name), 17, 16)) AS UBIGINT) AS UHUGEINT)
+           AS VARCHAR) AS explicit_hash_key
+    FROM customer
+    ORDER BY c_custkey
+    LIMIT 100
+    """,
+)
 def q91_ehk_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """128-bit MD5 explicit-hash-key derivation (reference
     AggRecord.java:231-243) as an Arrow-batched pandas UDF over customer
-    names — decimal strings because 2^128-1 exceeds SQL integer types.
-    Rows-only here; byte parity with hashlib is unit-tested.
+    names — decimal strings because 2^128-1 exceeds standard SQL integer
+    types. The oracle assembles the identical big-endian integer in
+    DuckDB's UHUGEINT from the two 64-bit MD5 halves (high·2⁶⁴ + low), so
+    the Python UDF's full 128-bit value is cross-checked end to end.
     """
     from ..functions.hashing import md5_uint128_decimal
 
