@@ -199,3 +199,55 @@ def q110_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "q116_scd2_intervals",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER w AS prev_type,
+               LEAD(ts) OVER w AS next_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    versions AS (
+        SELECT user_id, event_type, ts AS valid_from, next_ts AS valid_to
+        FROM changes
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM versions
+    """,
+)
+def q116_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension assembly from a changelog: collapse consecutive equal
+    states per user, emit one validity interval per state change (lag to
+    detect the change, lead for the closing timestamp; open interval =
+    current version) — the slowly-changing-dimension build every warehouse
+    runs from CDC feeds.
+
+    Note the open-interval semantics: ``valid_to`` is the NEXT event's
+    timestamp (even if that event carries the same type and was collapsed),
+    so intervals tile the user's timeline exactly. Both windows share one
+    (user_id)-partitioned sort — one shuffle total.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    versions = changes.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    return versions.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.when(F.col("next_ts").isNull(), 1).otherwise(0).alias("is_current"),
+    )
