@@ -20,9 +20,15 @@ from ..registry import register
 from ._util import tables
 
 
-@udtf(returnType="pos int, gram string")
+@udtf(returnType="pos int, gram string", useArrow=True)
 class NgramUDTF:
-    """Emit (position, n-gram) rows for a whitespace-tokenized text."""
+    """Emit (position, n-gram) rows for a whitespace-tokenized text.
+
+    ``useArrow=True`` → ArrowEvalPythonUDTF: rows cross the Python boundary
+    as Arrow batches instead of pickled rows (the same batching the pandas
+    UDF paths use), which is the default posture for every Python-touching
+    operator in this engine.
+    """
 
     def eval(self, text: str, n: int):  # noqa: A002
         if text is None:
