@@ -139,3 +139,93 @@ def q38_asof_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("purchase_id", "user_id", "prior_id", "prior_type")
     )
+
+
+@register(
+    "q117_asof_nearest",
+    oracle="""
+    SELECT event_id, user_id, ts, near_orderkey, direction
+    FROM (
+        SELECT e.event_id, e.user_id, e.ts,
+               o.o_orderkey AS near_orderkey,
+               CASE WHEN CAST(o.o_orderdate AS TIMESTAMP) <= e.ts
+                    THEN 'backward' ELSE 'forward' END AS direction,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY ABS(epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) - epoch_us(e.ts)) ASC,
+                            CASE WHEN CAST(o.o_orderdate AS TIMESTAMP) <= e.ts THEN 0 ELSE 1 END ASC,
+                            CASE WHEN CAST(o.o_orderdate AS TIMESTAMP) <= e.ts
+                                 THEN -o.o_orderkey ELSE o.o_orderkey END ASC) AS rn
+        FROM events e JOIN orders o ON o.o_custkey = e.user_id
+    )
+    WHERE rn = 1
+    """,
+)
+def q117_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time as-of join: each event matched to the same customer's
+    order with the smallest |order date − event time|, looking BOTH
+    directions (sensor-fusion flavor; ties prefer the backward match, then
+    the deterministic per-side key order).
+
+    Same union-merge shape as q37, still ONE shuffle: the backward
+    candidate is the running ``last`` over the preceding frame, the forward
+    candidate the ``first`` over the following frame — two Window nodes
+    sharing one (user_id, time) sort — then a per-row arbitration picks the
+    nearer side. The oracle is the equi-join + global rank over both
+    directions; the merge form never materializes the per-user cross
+    product.
+    """
+    events, orders = tables(spark, sf_dir, "events", "orders")
+    ev = events.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        "ts",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+    )
+    od = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("t"),
+        F.lit(0).alias("kind"),
+        F.lit(None).cast(events.schema["event_id"].dataType).alias("event_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        "o_orderkey",
+    )
+    merged = ev.unionByName(od)
+    order_state = F.when(
+        F.col("kind") == 0, F.struct(F.col("t").alias("ot"), "o_orderkey")
+    )
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "kind", "o_orderkey")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    bwd = F.last(order_state, ignorenulls=True).over(w_back)
+    fwd = F.first(order_state, ignorenulls=True).over(w_fwd)
+    us = F.unix_micros("ts")
+    bwd_abs = us - F.unix_micros(F.col("bwd.ot"))
+    fwd_abs = F.unix_micros(F.col("fwd.ot")) - us
+    pick_bwd = F.col("bwd").isNotNull() & (
+        F.col("fwd").isNull() | (bwd_abs <= fwd_abs)
+    )
+    return (
+        merged.withColumn("bwd", bwd)
+        .withColumn("fwd", fwd)
+        .filter(F.col("kind") == 1)
+        .filter(F.col("bwd").isNotNull() | F.col("fwd").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(pick_bwd, F.col("bwd.o_orderkey"))
+            .otherwise(F.col("fwd.o_orderkey"))
+            .alias("near_orderkey"),
+            F.when(pick_bwd, F.lit("backward")).otherwise(F.lit("forward")).alias("direction"),
+        )
+    )
