@@ -49,6 +49,8 @@ HEADLINE = [
     "q108_sessionize",
     "q111_time_range_frame",
     "q112_variant_json",
+    "q118_fuzzy_levenshtein",
+    "q120_waiting_orders",
 ]
 
 

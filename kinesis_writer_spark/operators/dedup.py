@@ -600,3 +600,68 @@ def q96_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.max("node").alias("max_doc"),
     )
+
+
+_LEV_PREFIX = 96  # chars of text compared; bounds edit-distance cost per pair
+_LEV_MAX = 50  # max edit distance to call a pair a fuzzy duplicate
+_LEV_BAND_CHARS = 24  # length-band width; also the max |n_chars| gap allowed
+
+
+@register(
+    "q118_fuzzy_levenshtein",
+    oracle=f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(substring(a.text, 1, {_LEV_PREFIX}),
+                       substring(b.text, 1, {_LEV_PREFIX})) AS edit_dist
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= {_LEV_BAND_CHARS}
+    WHERE levenshtein(substring(a.text, 1, {_LEV_PREFIX}),
+                      substring(b.text, 1, {_LEV_PREFIX})) <= {_LEV_MAX}
+    """,
+)
+def q118_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs by bounded edit distance (record-linkage style).
+
+    Candidate generation never goes quadratic: pairs must share the
+    (lang, source) block AND sit in adjacent length bands of
+    ``_LEV_BAND_CHARS`` chars. The left side fans out to its three
+    neighboring band keys (band-1, band, band+1) so the join stays a pure
+    equi-join on (lang, source, band) — hash-partitionable, no BNL — and
+    any pair within the ``|n_chars| <= _LEV_BAND_CHARS`` gap is provably
+    covered by exactly one probe, so no post-dedup is needed. The O(k^2)
+    ``levenshtein`` verify runs JVM-side on a fixed-length prefix only for
+    surviving candidates. At 100 TB the band key keeps per-task pair counts
+    proportional to block density, not corpus size.
+    """
+    docs = tables(spark, sf_dir, "documents")[0]
+    band = (F.col("n_chars") / _LEV_BAND_CHARS).cast("bigint")
+    left = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars").alias("chars_a"),
+        F.substring("text", 1, _LEV_PREFIX).alias("text_a"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("probe_band"),
+    )
+    right = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang"),
+        F.col("source"),
+        F.col("n_chars").alias("chars_b"),
+        F.substring("text", 1, _LEV_PREFIX).alias("text_b"),
+        band.alias("probe_band"),
+    )
+    return (
+        left.join(right, ["lang", "source", "probe_band"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("chars_a") - F.col("chars_b")) <= _LEV_BAND_CHARS)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("text_a", "text_b").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= _LEV_MAX)
+    )

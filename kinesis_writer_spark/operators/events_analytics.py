@@ -251,3 +251,71 @@ def q116_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         F.when(F.col("next_ts").isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@register(
+    "q119_gapfill_ffill",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               ROUND(SUM(value), 2) AS hour_value, COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM hourly),
+    grid AS (
+        SELECT t.event_type, g.hr
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+                    FROM bounds) g
+    )
+    SELECT g.event_type, g.hr,
+           COALESCE(h.n_events, 0) AS n_events,
+           last_value(h.hour_value IGNORE NULLS) OVER (
+               PARTITION BY g.event_type ORDER BY g.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM grid g LEFT JOIN hourly h ON g.event_type = h.event_type AND g.hr = h.hr
+    """,
+)
+def q119_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: densify per-type hourly rollups onto a
+    complete hour grid, then forward-fill the last observed value across
+    the gaps (``last(..., ignorenulls=True)`` over an unbounded-preceding
+    frame — the standard Spark ffill idiom).
+
+    The grid is built from a 1-row min/max aggregate cross-joined with the
+    distinct type dim and exploded in-line via ``sequence(mn, mx, interval
+    1 hour)`` — at any corpus size its cardinality is types x hours, so
+    both the grid and the hourly rollup are broadcast-safe; the only scan
+    of the raw events table is the initial aggregate. Leading gaps (before
+    a type's first observation) stay NULL, matching SQL ``IGNORE NULLS``
+    semantics on both engines.
+    """
+    events = tables(spark, sf_dir, "events")[0]
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.round(F.sum("value"), 2).alias("hour_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounds = hourly.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hr"),
+        )
+    )
+    ffill = Window.partitionBy("event_type").orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        grid.join(F.broadcast(hourly), ["event_type", "hr"], "left")
+        .select(
+            "event_type",
+            "hr",
+            F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+            F.last("hour_value", ignorenulls=True).over(ffill).alias("filled_value"),
+        )
+    )

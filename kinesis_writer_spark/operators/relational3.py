@@ -487,3 +487,73 @@ def q105_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     io.register_views(spark, sf_dir)
     return spark.sql(_TIME_ROLLUP_SQL)
+
+
+@register(
+    "q120_waiting_orders",
+    oracle="""
+    WITH late AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM late l1 JOIN supplier s ON l1.l_suppkey = s.s_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s.s_name
+    """,
+)
+def q120_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 re-cut: "late" =
+    shipped >60 days after order date, since the fixture has no
+    commit/receipt dates): count, per supplier, the finished multi-supplier
+    orders where that supplier was the ONLY late shipper.
+
+    The correlated EXISTS / NOT EXISTS become LEFT SEMI / LEFT ANTI
+    self-joins on l_orderkey with a non-equi ``l_suppkey <>`` residual —
+    all three lineitem-shaped relations (late, the semi probe, the anti
+    probe) hash-partition on the same l_orderkey, so AQE/exchange reuse
+    lines the shuffles up instead of re-partitioning per step, and the
+    supplier name lookup is a dim join deferred to after the heavy
+    filtering. This is the canonical at-scale plan for Q21.
+    """
+    lineitem, orders, supplier = tables(spark, sf_dir, "lineitem", "orders", "supplier")
+    late = (
+        lineitem.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 60 days"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    other = lineitem.select(
+        F.col("l_orderkey").alias("x_orderkey"), F.col("l_suppkey").alias("x_suppkey")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("y_orderkey"), F.col("l_suppkey").alias("y_suppkey")
+    )
+    only_late = (
+        late.join(
+            other,
+            (F.col("l_orderkey") == F.col("x_orderkey"))
+            & (F.col("l_suppkey") != F.col("x_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("y_orderkey"))
+            & (F.col("l_suppkey") != F.col("y_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        only_late.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
