@@ -245,3 +245,33 @@ def q21_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("c_mktsegment", "c_custkey", F.round("c_acctbal", 2).alias("acctbal"), "rnk")
     )
+
+
+@register("q121_hll_rollup", oracle=None)  # estimate: rows-only + tolerance unit test
+def q121_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct-user rollup via DataSketches HLL: build one
+    sketch per (event_type, day) at the fine grain, then answer the
+    coarser per-type question by MERGING sketches (``hll_union_agg``)
+    instead of rescanning raw events.
+
+    This is the continuous-aggregate pattern exact COUNT(DISTINCT) can't
+    do — distinct counts don't sum across buckets, but sketches union
+    losslessly, so at 100 TB the daily cube is computed once and every
+    coarser rollup (weekly/monthly/all-time, any type subset) is a cheap
+    merge over ~|types|x|days| tiny sketch blobs. Estimates are within
+    ~2% at lgConfigK=12 (tolerance-tested vs exact in
+    tests/test_sketches.py); the driver records a rows-only check since
+    DuckDB's HLL is not bit-compatible.
+    """
+    events = tables(spark, sf_dir, "events")[0]
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select("event_type", "approx_users", "n_days")
+    )

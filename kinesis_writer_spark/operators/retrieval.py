@@ -160,12 +160,14 @@ def q100_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     (documents,) = tables(spark, sf_dir, "documents")
     tok = documents.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    w_q = Window.orderBy(F.col("total").desc(), F.col("term").asc())
+    # global top-NQ terms as a TakeOrdered (distributed partial top-k per
+    # partition, merged on the driver) — NOT an unpartitioned row_number
+    # window, which would sort every distinct term in a single task.
     q = (
         tf.groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total"))
-        .withColumn("rn", F.row_number().over(w_q))
-        .filter(F.col("rn") <= _BM25_NQ)
+        .orderBy(F.col("total").desc(), F.col("term").asc())
+        .limit(_BM25_NQ)
         .select("term", "df")
     )
     stats = documents.agg(

@@ -19,7 +19,11 @@ class TestDriverContract:
         assert set(os_) <= set(qs), "oracle without a query builder"
         # only the documented rows-only queries may lack an oracle
         rows_only = set(qs) - set(os_)
-        assert rows_only == {"q16_approx_count_distinct", "q90_kpl_batch_stats"}
+        assert rows_only == {
+            "q16_approx_count_distinct",
+            "q90_kpl_batch_stats",
+            "q121_hll_rollup",
+        }
 
     def test_names_follow_convention(self):
         pat = re.compile(r"^q\d{2,3}_[a-z0-9_]+$")
