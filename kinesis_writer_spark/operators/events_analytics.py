@@ -319,3 +319,58 @@ def q119_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("hour_value", ignorenulls=True).over(ffill).alias("filled_value"),
         )
     )
+
+
+@register(
+    "q122_time_weighted_avg",
+    oracle="""
+    WITH stamped AS (
+        SELECT user_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               epoch_us(ts) AS us,
+               LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+                   AS next_us
+        FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(cents * (next_us - us))::DOUBLE
+                 / SUM(next_us - us) / 100, 4) AS twa_value,
+           ROUND((MAX(us) - MIN(us)) / 3600000000.0, 2) AS span_hours
+    FROM stamped
+    GROUP BY user_id
+    HAVING SUM(next_us - us) > 0
+    """,
+)
+def q122_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user over an irregularly-sampled
+    event series (LOCF weighting: each observation holds until the next
+    one, so its weight is the gap to its successor) — the hypertable
+    ``time_weight('LOCF')`` aggregate shape.
+
+    Exactness: values are 2-decimal, so they scale to integer cents; gaps
+    are integer epoch-microseconds; the weighted numerator is a BIGINT sum
+    (cents x µs stays far under 2^63 here), making the result independent
+    of partial-aggregation order on both engines. One window + one
+    aggregate, both partitioned on user_id — fully parallel at any scale.
+    """
+    events = tables(spark, sf_dir, "events")[0]
+    us = (F.unix_micros("ts")).alias("us")
+    w = Window.partitionBy("user_id").orderBy("us")
+    stamped = events.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        us,
+    ).withColumn("next_us", F.lead("us").over(w))
+    gap = F.col("next_us") - F.col("us")
+    return (
+        stamped.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("cents") * gap).cast("double") / F.sum(gap) / 100, 4
+            ).alias("twa_value"),
+            F.round((F.max("us") - F.min("us")) / 3600000000.0, 2).alias("span_hours"),
+        )
+        .filter(F.sum(gap) > 0)
+    )
