@@ -374,3 +374,66 @@ def q122_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.sum(gap) > 0)
     )
+
+
+_ROLLING_DAYS = 7  # trailing window width in days (WAU-style)
+_US_PER_DAY = 86_400_000_000
+
+
+@register(
+    "q123_rolling_distinct",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               epoch_us(date_trunc('day', ts)) // {_US_PER_DAY} AS dayno
+        FROM events
+    ),
+    expanded AS (
+        SELECT user_id, unnest(generate_series(dayno, dayno + {_ROLLING_DAYS - 1}))
+                   AS w FROM ud
+    ),
+    bounds AS (SELECT MIN(dayno) AS mn, MAX(dayno) AS mx FROM ud)
+    SELECT TIMESTAMP '1970-01-01' + w * INTERVAL 1 DAY AS window_day,
+           COUNT(DISTINCT user_id) AS users_7d
+    FROM expanded, bounds
+    WHERE w BETWEEN mn AND mx
+    GROUP BY 1
+    """,
+)
+def q123_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day (rolling WAU) — the
+    sliding-window COUNT(DISTINCT) that plain window frames cannot express
+    (distinct counts don't compose across frame rows).
+
+    Shape: dedupe to (user, active-day) pairs first (the only touch of raw
+    events), then each pair votes for the {_ROLLING_DAYS} window-end days
+    it belongs to via an in-scan integer `sequence` explode — a bounded x7
+    narrow expansion — and one distinct-agg per window-end day does the
+    rest. Day arithmetic is integer epoch-days end-to-end. At 100 TB the
+    same lattice feeds `hll_sketch_agg` per day + a sliding
+    `hll_union_agg` (q121) instead of the exact distinct, trading 2% error
+    for a shuffle of sketch blobs instead of user ids.
+    """
+    events = tables(spark, sf_dir, "events")[0]
+    ud = (
+        events.select(
+            "user_id",
+            (F.unix_micros(F.date_trunc("day", "ts")) / _US_PER_DAY)
+            .cast("bigint")
+            .alias("dayno"),
+        )
+        .distinct()
+    )
+    bounds = ud.agg(F.min("dayno").alias("mn"), F.max("dayno").alias("mx"))
+    expanded = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("dayno"), F.col("dayno") + (_ROLLING_DAYS - 1))
+        ).alias("w"),
+    )
+    return (
+        expanded.crossJoin(F.broadcast(bounds))
+        .filter(F.col("w").between(F.col("mn"), F.col("mx")))
+        .groupBy(F.timestamp_micros(F.col("w") * _US_PER_DAY).alias("window_day"))
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+    )

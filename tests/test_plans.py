@@ -62,6 +62,7 @@ class TestJoinStrategies:
             "q100_bm25",
             "q103_scalar_subquery",
             "q119_gapfill_ffill",  # 1-row min/max bounds broadcast under the grid
+            "q123_rolling_distinct",  # 1-row day-range bounds broadcast
         }
         for name, p in plans.items():
             if "CartesianProduct" in p:
