@@ -437,3 +437,75 @@ def q123_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.timestamp_micros(F.col("w") * _US_PER_DAY).alias("window_day"))
         .agg(F.countDistinct("user_id").alias("users_7d"))
     )
+
+
+@register(
+    "q129_mad_outliers",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, CAST(ROUND(value * 1000, 0) AS BIGINT) AS v_m
+        FROM events
+    ),
+    med AS (
+        SELECT event_type, quantile_cont(v_m, 0.5) AS med_m
+        FROM v GROUP BY event_type
+    ),
+    dev AS (
+        SELECT v.event_type, v.v_m, m.med_m, ABS(v.v_m - m.med_m) AS dev_m
+        FROM v JOIN med m ON v.event_type = m.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(dev_m, 0.5) AS mad_m
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           d.med_m AS median_milli,
+           ma.mad_m AS mad_milli,
+           COUNT(*) AS n_events,
+           SUM(CASE WHEN d.dev_m > 3 * ma.mad_m THEN 1 ELSE 0 END) AS n_outliers
+    FROM dev d JOIN mad ma ON d.event_type = ma.event_type
+    GROUP BY d.event_type, d.med_m, ma.mad_m
+    """,
+)
+def q129_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: per event type, the median / MAD (median
+    absolute deviation) of `value`, and how many events sit more than
+    3 MADs from the median — the standard robust-z outlier rule, immune to
+    the outliers it hunts (unlike mean/stddev z-scores).
+
+    Exactness: values quantize to integer millis first, so every median is
+    an interpolated midpoint of integers (exactly representable, ergo the
+    `> 3·MAD` boundary is bit-stable across engines — oracle uses
+    ``quantile_cont``, Spark continuous ``percentile``). Scale shape: two
+    tiny per-type aggregates broadcast back onto the stream; at 100 TB the
+    exact per-group percentile (which gathers each group's values) swaps
+    for ``approx_percentile`` with the same pipeline — the rule tolerates
+    sketch error by construction.
+    """
+    events = tables(spark, sf_dir, "events")[0]
+    v = events.select(
+        "event_type", F.round(F.col("value") * 1000, 0).cast("bigint").alias("v_m")
+    )
+    med = v.groupBy("event_type").agg(F.percentile("v_m", 0.5).alias("med_m"))
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_m",
+        F.abs(F.col("v_m") - F.col("med_m")).alias("dev_m"),
+    )
+    mad = dev.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.percentile("dev_m", 0.5).alias("mad_m")
+    )
+    return (
+        dev.join(F.broadcast(mad), F.col("event_type") == F.col("m_type"))
+        .groupBy(
+            "event_type",
+            F.col("med_m").alias("median_milli"),
+            F.col("mad_m").alias("mad_milli"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("dev_m") > 3 * F.col("mad_m"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

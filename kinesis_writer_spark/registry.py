@@ -74,6 +74,7 @@ def _ensure_loaded() -> None:
         relational,
         relational2,
         relational3,
+        relational4,
         retrieval,
         sampling,
         scalar_funcs,

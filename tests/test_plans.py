@@ -109,6 +109,23 @@ class TestNewOperatorShapes:
         p = plans["q110_funnel"]
         assert "SortMergeJoin" not in p
 
+    def test_q127_disjunction_pushed_to_both_scans(self, plans):
+        # Catalyst extracts each side's envelope out of the OR-of-ANDs and
+        # pushes it: quantity ranges to lineitem, brand/type/size to part
+        p = plans["q127_disjunctive_predicates"]
+        assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in p
+        assert "EqualTo(p_brand,Brand#13)" in p
+
+    def test_q128_max_joins_by_hash_not_nested_loop(self, plans):
+        # the 1-row MAX joins back by value equality → BroadcastHashJoin,
+        # never a >= ALL nested-loop scan
+        p = plans["q128_top_supplier"]
+        assert "BroadcastHashJoin" in p
+        assert "BroadcastNestedLoopJoin" not in p
+
+    def test_q124_part_filter_pushed(self, plans):
+        assert "StringContains(p_name,widget)" in plans["q124_product_profit"]
+
     def test_scans_pruned_for_text_queries(self, plans):
         for name in ("q99_tfidf", "q101_decontamination", "q114_regex_tokens"):
             for line in plans[name].splitlines():
