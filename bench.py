@@ -4,6 +4,10 @@ on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 Each query executes fully through the noop sink (no driver collect, no I/O
 cost in the measurement beyond the scan itself).
+
+Fault isolation: every per-query execution (warmup AND measured) is wrapped
+so a single failing query records an ``errors`` entry instead of killing the
+whole artifact — the JSON line is ALWAYS printed.
 """
 
 from __future__ import annotations
@@ -13,6 +17,7 @@ import os
 import re
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -54,56 +59,76 @@ HEADLINE = [
 ]
 
 
+def _run_once(queries, name: str, spark, sf_dir: str) -> None:
+    queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
 
-    from kinesis_writer_spark import registry
-    from kinesis_writer_spark.session import get_spark
-
-    spark = get_spark("bench")
-    queries = registry.all_queries()
-
-    # warm the JVM + file listing outside the measurement
-    from kinesis_writer_spark import io as kio
-
-    for t in kio.TABLES:
-        kio.load(spark, sf_dir, t).count()
-
-    # one unmeasured pass first: JVM JIT + codegen caches warm up, so the
-    # measured pass reports steady-state throughput (the regime a long-
-    # running 100 TB job actually operates in, and the fair comparison
-    # against the reference's "maximum throughput" steady state)
-    for name in HEADLINE:
-        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-    spark.catalog.clearCache()
-
-    # median of 3: single-shot timings at this scale swing ±2x with GC and
-    # thread scheduling; the median is the stable steady-state figure
+    errors: dict[str, str] = {}
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            df = queries[name](spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            runs.append(time.time() - t0)
-            spark.catalog.clearCache()
-        timings[name] = round(sorted(runs)[1], 3)
+
+    try:
+        from kinesis_writer_spark import registry
+        from kinesis_writer_spark.session import get_spark
+
+        spark = get_spark("bench")
+        queries = registry.all_queries()
+
+        # warm the JVM + file listing outside the measurement
+        from kinesis_writer_spark import io as kio
+
+        for t in kio.TABLES:
+            try:
+                kio.load(spark, sf_dir, t).count()
+            except Exception:
+                errors[f"warmup:{t}"] = traceback.format_exc(limit=3)
+
+        # one unmeasured pass first: JVM JIT + codegen caches warm up, so the
+        # measured pass reports steady-state throughput (the regime a long-
+        # running 100 TB job actually operates in, and the fair comparison
+        # against the reference's "maximum throughput" steady state)
+        warm_failed: set[str] = set()
+        for name in HEADLINE:
+            try:
+                _run_once(queries, name, spark, sf_dir)
+            except Exception:
+                warm_failed.add(name)
+                errors[name] = traceback.format_exc(limit=3)
+        spark.catalog.clearCache()
+
+        # median of 3: single-shot timings at this scale swing ±2x with GC and
+        # thread scheduling; the median is the stable steady-state figure
+        for name in HEADLINE:
+            if name in warm_failed:
+                continue
+            runs = []
+            try:
+                for _ in range(3):
+                    t0 = time.time()
+                    _run_once(queries, name, spark, sf_dir)
+                    runs.append(time.time() - t0)
+                    spark.catalog.clearCache()
+                timings[name] = round(sorted(runs)[1], 3)
+            except Exception:
+                errors[name] = traceback.format_exc(limit=3)
+    except Exception:
+        errors["harness"] = traceback.format_exc(limit=5)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

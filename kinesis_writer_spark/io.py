@@ -38,18 +38,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame.
 
     ``events.ts`` is TIMESTAMP(NANOS) in the parquet footer, which Spark has
-    no native type for; with ``spark.sql.legacy.parquet.nanosAsLong`` it scans
-    as nanos-since-epoch LONG and we convert to a microsecond timestamp here
-    (same truncation DuckDB applies), keeping the scan vectorized.
+    no native type for. Spark 4 scans it as ``TIMESTAMP_NTZ`` (micros,
+    truncated — the same truncation DuckDB applies); we normalize to a
+    session-zoned ``timestamp`` here so downstream ``unix_micros``/interval
+    arithmetic resolves. The session timezone is pinned to UTC
+    (session.py), so the cast is shift-free. Older readers that surface the
+    column as nanos-since-epoch LONG are handled too.
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        # integer division: epoch-nanos exceed double's 53-bit mantissa
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer division: epoch-nanos exceed double's 53-bit mantissa
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

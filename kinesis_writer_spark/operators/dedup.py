@@ -50,7 +50,7 @@ _DOUBLED_SQL = """
     hashed AS (
         SELECT doc_id, lang, md5(text) AS content_hash FROM corpus
     )
-    SELECT lang, COUNT(*) AS n_kept, SUM(n_dups - 1) AS n_removed
+    SELECT lang, COUNT(*) AS n_kept, CAST(SUM(n_dups - 1) AS BIGINT) AS n_removed
     FROM (
         SELECT lang, content_hash, MIN(doc_id) AS kept_doc, COUNT(*) AS n_dups
         FROM hashed GROUP BY lang, content_hash
@@ -125,18 +125,29 @@ def _minhash_sig_sql() -> list[str]:
     "q51_minhash_signatures",
     oracle=f"""
     WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
-    hs AS (SELECT doc_id, {_WORD_HASHES_SQL} AS hashes FROM w)
-    SELECT doc_id, [{", ".join(_minhash_sig_sql())}] AS signature
-    FROM hs
+    hs AS (SELECT doc_id, {_WORD_HASHES_SQL} AS hashes FROM w),
+    sigs AS (SELECT doc_id, [{", ".join(_minhash_sig_sql())}] AS sig FROM hs)
+    SELECT doc_id, array_to_string(sig, ',') AS signature
+    FROM sigs
     """,
 )
 def q51_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-permutation MinHash signature over each document's word set
-    (one MD5 per word + affine universal-hash permutations)."""
+    (one MD5 per word + affine universal-hash permutations).
+
+    The signature is emitted as a comma-joined STRING (not array<bigint>):
+    same information, but hashable by any row-canonicalizing comparator —
+    array cells are unhashable in pandas-based comparators.
+    """
     (documents,) = tables(spark, sf_dir, "documents")
     words = documents.select("doc_id", _WORDS_SPARK().alias("words"))
     hs = words.select("doc_id", _word_hashes_spark(F.col("words")).alias("hashes"))
-    return hs.select("doc_id", F.array(*_minhash_sig_spark(F.col("hashes"))).alias("signature"))
+    return hs.select(
+        "doc_id",
+        F.concat_ws(",", *[s.cast("string") for s in _minhash_sig_spark(F.col("hashes"))]).alias(
+            "signature"
+        ),
+    )
 
 
 def _band_exprs_spark():
@@ -191,8 +202,8 @@ _MINHASH_DEDUP_SQL = f"""
     removed AS (SELECT DISTINCT doc_id FROM verified)
     SELECT w.lang,
            COUNT(*) AS n_docs,
-           SUM(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END) AS n_kept,
-           SUM(CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END) AS n_removed
+           CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
     FROM w LEFT JOIN removed r ON w.doc_id = r.doc_id
     GROUP BY w.lang
 """
@@ -407,14 +418,18 @@ def q54_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_JACCARD_BAND_CHARS = 256  # length-band width for q55 candidate generation
+
+
 @register(
     "q55_ngram_jaccard",
-    oracle="""
+    oracle=f"""
     WITH d AS (
-        SELECT doc_id, lang, source, string_split(text, ' ') AS w FROM documents
+        SELECT doc_id, lang, source, n_chars, string_split(text, ' ') AS w
+        FROM documents
     ),
     sh AS (
-        SELECT doc_id, lang, source,
+        SELECT doc_id, lang, source, n_chars,
                list_distinct(list_transform(range(1, len(w) - 1),
                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
         FROM d
@@ -425,6 +440,7 @@ def q54_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / len(list_distinct(a.shingles || b.shingles)) AS j
         FROM sh a JOIN sh b
           ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= {_JACCARD_BAND_CHARS}
     )
     SELECT lang, source, doc_a, doc_b, ROUND(j, 4) AS jaccard
     FROM (
@@ -436,18 +452,30 @@ def q54_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram (word-shingle) Jaccard: top-2 most similar pairs per
-    (lang, source) block. Blocking keys bound the pair space — the standard
-    scale pattern when a cheap equality prefilter exists.
+    """3-gram (word-shingle) Jaccard: top-2 most similar length-banded pairs
+    per (lang, source) block.
+
+    Scale design (the q118 covering-band shape): pairs must share the
+    (lang, source) block AND sit within ``_JACCARD_BAND_CHARS`` characters
+    of each other — near-identical documents have near-identical lengths, so
+    the band costs little recall while bounding per-key pair counts by block
+    *density*, not corpus size. The left side fans out to its three
+    neighboring band keys so the join stays a pure equi-join on
+    (lang, source, band); the |Δn_chars| post-filter makes each qualifying
+    pair survive exactly one probe (no post-dedup needed). Without the band,
+    (lang, source) blocks grow linearly with the corpus and the within-block
+    self-join goes quadratic at 100 TB.
     """
     from pyspark.sql import Window
 
     (documents,) = tables(spark, sf_dir, "documents")
     w = F.split("text", " ")
+    band = (F.col("n_chars") / _JACCARD_BAND_CHARS).cast("bigint")
     shingled = documents.select(
         "doc_id",
         "lang",
         "source",
+        "n_chars",
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.size(w) - 3),
@@ -459,28 +487,34 @@ def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("lang"),
         F.col("source").alias("source"),
         F.col("doc_id").alias("doc_a"),
+        F.col("n_chars").alias("chars_a"),
         F.col("shingles").alias("sh_a"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("probe_band"),
     )
     b = shingled.select(
-        F.col("lang").alias("lang_b"),
-        F.col("source").alias("source_b"),
+        F.col("lang").alias("lang"),
+        F.col("source").alias("source"),
         F.col("doc_id").alias("doc_b"),
+        F.col("n_chars").alias("chars_b"),
         F.col("shingles").alias("sh_b"),
+        band.alias("probe_band"),
     )
-    pairs = a.join(
-        b,
-        (F.col("lang") == F.col("lang_b"))
-        & (F.col("source") == F.col("source_b"))
-        & (F.col("doc_a") < F.col("doc_b")),
-    ).select(
-        "lang",
-        "source",
-        "doc_a",
-        "doc_b",
-        (
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-            / F.size(F.array_union("sh_a", "sh_b"))
-        ).alias("j"),
+    pairs = (
+        a.join(b, ["lang", "source", "probe_band"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("chars_a") - F.col("chars_b")) <= _JACCARD_BAND_CHARS)
+        )
+        .select(
+            "lang",
+            "source",
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("j"),
+        )
     )
     win = Window.partitionBy("lang", "source").orderBy(
         F.col("j").desc(), F.col("doc_a").asc(), F.col("doc_b").asc()

@@ -41,9 +41,9 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes in epoch-microseconds
     ),
     sessioned AS (
         SELECT user_id, ts, value, us,
-               SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS session_idx
+                   AS BIGINT) AS session_idx
         FROM marked
     )
     SELECT user_id, session_idx,
@@ -462,7 +462,7 @@ def q123_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            d.med_m AS median_milli,
            ma.mad_m AS mad_milli,
            COUNT(*) AS n_events,
-           SUM(CASE WHEN d.dev_m > 3 * ma.mad_m THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN d.dev_m > 3 * ma.mad_m THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev d JOIN mad ma ON d.event_type = ma.event_type
     GROUP BY d.event_type, d.med_m, ma.mad_m
     """,

@@ -28,7 +28,7 @@ from ._util import tables
     oracle="""
     SELECT d.lang,
            COUNT(*) AS n_docs,
-           SUM(octet_length(CAST(d.text AS BLOB))) AS total_payload_bytes,
+           CAST(SUM(octet_length(CAST(d.text AS BLOB))) AS BIGINT) AS total_payload_bytes,
            ROUND(AVG(sqrt(list_sum(list_transform(e.embedding,
                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) AS avg_norm,
            MIN(len(e.embedding)) AS dim

@@ -40,7 +40,7 @@ from ._util import tables
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(n_tokens) AS min_tokens,
            COUNT(DISTINCT content_hash) AS n_distinct
     FROM sampled

@@ -121,7 +121,7 @@ def q49_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q56_map_funcs",
     oracle="""
     SELECT event_id,
-           json_keys(props)                                   AS prop_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
            CAST(props->>'$.k' AS BIGINT)                      AS k_value,
            CAST(props->>'$.k' AS BIGINT) IS NOT NULL          AS has_k
     FROM events
@@ -131,6 +131,10 @@ def q49_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q56_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON → MapType: parse props into a map, expose keys and typed access
     (from_json / map_keys / element_at).
+
+    Keys are emitted as a SORTED comma-joined string: key order differs
+    between JSON parsers, and array cells are unhashable in pandas-based
+    row comparators.
     """
     (events,) = tables(spark, sf_dir, "events")
     parsed = events.filter(F.col("event_id") < 200).select(
@@ -138,7 +142,7 @@ def q56_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return parsed.select(
         "event_id",
-        F.map_keys("m").alias("prop_keys"),
+        F.concat_ws(",", F.sort_array(F.map_keys("m"))).alias("prop_keys"),
         F.element_at("m", "k").alias("k_value"),
         F.element_at("m", "k").isNotNull().alias("has_k"),
     )

@@ -42,9 +42,9 @@ _REV_CENTS_SQL = "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIG
         JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
     )
     SELECT order_year, cust_region,
-           SUM(CASE WHEN supp_nation = (SELECT n_name FROM target)
-                    THEN rev_cents ELSE 0 END) AS target_cents,
-           SUM(rev_cents) AS total_cents,
+           CAST(SUM(CASE WHEN supp_nation = (SELECT n_name FROM target)
+                    THEN rev_cents ELSE 0 END) AS BIGINT) AS target_cents,
+           CAST(SUM(rev_cents) AS BIGINT) AS total_cents,
            ROUND(SUM(CASE WHEN supp_nation = (SELECT n_name FROM target)
                           THEN rev_cents ELSE 0 END)::DOUBLE
                  / SUM(rev_cents), 6) AS share
@@ -113,7 +113,7 @@ def q84_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q85_returned_items",
     oracle=f"""
     SELECT c.c_custkey, c.c_name,
-           SUM({_REV_CENTS_SQL}) AS lost_cents,
+           CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) AS lost_cents,
            COUNT(*) AS n_lines
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -149,9 +149,9 @@ def q85_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q86_promo_revenue",
     oracle=f"""
     SELECT date_trunc('month', o.o_orderdate) AS order_month,
-           SUM(CASE WHEN p.p_type LIKE '%BRASS%' THEN {_REV_CENTS_SQL} ELSE 0 END)
-               AS promo_cents,
-           SUM({_REV_CENTS_SQL}) AS total_cents,
+           CAST(SUM(CASE WHEN p.p_type LIKE '%BRASS%' THEN {_REV_CENTS_SQL} ELSE 0 END)
+               AS BIGINT) AS promo_cents,
+           CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) AS total_cents,
            ROUND(100.0 * SUM(CASE WHEN p.p_type LIKE '%BRASS%' THEN {_REV_CENTS_SQL}
                                   ELSE 0 END)::DOUBLE
                  / SUM({_REV_CENTS_SQL}), 4) AS promo_pct
@@ -267,7 +267,7 @@ def q88_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q89_nation_trade_matrix",
     oracle=f"""
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
-           SUM({_REV_CENTS_SQL}) AS trade_cents,
+           CAST(SUM({_REV_CENTS_SQL}) AS BIGINT) AS trade_cents,
            COUNT(*) AS n_lines
     FROM lineitem l
     JOIN orders o    ON l.l_orderkey = o.o_orderkey
@@ -311,7 +311,7 @@ def q89_nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHARED_SQL = """
     SELECT o_orderpriority, o_orderstatus,
            COUNT(*) AS n_orders,
-           SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders
     GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
 """
@@ -350,7 +350,7 @@ def q94_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r.c_nationkey,
            COUNT(DISTINCT r.c_custkey) AS n_custs,
-           SUM(CASE WHEN o.rn = 1 THEN r.bal_cents ELSE 0 END) AS total_bal_cents,
+           CAST(SUM(CASE WHEN o.rn = 1 THEN r.bal_cents ELSE 0 END) AS BIGINT) AS total_bal_cents,
            COUNT(o.o_orderkey) AS n_orders
     FROM rich r
     LEFT JOIN (

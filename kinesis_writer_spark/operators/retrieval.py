@@ -138,7 +138,7 @@ _BM25_SCALE = 1_000_000  # per-term scores floor-scaled to 1e-6 BIGINT
         JOIN dl ON tf.doc_id = dl.doc_id
         CROSS JOIN stats
     )
-    SELECT doc_id, COUNT(*) AS n_terms_matched, SUM(s) AS score_1e6
+    SELECT doc_id, COUNT(*) AS n_terms_matched, CAST(SUM(s) AS BIGINT) AS score_1e6
     FROM per_term
     GROUP BY doc_id
     ORDER BY score_1e6 DESC, doc_id ASC
@@ -233,7 +233,7 @@ _DECON_N = 8  # 8-word shingles, the standard eval-decontamination unit
     )
     SELECT d.lang,
            COUNT(*) AS n_test_docs,
-           SUM(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS n_contaminated
+           CAST(SUM(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_contaminated
     FROM test_docs d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
     GROUP BY d.lang
     """,
@@ -324,8 +324,8 @@ _EMB_TAU = 0.35
     removed AS (SELECT DISTINCT label, dup_id FROM pairs)
     SELECT e.label,
            COUNT(*) AS n_vectors,
-           SUM(CASE WHEN r.dup_id IS NULL THEN 0 ELSE 1 END) AS n_removed,
-           SUM(CASE WHEN r.dup_id IS NULL THEN 1 ELSE 0 END) AS n_kept
+           CAST(SUM(CASE WHEN r.dup_id IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN r.dup_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM embeddings e
     LEFT JOIN removed r ON e.label = r.label AND e.vec_id = r.dup_id
     GROUP BY e.label

@@ -99,7 +99,7 @@ def q66_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, rate_pct,
            COUNT(*) AS n_total,
-           SUM(CASE WHEN {_duckdb_bucket('strat')} < rate_pct THEN 1 ELSE 0 END) AS n_kept
+           CAST(SUM(CASE WHEN {_duckdb_bucket('strat')} < rate_pct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
     FROM documents JOIN rates ON lang = r_lang
     GROUP BY lang, rate_pct
     """,
@@ -285,7 +285,7 @@ _PACK_BUDGET = 2048  # tokens per training sequence / bin
     SELECT lang,
            CAST(FLOOR(start_offset / {_PACK_BUDGET}) AS BIGINT) AS bin_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS first_doc
     FROM placed
     GROUP BY lang, CAST(FLOOR(start_offset / {_PACK_BUDGET}) AS BIGINT)

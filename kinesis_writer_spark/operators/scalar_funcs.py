@@ -102,10 +102,10 @@ def q41_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SQRT(l_extendedprice), 4)             AS price_sqrt,
            ROUND(LN(l_extendedprice + 1), 4)           AS price_ln,
            ROUND(LOG10(l_extendedprice + 1), 4)        AS price_log10,
-           CEIL(l_quantity)                            AS qty_ceil,
-           FLOOR(l_quantity)                           AS qty_floor,
+           CAST(CEIL(l_quantity) AS BIGINT)            AS qty_ceil,
+           CAST(FLOOR(l_quantity) AS BIGINT)           AS qty_floor,
            CAST(l_orderkey % 7 AS BIGINT)              AS key_mod,
-           SIGN(l_discount - 0.05)                     AS disc_sign
+           CAST(SIGN(l_discount - 0.05) AS BIGINT)     AS disc_sign
     FROM lineitem
     """,
 )
@@ -124,7 +124,7 @@ def q42_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil("l_quantity").alias("qty_ceil"),
         F.floor("l_quantity").alias("qty_floor"),
         (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.signum(F.col("l_discount") - 0.05).cast("bigint").alias("disc_sign"),
     )
 
 
@@ -170,7 +170,7 @@ def q43_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*)                                          AS n_events,
-           SUM(CAST(props->>'$.k' AS BIGINT))                AS sum_k,
+           CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(props->>'$.k' AS BIGINT))                AS min_k,
            MAX(CAST(props->>'$.k' AS BIGINT))                AS max_k
     FROM events
@@ -224,10 +224,10 @@ def q45_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-           SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
-                    THEN 1 ELSE 0 END) AS n_missing
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
     FROM events
     GROUP BY event_type
     """,

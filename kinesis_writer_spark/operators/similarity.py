@@ -66,58 +66,98 @@ def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LSH_BITS = 4  # sign of the first 4 dimensions → 16 buckets
+_LSH_TABLES = 4  # independent hash tables (bands)
+_LSH_TABLE_BITS = 16  # sign bits per table -> 2^16 buckets per table
 
 
-def _sign_code_spark(col: str):
+def _table_code_spark(t: int):
+    """16-bit sign code of dimensions [16t, 16t+16) -- one LSH table."""
     bits = [
-        F.when(F.element_at(col, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(_LSH_BITS)
+        F.when(
+            F.element_at("embedding", t * _LSH_TABLE_BITS + i + 1) > 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i in range(_LSH_TABLE_BITS)
     ]
     return reduce(lambda a, b: a + b, bits).cast("int")
 
 
-def _sign_code_sql(col: str) -> str:
+def _table_code_sql(t: int, col: str = "embedding") -> str:
     terms = " + ".join(
-        f"(CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(_LSH_BITS)
+        f"(CASE WHEN {col}[{t * _LSH_TABLE_BITS + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(_LSH_TABLE_BITS)
     )
     return f"CAST({terms} AS INT)"
+
+
+_LSH_BANDS_SQL = "\nUNION ALL\n".join(
+    f"SELECT vec_id, {t} AS t, {_table_code_sql(t)} AS code FROM embeddings"
+    for t in range(_LSH_TABLES)
+)
 
 
 @register(
     "q61_lsh_cosine_neardup",
     oracle=f"""
-    WITH coded AS (
-        SELECT vec_id, embedding, {_sign_code_sql('embedding')} AS bucket FROM embeddings
-    ),
+    WITH bands AS ({_LSH_BANDS_SQL}),
     cand AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               {duckdb_cosine('a.embedding', 'b.embedding')} AS cos
-        FROM coded a JOIN coded b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.t = b.t AND a.code = b.code AND a.vec_id < b.vec_id
     )
-    SELECT vec_a, vec_b, ROUND(cos, 4) AS cosine
-    FROM cand WHERE cos >= 0.35
+    SELECT c.vec_a, c.vec_b,
+           ROUND({duckdb_cosine('ea.embedding', 'eb.embedding')}, 4) AS cosine
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.vec_a
+    JOIN embeddings eb ON eb.vec_id = c.vec_b
+    WHERE {duckdb_cosine('ea.embedding', 'eb.embedding')} >= 0.2
     """,
 )
 def q61_lsh_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH near-duplicate pairs: bucket on the 4-bit sign code of the
-    leading dimensions (axis-aligned random hyperplanes), verify cosine ≥
-    0.35 within buckets only — candidate generation is an equi-join on the
-    bucket key, never a cross join.
+    """Multi-table sign-LSH near-duplicate pairs: 4 independent hash tables,
+    each keyed by the 16-bit sign code of its own block of 16 dimensions
+    (axis-aligned hyperplanes); a pair is a candidate when it collides in
+    ANY table, and candidates are verified against exact cosine >= 0.2.
+
+    Scale design (the q52 banding shape, applied to vectors): each table has
+    2^16 buckets, so the per-bucket self-join is O((n/65536)^2) per table --
+    vs O((n/16)^2) for a single short code. Candidate generation is narrow
+    rows (vec_id, t, code) self-equi-joined on (t, code); payload vectors
+    are only shuffled for the (few) surviving candidate pairs, joined back
+    by vec_id. No cross join at any stage; recall is tuned by adding tables,
+    precision by the exact-cosine verify.
     """
     (embeddings,) = tables(spark, sf_dir, "embeddings")
-    coded = embeddings.select("vec_id", "embedding", _sign_code_spark("embedding").alias("bucket"))
-    a = coded.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), "bucket"
+    bands = None
+    for t in range(_LSH_TABLES):
+        part = embeddings.select(
+            "vec_id", F.lit(t).alias("t"), _table_code_spark(t).alias("code")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col("vec_id").alias("vec_a"), "t", "code")
+    b = bands.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("t").alias("t_b"),
+        F.col("code").alias("code_b"),
     )
-    b = coded.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), F.col("bucket").alias("bucket_b")
+    cand = (
+        a.join(
+            b,
+            (F.col("t") == F.col("t_b"))
+            & (F.col("code") == F.col("code_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b")
+        .distinct()
     )
-    cand = a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))).select(
-        "vec_a", "vec_b", cosine("emb_a", "emb_b").alias("cos")
-    )
-    return cand.filter(F.col("cos") >= 0.35).select(
-        "vec_a", "vec_b", F.round("cos", 4).alias("cosine")
+    ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cos", cosine("emb_a", "emb_b"))
+        .filter(F.col("cos") >= 0.2)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
     )
 
 

@@ -23,7 +23,7 @@ N_SALT = 8
     "q63_salted_agg",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events
     GROUP BY user_id
     """,

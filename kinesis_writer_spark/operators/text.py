@@ -171,7 +171,7 @@ def q72_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            COUNT(*) AS n_docs,
            ROUND(AVG(quality), 4) AS avg_quality,
-           SUM(CASE WHEN quality >= 0.6 THEN 1 ELSE 0 END) AS n_high_quality
+           CAST(SUM(CASE WHEN quality >= 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
     FROM scored GROUP BY lang
     """,
 )
@@ -271,7 +271,7 @@ def q77_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, bg, COUNT(*) AS n FROM bigrams GROUP BY doc_id, bg
     )
     SELECT doc_id,
-           SUM(n) AS n_bigrams,
+           CAST(SUM(n) AS BIGINT) AS n_bigrams,
            MAX(n) AS top_bigram_count,
            ROUND(MAX(n)::DOUBLE / SUM(n), 4) AS top_bigram_ratio
     FROM counts

@@ -245,7 +245,7 @@ _HOUR_US = 3_600_000_000  # 1 hour in epoch-microseconds
     oracle=f"""
     SELECT user_id, event_id,
            COUNT(*) OVER w AS n_last_hour,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS cents_last_hour
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_last_hour
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                  RANGE BETWEEN {_HOUR_US} PRECEDING AND CURRENT ROW)

@@ -62,10 +62,42 @@ def duckdb_connect(sf_dir: str):
     return con
 
 
+def driver_hazards(name: str, sdf, odf) -> list[str]:
+    """Flag mismatches the DRIVER's stricter canonicalizer would fail on even
+    though values are equal: (a) integer dtype on one side vs float on the
+    other (DuckDB HUGEINT -> pandas float64 renders 123.0 vs Spark's 123);
+    (b) list/array cells (unhashable in the driver's pandas sort)."""
+    import numpy as np
+    import pandas as pd
+
+    hazards = []
+    for df, side in ((sdf, "spark"), (odf, "duckdb")):
+        if df is None:
+            continue
+        for col in df.columns:
+            if len(df) and isinstance(df[col].iloc[0], (list, np.ndarray)):
+                hazards.append(f"{side}.{col}: list/array cell (driver-unhashable)")
+    if odf is not None:
+        for col in sdf.columns:
+            if col not in odf.columns:
+                continue
+            s_int = pd.api.types.is_integer_dtype(sdf[col])
+            o_int = pd.api.types.is_integer_dtype(odf[col])
+            s_flt = pd.api.types.is_float_dtype(sdf[col])
+            o_flt = pd.api.types.is_float_dtype(odf[col])
+            if (s_int and o_flt) or (s_flt and o_int):
+                hazards.append(
+                    f"{col}: dtype {sdf[col].dtype} (spark) vs {odf[col].dtype} (duckdb)"
+                )
+    return hazards
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
     ap.add_argument("--only", default=None)
+    ap.add_argument("--strict", action="store_true",
+                    help="also fail on driver-canonicalizer hazards (int-vs-float dtype, array cells)")
     args = ap.parse_args()
 
     from kinesis_writer_spark import registry
@@ -89,6 +121,12 @@ def main() -> int:
             n_fail += 1
             continue
         if name not in oracles:
+            if args.strict:
+                hz = driver_hazards(name, sdf, None)
+                if hz:
+                    print(f"FAIL  {name}: driver hazards: {hz}")
+                    n_fail += 1
+                    continue
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
             continue
@@ -113,8 +151,13 @@ def main() -> int:
             print(f"      duckdb: {o_rows[diff_at]}")
             n_fail += 1
         else:
-            print(f"PASS  {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
-            n_pass += 1
+            hz = driver_hazards(name, sdf, odf) if args.strict else []
+            if hz:
+                print(f"FAIL  {name}: values equal but driver hazards: {hz}")
+                n_fail += 1
+            else:
+                print(f"PASS  {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+                n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     return 1 if n_fail else 0
 
