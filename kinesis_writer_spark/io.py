@@ -163,30 +163,24 @@ def write_table(
 
     At 100 TB the failure mode is millions of tiny files (one per task per
     partition value): every downstream scan then pays listing + open costs
-    that dwarf the reads. ``target_rows_per_file`` repartitions by the
-    partition columns (plus a within-partition spreader when a single value
-    exceeds the target) so each Hive partition gets a bounded number of
-    right-sized files. With no target, AQE's coalesced shuffle output is
-    left as-is.
+    that dwarf the reads. ``target_rows_per_file`` combines two mechanisms,
+    neither of which needs a prior pass over the data (the old
+    ``df.count()`` approach was a full extra job at 100 TB):
+
+    - the AQE ``REBALANCE`` hint (on the partition columns when
+      partitioning): at runtime AQE merges undersized shuffle partitions
+      and *splits* hot partition values across tasks — skew-safe without a
+      manual salt/spreader column;
+    - ``maxRecordsPerFile`` on the write, so each task rolls to a new file
+      at the target size.
+
+    With no target, AQE's coalesced shuffle output is left as-is.
     """
     if target_rows_per_file is not None:
-        n_files = max(1, -(-df.count() // target_rows_per_file))
-        if partition_by:
-            from pyspark.sql import functions as F
-
-            # row-level spreader: rows of one hot partition value fan out
-            # across up to n_files tasks (id is deterministic given input
-            # partitioning), while the partitionBy below still routes each
-            # row to its own Hive partition directory
-            spread = F.monotonically_increasing_id() % n_files
-            df = (
-                df.withColumn("_spread", spread)
-                .repartition(n_files, *partition_by, "_spread")
-                .drop("_spread")
-            )
-        else:
-            df = df.repartition(n_files)
+        df = df.hint("rebalance", *partition_by) if partition_by else df.hint("rebalance")
     writer = df.write.mode(mode)
+    if target_rows_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", target_rows_per_file)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.format(format).save(path)

@@ -116,17 +116,45 @@ def q15_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q16_approx_count_distinct", oracle=None)
+@register(
+    "q16_approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS orders_within_5pct,
+           TRUE AS parts_within_5pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def q16_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct counts — the 100 TB substitute for exact
     COUNT(DISTINCT): single-pass, constant memory per group, no expand.
-    Rows-only check (estimates are engine-specific); a unit test asserts
-    <2% relative error vs the exact count at sf0.001.
+
+    HLL estimates are engine-specific, so the raw estimate can't hash-match
+    a DuckDB oracle. Instead the query emits the EXACT counts (oracle-
+    checkable) plus booleans asserting the estimate landed within 5% of
+    exact — the oracle expects TRUE, so a drifting sketch fails the hash
+    gate, not just a unit test.
     """
     (lineitem,) = tables(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.02).alias("a_orders"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("a_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        (F.abs(F.col("a_orders") - F.col("exact_orders")) <= 0.05 * F.col("exact_orders")).alias(
+            "orders_within_5pct"
+        ),
+        (F.abs(F.col("a_parts") - F.col("exact_parts")) <= 0.05 * F.col("exact_parts")).alias(
+            "parts_within_5pct"
+        ),
     )
 
 
@@ -247,7 +275,17 @@ def q21_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q121_hll_rollup", oracle=None)  # estimate: rows-only + tolerance unit test
+@register(
+    "q121_hll_rollup",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT date_trunc('day', ts)) AS n_days,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def q121_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct-user rollup via DataSketches HLL: build one
     sketch per (event_type, day) at the fine grain, then answer the
@@ -258,20 +296,31 @@ def q121_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     do — distinct counts don't sum across buckets, but sketches union
     losslessly, so at 100 TB the daily cube is computed once and every
     coarser rollup (weekly/monthly/all-time, any type subset) is a cheap
-    merge over ~|types|x|days| tiny sketch blobs. Estimates are within
-    ~2% at lgConfigK=12 (tolerance-tested vs exact in
-    tests/test_sketches.py); the driver records a rows-only check since
-    DuckDB's HLL is not bit-compatible.
+    merge over ~|types|x|days| tiny sketch blobs.
+
+    Sketch estimates are engine-specific, so the query emits the EXACT
+    per-type distinct count (oracle-checkable) plus a boolean asserting the
+    merged-sketch estimate landed within 5% of exact — the oracle expects
+    TRUE, making sketch accuracy a hash-gated invariant rather than only a
+    unit test (tests/test_sketches.py also proves merge ≡ direct).
     """
     events = tables(spark, sf_dir, "events")[0]
     daily = events.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.hll_sketch_agg("user_id", 12).alias("sk"))
-    return (
-        daily.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
-            F.count(F.lit(1)).alias("n_days"),
-        )
-        .select("event_type", "approx_users", "n_days")
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
     )

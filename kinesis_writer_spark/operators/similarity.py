@@ -376,8 +376,8 @@ def _km_sql_update(assign_src: str) -> str:
     SELECT a.cluster_id,
            COUNT(*) AS n_vectors,
            MIN(a.vec_id) AS min_vec,
-           (SELECT list_sum(c.cvec) FROM c2 c WHERE c.cluster_id = a.cluster_id)
-               AS centroid_checksum
+           CAST((SELECT list_sum(c.cvec) FROM c2 c WHERE c.cluster_id = a.cluster_id)
+               AS BIGINT) AS centroid_checksum
     FROM a2 a
     GROUP BY a.cluster_id
     """,

@@ -56,12 +56,18 @@ def q90_kpl_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Parallel *and* deterministic: hash-repartition on user_id (stable
     assignment) + sortWithinPartitions gives every partition a reproducible
     record sequence, so batch boundaries — and the output rows — are
-    identical run to run while 8 batchers work concurrently. This is the
-    exact shape `write_dataframe` uses on a cluster.
+    identical run to run while the batchers work concurrently. This is the
+    exact shape `write_dataframe` uses on a cluster. Parallelism comes from
+    ``SPARK_GRAFT_KPL_PARTITIONS`` (default 8): at 100 TB set it to the
+    cluster's core count — determinism only needs a FIXED count, not a
+    small one.
     """
+    import os
+
+    n_parts = int(os.environ.get("SPARK_GRAFT_KPL_PARTITIONS", "8"))
     (events,) = tables(spark, sf_dir, "events")
     payloads = (
-        events.repartition(8, "user_id")
+        events.repartition(n_parts, "user_id")
         .sortWithinPartitions("event_id")
         .select(
             F.encode(

@@ -146,3 +146,40 @@ class TestAggregation:
         for name in ("q01_pricing_summary", "q30_window_ranking", "q43_array_funcs", "q53_simhash"):
             assert "BatchEvalPython" not in plans[name], f"{name} fell back to row-Python"
             assert "ArrowEvalPython" not in plans[name], f"{name} uses a pandas UDF"
+
+
+class TestScaleHardening:
+    """Round-2 scale fixes stay fixed: banded LSH key space and length-banded
+    Jaccard candidate generation."""
+
+    def test_q61_lsh_bucket_space_is_large(self):
+        # a single short sign code (16 buckets) makes the within-bucket
+        # self-join O((n/16)^2); the multi-table design must keep >= 2^16
+        # buckets per table
+        from kinesis_writer_spark.operators.similarity import (
+            _LSH_TABLE_BITS,
+            _LSH_TABLES,
+        )
+
+        assert _LSH_TABLE_BITS >= 16
+        assert _LSH_TABLES >= 2
+
+    def test_q61_joins_on_table_and_code(self, plans):
+        p = plans["q61_lsh_cosine_neardup"]
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        # candidate generation is an equi-join (hash-partitionable)
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+    def test_q55_jaccard_joins_include_length_band(self, plans):
+        # the q118-style covering band: join keys must include probe_band so
+        # (lang, source) blocks never go quadratic with corpus growth
+        p = plans["q55_ngram_jaccard"]
+        assert "probe_band" in p
+        assert "CartesianProduct" not in p
+
+    def test_q130_spine_join_is_tiny(self, plans):
+        # the monthly rollup pre-aggregates orders; the spine join must be
+        # a broadcast (either side), never a fact-table sort-merge
+        p = plans["q130_recursive_month_spine"]
+        assert "BroadcastHashJoin" in p
