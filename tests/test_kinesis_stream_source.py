@@ -1,0 +1,178 @@
+"""End-to-end offline test of the Kinesis readStream adapter: KPL-aggregated
+records are produced into a capture (one directory per shard), replayed
+through the boto3 ``get_records`` API shape by ``CaptureReplayClient``, read
+via ``spark.readStream.format("kinesis")``, deaggregated, and windowed —
+the reference's north star (Structured Streaming + Kinesis source) with no
+network anywhere.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kinesis_writer_spark.kpl.aggregator import RecordAggregator
+from kinesis_writer_spark.sources import kinesis_stream
+from kinesis_writer_spark.sources.kpl_datasource import write_wire_file
+from kinesis_writer_spark.sources.kpl_stream import deaggregate_records
+
+
+def _make_capture(tmp_path, shards: dict[str, list[bytes]]) -> str:
+    """Aggregate each shard's payloads into KPL wire frames on disk."""
+    root = tmp_path / "capture"
+    for shard_id, payloads in shards.items():
+        agg = RecordAggregator()
+        wires: list[bytes] = []
+        agg.on_record_complete(lambda rec: wires.append(rec.to_bytes()))
+        for p in payloads:
+            agg.add_user_record("pk", p)
+        tail = agg.clear_and_get()
+        if tail is not None:
+            wires.append(tail.to_bytes())
+        shard_dir = root / shard_id
+        os.makedirs(shard_dir)
+        write_wire_file(str(shard_dir / "part-0.kpl"), wires)
+    return str(root)
+
+
+def _payloads(shard: int, n: int) -> list[bytes]:
+    return [
+        json.dumps(
+            {
+                "user_id": shard * 1000 + i,
+                "event_time": f"2024-01-01T00:{i % 60:02d}:00",
+            }
+        ).encode()
+        for i in range(n)
+    ]
+
+
+@pytest.fixture()
+def capture_dir(tmp_path):
+    return _make_capture(
+        tmp_path,
+        {
+            "shardId-000000000000": _payloads(0, 40),
+            "shardId-000000000001": _payloads(1, 25),
+        },
+    )
+
+
+def _read_stream(spark, capture_dir):
+    kinesis_stream.register(spark)
+    return (
+        spark.readStream.format("kinesis")
+        .option("stream_name", "events")
+        .option(
+            "client_factory",
+            "kinesis_writer_spark.sources.kinesis_stream:capture_client_factory",
+        )
+        .option("client_kwargs", json.dumps({"capture_dir": capture_dir}))
+        .load()
+    )
+
+
+class TestCaptureReplayClient:
+    def test_boto3_surface_shapes(self, capture_dir):
+        c = kinesis_stream.capture_client_factory(capture_dir)
+        shards = c.list_shards(StreamName="events")["Shards"]
+        assert [s["ShardId"] for s in shards] == [
+            "shardId-000000000000",
+            "shardId-000000000001",
+        ]
+        it = c.get_shard_iterator(
+            StreamName="events",
+            ShardId="shardId-000000000000",
+            ShardIteratorType="TRIM_HORIZON",
+        )["ShardIterator"]
+        out = c.get_records(ShardIterator=it, Limit=100)
+        assert out["Records"], "capture should hold aggregated frames"
+        assert out["Records"][0]["SequenceNumber"] == "0"
+        # paging: AT_SEQUENCE_NUMBER resumes exactly where the offset says
+        it2 = c.get_shard_iterator(
+            StreamName="events",
+            ShardId="shardId-000000000000",
+            ShardIteratorType="AT_SEQUENCE_NUMBER",
+            StartingSequenceNumber="1",
+        )["ShardIterator"]
+        out2 = c.get_records(ShardIterator=it2, Limit=100)
+        assert all(int(r["SequenceNumber"]) >= 1 for r in out2["Records"])
+
+
+class TestKinesisReadStream:
+    def test_stream_deaggregate_roundtrip(self, spark, capture_dir, tmp_path):
+        raw = _read_stream(spark, capture_dir)
+        assert raw.isStreaming
+        user_records = deaggregate_records(raw, wire_col="data", strict=False)
+        q = (
+            user_records.writeStream.format("memory")
+            .queryName("kinesis_user_records")
+            .option("checkpointLocation", str(tmp_path / "ckpt1"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM kinesis_user_records").collect()
+        # every produced payload comes back exactly once
+        assert len(got) == 40 + 25
+        users = sorted(json.loads(bytes(r["data"]))["user_id"] for r in got)
+        assert users == sorted(
+            list(range(0, 40)) + list(range(1000, 1025))
+        )
+
+    def test_stream_window_aggregation(self, spark, capture_dir, tmp_path):
+        raw = _read_stream(spark, capture_dir)
+        events = deaggregate_records(raw, wire_col="data", strict=False).select(
+            F.from_json(
+                F.col("data").cast("string"),
+                "user_id long, event_time timestamp",
+            ).alias("e")
+        ).select("e.user_id", "e.event_time")
+        counts = (
+            events.withWatermark("event_time", "10 minutes")
+            .groupBy(F.window("event_time", "15 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        # complete mode: a single availableNow micro-batch emits every window
+        # (append would hold all windows open until a later batch advances
+        # the watermark past them)
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("kinesis_windows")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(
+            "SELECT w.start AS start, n_events FROM kinesis_windows ORDER BY start"
+        ).collect()
+        # event minutes are i%60 for i<40 (shard 0) and i<25 (shard 1):
+        # [00:00,00:15) gets 15+15=30, [00:15,00:30) 15+10=25, [00:30,00:45) 10
+        by_start = {r["start"].minute: r["n_events"] for r in rows}
+        assert by_start.get(0) == 30
+        assert by_start.get(15) == 25
+        assert by_start.get(30) == 10
+
+    def test_checkpoint_resume_no_duplicates(self, spark, capture_dir, tmp_path):
+        ckpt = str(tmp_path / "ckpt3")
+        out = str(tmp_path / "out")
+        for _ in range(2):  # second run resumes from the checkpoint
+            raw = _read_stream(spark, capture_dir)
+            q = (
+                deaggregate_records(raw, wire_col="data", strict=False)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        # exactly-once across restart: committed offsets are never re-read,
+        # so the file sink holds each user record exactly once
+        n = spark.read.parquet(out).count()
+        assert n == 40 + 25, f"expected no duplicates after resume, got {n}"
