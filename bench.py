@@ -56,6 +56,9 @@ HEADLINE = [
     "q112_variant_json",
     "q118_fuzzy_levenshtein",
     "q120_waiting_orders",
+    "q130_recursive_month_spine",
+    "q131_embedding_quantize",
+    "q132_vocab_topk_bigrams",
 ]
 
 

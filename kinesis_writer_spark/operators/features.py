@@ -1,0 +1,290 @@
+"""Feature-engineering operators for training-data pipelines: embedding
+quantization, vocabulary building, and MinHash-estimator diagnostics.
+
+These extend SURVEY.md §2's LLM-pipeline block (the reference itself is a
+producer library — KinesisWriter.scala ships payloads; what a 100 TB training
+pipeline does BEFORE shipping is this module's subject).
+
+Scale notes: every operator is a narrow per-row transform followed by one
+aggregation shuffle; vector math stays in JVM higher-order functions
+(zip_with/aggregate — no Python in the hot path); all emitted metrics are
+integer-quantized per row BEFORE summation so results are partition-order
+independent and bit-identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import tables
+from .dedup import (
+    _band_exprs_sql,
+    _band_exprs_spark,
+    _minhash_sig_spark,
+    _minhash_sig_sql,
+    _N_HASHES,
+    _word_hashes_spark,
+    _WORD_HASHES_SQL,
+    _WORDS_SPARK,
+    _WORDS_SQL,
+)
+
+# ---------------------------------------------------------------------------
+# q131: symmetric int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q131_embedding_quantize",
+    oracle="""
+    WITH emb AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    scaled AS (
+        SELECT vec_id, label, v,
+               greatest(list_max(list_transform(v, x -> abs(x))) / 127.0,
+                        1e-12) AS scale
+        FROM emb
+    ),
+    quant AS (
+        SELECT vec_id, label, v, scale,
+               list_transform(v, x -> CAST(round(x / scale, 0) AS INT)) AS q
+        FROM scaled
+    ),
+    err AS (
+        SELECT vec_id, label,
+               CAST(list_sum(q) AS BIGINT) AS code_sum,
+               CAST(round(list_max(
+                   list_transform(list_zip(v, q),
+                       p -> abs(CAST(p[1] AS DOUBLE)
+                                - CAST(p[2] AS DOUBLE) * scale))) * 1e6, 0)
+                    AS BIGINT) AS max_err_ppm
+        FROM quant
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           CAST(SUM(code_sum) AS BIGINT) AS total_code_sum,
+           CAST(SUM(max_err_ppm) AS BIGINT) AS total_err_ppm,
+           MAX(max_err_ppm) AS worst_err_ppm
+    FROM err
+    GROUP BY label
+    """,
+)
+def q131_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embedding vectors (scale =
+    max|x|/127 per vector), with per-label reconstruction-error rollup.
+
+    The standard 100 TB bandwidth cut: int8 codes shrink the vector corpus
+    4x before any shuffle-heavy similarity stage. The operator emits an
+    integer code checksum (proves the codes themselves match cross-engine,
+    not just summary stats) and per-vector max reconstruction error in
+    integer ppm — quantized BEFORE the sum, so aggregation is exact and
+    order-independent. All vector math is zip_with/aggregate (JVM, no UDF).
+    """
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    emb = embeddings.select("vec_id", "label", v.alias("v"))
+    scaled = emb.select(
+        "vec_id",
+        "label",
+        "v",
+        F.greatest(
+            F.array_max(F.transform("v", F.abs)) / 127.0, F.lit(1e-12)
+        ).alias("scale"),
+    )
+    quant = scaled.select(
+        "vec_id",
+        "label",
+        "v",
+        "scale",
+        F.transform("v", lambda x: F.round(x / F.col("scale"), 0).cast("int")).alias("q"),
+    )
+    err = quant.select(
+        "label",
+        F.aggregate("q", F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("code_sum"),
+        F.round(
+            F.array_max(
+                F.zip_with("v", "q", lambda x, c: F.abs(x - c.cast("double") * F.col("scale")))
+            )
+            * 1e6,
+            0,
+        )
+        .cast("bigint")
+        .alias("max_err_ppm"),
+    )
+    return err.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("code_sum").alias("total_code_sum"),
+        F.sum("max_err_ppm").alias("total_err_ppm"),
+        F.max("max_err_ppm").alias("worst_err_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q132: vocabulary building — top-k bigrams per language
+# ---------------------------------------------------------------------------
+
+_VOCAB_TOPK = 5
+
+
+@register(
+    "q132_vocab_topk_bigrams",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+    ),
+    grams AS (
+        SELECT lang,
+               unnest(list_transform(range(1, len(words)),
+                                     i -> words[i] || ' ' || words[i+1])) AS bigram
+        FROM w
+    ),
+    counted AS (
+        SELECT lang, bigram, COUNT(*) AS n
+        FROM grams GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, n, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY n DESC, bigram ASC) AS rank
+        FROM counted
+    )
+    WHERE rank <= {_VOCAB_TOPK}
+    """,
+)
+def q132_vocab_topk_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: the top-{k} most frequent word bigrams per
+    language (tokenizer-merge candidates / stop-phrase lists).
+
+    Shape at 100 TB: explode to (lang, bigram) rows, ONE counting shuffle
+    with map-side partial aggregation (the heavy hitters combine locally),
+    then a per-lang top-k window over the (tiny) distinct-bigram counts.
+    Ties break deterministically on the bigram text.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    grams = documents.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(words, i + 1), F.element_at(words, i + 2)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    counted = grams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _VOCAB_TOPK)
+        .select("lang", "bigram", "n", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q133: MinHash estimator diagnostics — signature agreement vs exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q133_minhash_estimate",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    hs AS (SELECT doc_id, words, {_WORD_HASHES_SQL} AS hashes FROM w),
+    sigs AS (
+        SELECT doc_id, words, [{", ".join(_minhash_sig_sql())}] AS signature
+        FROM hs
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{", ".join(_band_exprs_sql())}]) AS band_key
+        FROM sigs
+    ),
+    reps AS (
+        SELECT band_key, MIN(doc_id) AS rep_id FROM bands GROUP BY band_key
+    ),
+    cand AS (
+        SELECT DISTINCT b.doc_id AS doc_a, r.rep_id AS doc_b
+        FROM bands b JOIN reps r
+          ON b.band_key = r.band_key AND b.doc_id > r.rep_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_filter(range(1, {_N_HASHES} + 1),
+                i -> sa.signature[i] = sb.signature[i])) AS BIGINT)
+               AS n_sig_matches,
+           CAST(round(len(list_intersect(sa.words, sb.words))::DOUBLE
+                / len(list_distinct(sa.words || sb.words)) * 1000, 0) AS BIGINT)
+               AS jaccard_milli
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.doc_a
+    JOIN sigs sb ON sb.doc_id = c.doc_b
+    """,
+)
+def q133_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator diagnostics: for every LSH-candidate pair, the
+    number of agreeing signature positions (of {n}) next to the EXACT
+    word-set Jaccard in integer per-mille — the data that calibrates
+    band/row choices (n_sig_matches/{n} is the unbiased Jaccard estimate).
+
+    Same scale shape as q52: each doc compares only to its bucket's
+    REPRESENTATIVE (min doc_id), never pairwise within the bucket — short
+    stopword-dominated signatures make hot buckets, and a pairwise join
+    inside a hot bucket is quadratic in bucket size; the representative
+    join stays ≤ n_bands rows per doc no matter how hot the bucket. The
+    whole MinHash family is the cross-engine MD5+affine construction, so
+    the oracle runs the identical estimator bit-for-bit.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    words = documents.select("doc_id", _WORDS_SPARK().alias("words"))
+    hs = words.select("doc_id", "words", _word_hashes_spark(F.col("words")).alias("hashes"))
+    sigs = hs.select(
+        "doc_id", "words", F.array(*_minhash_sig_spark(F.col("hashes"))).alias("signature")
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*_band_exprs_spark())).alias("band_key")
+    )
+    reps = bands.groupBy(F.col("band_key").alias("rep_band_key")).agg(
+        F.min("doc_id").alias("rep_id")
+    )
+    cand = (
+        bands.join(
+            reps,
+            (F.col("band_key") == F.col("rep_band_key")) & (F.col("doc_id") > F.col("rep_id")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), F.col("rep_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("words").alias("words_a"),
+        F.col("signature").alias("sig_a"),
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("words").alias("words_b"),
+        F.col("signature").alias("sig_b"),
+    )
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    jac = (
+        F.size(F.array_intersect("words_a", "words_b")).cast("double")
+        / F.size(F.array_union("words_a", "words_b"))
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            matches.alias("n_sig_matches"),
+            F.round(jac * 1000, 0).cast("bigint").alias("jaccard_milli"),
+        )
+    )

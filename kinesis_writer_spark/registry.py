@@ -68,6 +68,7 @@ def _ensure_loaded() -> None:
         asof,
         dedup,
         events_analytics,
+        features,
         joins,
         multimodal,
         pipeline,

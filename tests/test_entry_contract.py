@@ -18,12 +18,10 @@ class TestDriverContract:
         assert len(qs) >= 116
         assert set(os_) <= set(qs), "oracle without a query builder"
         # only the documented rows-only queries may lack an oracle
+        # (q16/q121 graduated to tolerance-gated oracles in round 2; q90's
+        # KPL batch boundaries are partitioning-dependent, not SQL-expressible)
         rows_only = set(qs) - set(os_)
-        assert rows_only == {
-            "q16_approx_count_distinct",
-            "q90_kpl_batch_stats",
-            "q121_hll_rollup",
-        }
+        assert rows_only == {"q90_kpl_batch_stats"}
 
     def test_names_follow_convention(self):
         pat = re.compile(r"^q\d{2,3}_[a-z0-9_]+$")
