@@ -128,12 +128,14 @@ def q61_lsh_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     precision by the exact-cosine verify.
     """
     (embeddings,) = tables(spark, sf_dir, "embeddings")
-    bands = None
-    for t in range(_LSH_TABLES):
-        part = embeddings.select(
-            "vec_id", F.lit(t).alias("t"), _table_code_spark(t).alias("code")
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    # all table codes in ONE scan (posexplode), not a 4-way union of scans:
+    # at 100 TB re-reading the corpus once per table is the dominant cost
+    bands = embeddings.select(
+        "vec_id",
+        F.posexplode(F.array(*[_table_code_spark(t) for t in range(_LSH_TABLES)])).alias(
+            "t", "code"
+        ),
+    )
     a = bands.select(F.col("vec_id").alias("vec_a"), "t", "code")
     b = bands.select(
         F.col("vec_id").alias("vec_b"),
