@@ -423,3 +423,83 @@ def q97_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec"))
         .join(F.broadcast(checksums), "cluster_id")
     )
+
+
+@register(
+    "q134_ivf_trained",
+    oracle=f"""
+    WITH c0 AS (
+        SELECT vec_id AS cluster_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS cvec
+        FROM embeddings WHERE vec_id < {_KM_K}
+    ),
+    a1 AS ({_km_sql_assign('embeddings', 'c0')}),
+    c1 AS ({_km_sql_update('a1')}),
+    a2 AS ({_km_sql_assign('embeddings', 'c1')}),
+    c2 AS ({_km_sql_update('a2')}),
+    assigned AS ({_km_sql_assign('embeddings', 'c2')}),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv, cluster_id AS qcell
+        FROM assigned WHERE vec_id % 100 = 50
+    ),
+    probed AS (
+        SELECT q.query_id, a.vec_id AS neighbor_id,
+               {duckdb_cosine('q.qv', 'a.embedding')} AS cos
+        FROM q JOIN assigned a ON a.cluster_id = q.qcell AND a.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(cos, 4) AS cosine, rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM probed
+    )
+    WHERE rank <= 3
+    """,
+)
+def q134_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over TRAINED cells: centroids come from two deterministic
+    Lloyd iterations (the q97 machinery — integer-quantized after every
+    update, bit-identical cross-engine), the index assigns every vector to
+    its trained cell, and each query probes only its own cell for top-3
+    neighbors.
+
+    This closes q62's caveat (its cells were seed vectors, not trained):
+    the full IVF lifecycle — train -> build -> probe — in one lazy plan.
+    Scale shape: training touches the corpus twice per iteration with
+    k-array broadcasts (no vector shuffle); the index build is one more
+    broadcast-argmin pass; probes hit 1/k of the corpus per query. At
+    100 TB the trained centroid table would be persisted once and reused
+    across query batches; nprobe>1 = relaxing the cell equality to the
+    top-n cells by centroid distance.
+    """
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    vectors = embeddings.select("vec_id", "embedding")
+    c = embeddings.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint")
+        ).alias("cvec"),
+    )
+    for _ in range(2):
+        c = _km_update(_km_assign(vectors, c))
+    assigned = _km_assign(vectors, c)
+    q = assigned.filter(F.col("vec_id") % 100 == 50).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("cluster_id").alias("qcell"),
+    )
+    probed = (
+        F.broadcast(q)
+        .join(
+            assigned,
+            (F.col("cluster_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cosine("qv", "embedding").alias("cos"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        probed.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rank")
+    )
