@@ -59,6 +59,8 @@ HEADLINE = [
     "q130_recursive_month_spine",
     "q131_embedding_quantize",
     "q132_vocab_topk_bigrams",
+    "q61_lsh_cosine_neardup",
+    "q134_ivf_trained",
 ]
 
 

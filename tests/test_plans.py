@@ -57,6 +57,8 @@ class TestJoinStrategies:
             "q38_asof_join_banded",
             "q84_market_share",
             "q97_kmeans",  # k=4 centroid broadcast
+            "q134_ivf_trained",  # same k=4 centroid broadcast as q97
+            "q135_ann_recall",  # same, plus the sanctioned q60 broadcast query side
             # 1-row scalar-aggregate broadcasts (corpus N / global stats / threshold)
             "q99_tfidf",
             "q100_bm25",
