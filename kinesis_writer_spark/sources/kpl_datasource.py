@@ -25,7 +25,27 @@ import os
 import struct
 import uuid
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class SimpleCommitMessage(WriterCommitMessage):
+    n_records: int
+    n_frames: int
+    file: str | None  # container written by this task (None if empty)
+
+
+#: Commit manifest: readers trust ONLY the files it lists (when present), so
+#: containers left behind by failed-and-retried tasks are never scanned.
+MANIFEST = "_kpl_manifest.json"
 
 #: DataFrame schema produced by the source.
 KPL_SCHEMA = (
@@ -82,7 +102,8 @@ class _FilePartition(InputPartition):
 
 
 class KplDataSource(DataSource):
-    """``format("kpl")`` — scan KPL container files as user records."""
+    """``format("kpl")`` — scan KPL container files as user records, or
+    write a DataFrame of payloads back out as aggregated containers."""
 
     @classmethod
     def name(cls) -> str:
@@ -94,6 +115,9 @@ class KplDataSource(DataSource):
     def reader(self, schema) -> "KplReader":
         return KplReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "KplWriter":
+        return KplWriter(self.options, [f.name for f in schema.fields], overwrite)
+
 
 class KplReader(DataSourceReader):
     def __init__(self, options):
@@ -104,7 +128,17 @@ class KplReader(DataSourceReader):
 
     def partitions(self):
         if os.path.isdir(self.path):
-            files = sorted(_glob.glob(os.path.join(self.path, "*.kpl")))
+            manifest = os.path.join(self.path, MANIFEST)
+            if os.path.exists(manifest):
+                # committed write: scan exactly the committed file set, so
+                # orphans from retried task attempts are never read
+                import json as _json
+
+                with open(manifest) as f:
+                    names = _json.load(f)["files"]
+                files = [os.path.join(self.path, n) for n in names]
+            else:
+                files = sorted(_glob.glob(os.path.join(self.path, "*.kpl")))
         else:
             files = sorted(_glob.glob(self.path))
         if not files:
@@ -120,6 +154,77 @@ class KplReader(DataSourceReader):
                 yield (rec.partition_key, rec.explicit_hash_key, rec.data, partition.path)
 
 
+class KplWriter(DataSourceWriter):
+    """``df.write.format("kpl").save(dir)`` — the producer half of the
+    DataSource: each task aggregates its partition's payload rows into
+    ~1 MiB KPL wire records (the R3/R16 batching contract,
+    RecordAggregator.java:40-75) and spills them as ONE ``.kpl`` container
+    per partition. Commit is rename-free: task files are uuid-named, so a
+    retried task writes a new file and the driver's commit simply reports
+    the set — at 100 TB this is the executor-parallel shape of
+    ``write_wire_dir`` with write-path planning (mode checks, schema
+    validation) done by Spark.
+
+    Expected input schema: a binary ``data`` column (payloads); optional
+    ``partition_key`` string column (defaults to ``"a"`` like the sink's
+    static keying).
+    """
+
+    def __init__(self, options, field_names: list[str], overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("kpl writer requires a path: df.write.format('kpl').save(dir)")
+        if "data" not in field_names:
+            raise ValueError(f"kpl writer needs a binary 'data' column, got {field_names}")
+        self.path = path
+        self.has_pk = "partition_key" in field_names
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        from ..kpl.aggregator import RecordAggregator
+
+        os.makedirs(self.path, exist_ok=True)
+        agg = RecordAggregator()
+        frames: list[bytes] = []
+        agg.on_record_complete(lambda rec: frames.append(rec.to_bytes()))
+        n = 0
+        for row in iterator:
+            pk = row["partition_key"] if self.has_pk else "a"
+            agg.add_user_record(pk, bytes(row["data"]))
+            n += 1
+        tail = agg.clear_and_get()
+        if tail is not None:
+            frames.append(tail.to_bytes())
+        fname = None
+        if frames:
+            fname = f"part-{_uuid.uuid4().hex}.kpl"
+            write_wire_file(os.path.join(self.path, fname), frames)
+        return SimpleCommitMessage(n_records=n, n_frames=len(frames), file=fname)
+
+    def commit(self, messages):
+        # exactly-once across task retries: only the files of SUCCESSFUL task
+        # attempts enter the manifest; orphans from retried attempts exist on
+        # disk but are never read (the reader trusts the manifest)
+        import json as _json
+
+        files = sorted(m.file for m in messages if m and m.file)
+        with open(os.path.join(self.path, MANIFEST), "w") as f:
+            _json.dump({"files": files}, f)
+
+    def abort(self, messages):
+        # best-effort cleanup of this attempt's files; no manifest is written,
+        # so anything left behind stays invisible to readers
+        for m in messages:
+            if m and m.file:
+                try:
+                    os.remove(os.path.join(self.path, m.file))
+                except OSError:
+                    pass
+
+
 def register(spark) -> None:
-    """Register the source on a session: ``spark.read.format("kpl")``."""
+    """Register the source on a session: ``spark.read.format("kpl")`` and
+    ``df.write.format("kpl")``."""
     spark.dataSource.register(KplDataSource)

@@ -80,3 +80,65 @@ class TestKplDataSource:
         expected = kio.load(spark, SF_DIR, "events").select("event_id")
         assert back.distinct().count() == expected.distinct().count()
         assert back.join(expected, "event_id", "left_anti").count() == 0
+
+
+class TestKplWriter:
+    """df.write.format('kpl') — the producer half of the DataSource."""
+
+    def test_write_read_roundtrip(self, spark, tmp_path):
+        from kinesis_writer_spark.sources import kpl_datasource
+
+        kpl_datasource.register(spark)
+        payloads = [(f"payload-{i}".encode(),) for i in range(500)]
+        df = spark.createDataFrame(payloads, "data binary").repartition(4)
+        out = str(tmp_path / "wire_out")
+        df.write.format("kpl").mode("append").save(out)
+
+        back = spark.read.format("kpl").load(out)
+        got = sorted(bytes(r["data"]) for r in back.collect())
+        assert got == sorted(p for (p,) in payloads)
+        # one container per non-empty input partition
+        import glob as g
+        assert 1 <= len(g.glob(out + "/*.kpl")) <= 4
+
+    def test_write_with_partition_keys(self, spark, tmp_path):
+        from kinesis_writer_spark.sources import kpl_datasource
+
+        kpl_datasource.register(spark)
+        rows = [(f"user-{i % 7}", f"data-{i}".encode()) for i in range(100)]
+        df = spark.createDataFrame(rows, "partition_key string, data binary")
+        out = str(tmp_path / "wire_keys")
+        df.write.format("kpl").mode("append").save(out)
+        back = spark.read.format("kpl").load(out)
+        keys = {r["partition_key"] for r in back.collect()}
+        assert keys == {f"user-{i}" for i in range(7)}
+
+    def test_missing_data_column_rejected(self, spark, tmp_path):
+        from kinesis_writer_spark.sources import kpl_datasource
+
+        kpl_datasource.register(spark)
+        df = spark.createDataFrame([("x",)], "wrong string")
+        with pytest.raises(Exception, match="data"):
+            df.write.format("kpl").mode("append").save(str(tmp_path / "nope"))
+
+    def test_manifest_hides_orphan_files(self, spark, tmp_path):
+        """A container left by a failed/retried task attempt is not read."""
+        import json as _json
+        import os
+
+        from kinesis_writer_spark.sources import kpl_datasource
+        from kinesis_writer_spark.kpl.aggregator import RecordAggregator
+
+        kpl_datasource.register(spark)
+        df = spark.createDataFrame([(b"good-1",), (b"good-2",)], "data binary").coalesce(1)
+        out = str(tmp_path / "with_orphan")
+        df.write.format("kpl").mode("append").save(out)
+        # simulate a retried attempt's orphan: a valid container NOT in the manifest
+        agg = RecordAggregator()
+        agg.add_user_record("a", b"orphan-duplicate")
+        rec = agg.clear_and_get()
+        kpl_datasource.write_wire_file(os.path.join(out, "part-orphan.kpl"), [rec.to_bytes()])
+        manifest = _json.load(open(os.path.join(out, kpl_datasource.MANIFEST)))
+        assert "part-orphan.kpl" not in manifest["files"]
+        got = {bytes(r["data"]) for r in spark.read.format("kpl").load(out).collect()}
+        assert got == {b"good-1", b"good-2"}
