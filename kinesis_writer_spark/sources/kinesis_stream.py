@@ -48,7 +48,11 @@ import json
 from collections.abc import Iterator
 from datetime import datetime, timezone
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamWriter,
+    SimpleDataSourceStreamReader,
+)
 
 #: Raw Kinesis record schema (consumer-side; ``data`` may hold a KPL
 #: aggregated record — run deaggregate_records downstream to explode it).
@@ -168,6 +172,80 @@ class CaptureReplayClient:
 
 def capture_client_factory(capture_dir: str, partition_key: str = "capture"):
     return CaptureReplayClient(capture_dir, partition_key)
+
+
+class CaptureSinkClient:
+    """Offline Kinesis PRODUCER endpoint: accepts the boto3 producer surface
+    (``describe_stream`` for shard discovery + ``put_records``) and lands
+    every aggregated wire record as frames in ``capture_dir/<shard>/*.kpl``
+    — the same layout :class:`CaptureReplayClient` and
+    ``spark.read.format("kpl")`` consume, so a streaming write can be
+    round-tripped hermetically: writeStream("kinesis") → capture → read →
+    deaggregate → original payloads.
+    """
+
+    def __init__(self, capture_dir: str, num_shards: int = 1) -> None:
+        import os
+
+        self._dir = capture_dir
+        space = 1 << 128
+        self.shards = []
+        for i in range(num_shards):
+            lo = i * space // num_shards
+            hi = (i + 1) * space // num_shards - 1
+            sid = f"shardId-{i:012d}"
+            self.shards.append(
+                {
+                    "ShardId": sid,
+                    "HashKeyRange": {"StartingHashKey": str(lo), "EndingHashKey": str(hi)},
+                    "SequenceNumberRange": {"StartingSequenceNumber": "0"},
+                }
+            )
+            os.makedirs(os.path.join(capture_dir, sid), exist_ok=True)
+
+    def describe_stream(self, StreamName: str, ExclusiveStartShardId: str | None = None, **_):
+        shards = self.shards
+        if ExclusiveStartShardId is not None:
+            ids = [s["ShardId"] for s in shards]
+            shards = shards[ids.index(ExclusiveStartShardId) + 1 :]
+        return {
+            "StreamDescription": {
+                "StreamName": StreamName,
+                "Shards": shards,
+                "HasMoreShards": False,
+            }
+        }
+
+    def _shard_for(self, ehk: str) -> str:
+        v = int(ehk)
+        for s in self.shards:
+            if int(s["HashKeyRange"]["StartingHashKey"]) <= v <= int(
+                s["HashKeyRange"]["EndingHashKey"]
+            ):
+                return s["ShardId"]
+        return self.shards[0]["ShardId"]
+
+    def put_records(self, StreamName: str, Records: list[dict]):
+        import os
+        import uuid as _uuid
+
+        from .kpl_datasource import write_wire_file
+
+        out = []
+        by_shard: dict[str, list[bytes]] = {}
+        for rec in Records:
+            shard = self._shard_for(rec.get("ExplicitHashKey") or "0")
+            by_shard.setdefault(shard, []).append(bytes(rec["Data"]))
+            out.append({"SequenceNumber": "0", "ShardId": shard})
+        for shard, frames in by_shard.items():
+            write_wire_file(
+                os.path.join(self._dir, shard, f"part-{_uuid.uuid4().hex}.kpl"), frames
+            )
+        return {"FailedRecordCount": 0, "Records": out}
+
+
+def capture_sink_client_factory(capture_dir: str, num_shards: int = 1):
+    return CaptureSinkClient(capture_dir, num_shards)
 
 
 class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
@@ -297,7 +375,54 @@ class KinesisDataSource(DataSource):
     def simpleStreamReader(self, schema) -> KinesisSimpleStreamReader:
         return KinesisSimpleStreamReader(self.options)
 
+    def streamWriter(self, schema, overwrite: bool) -> "KinesisStreamSinkWriter":
+        return KinesisStreamSinkWriter(
+            self.options, [f.name for f in schema.fields]
+        )
+
+
+class KinesisStreamSinkWriter(DataSourceStreamWriter):
+    """``payloads.writeStream.format("kinesis")`` — the reference's producer
+    loop (KinesisWriter.scala:147-197: aggregate → route → PutRecords with
+    linear back-off) as a first-class Structured Streaming sink.
+
+    Each task builds a client from ``client_factory`` and pushes its
+    partition's ``data`` payloads through
+    :class:`...sink.KinesisStreamWriter` (exact KPL sizing, shard-midpoint
+    routing, retry ×30, replay-from-raw). Delivery is AT-LEAST-ONCE: a
+    retried task re-sends its partition for that epoch — the same contract
+    as the reference and every PutRecords producer; dedup belongs to the
+    consumer (see deaggregate + q36-style dedup-latest).
+    """
+
+    def __init__(self, options, field_names: list[str]):
+        if "data" not in field_names:
+            raise ValueError(f"kinesis sink needs a binary 'data' column, got {field_names}")
+        self._stream = options.get("stream_name", "stream")
+        self._factory_spec = options.get(
+            "client_factory",
+            "kinesis_writer_spark.sources.kinesis_stream:boto3_client_factory",
+        )
+        self._factory_kwargs = options.get("client_kwargs")
+
+    def write(self, iterator):
+        from pyspark.sql.datasource import WriterCommitMessage
+
+        from ..sink import KinesisStreamWriter as _Writer
+
+        client = resolve_factory(self._factory_spec, self._factory_kwargs)
+        writer = _Writer(self._stream, client)
+        n = writer.write(bytes(row["data"]) for row in iterator)
+        return WriterCommitMessage()
+
+    def commit(self, messages, batchId) -> None:
+        pass  # offsets commit in the streaming checkpoint
+
+    def abort(self, messages, batchId) -> None:
+        pass  # at-least-once: partial sends of an aborted epoch may re-send
+
 
 def register(spark) -> None:
-    """Register on a session: ``spark.readStream.format("kinesis")``."""
+    """Register on a session: ``spark.readStream.format("kinesis")`` and
+    ``df.writeStream.format("kinesis")``."""
     spark.dataSource.register(KinesisDataSource)

@@ -176,3 +176,42 @@ class TestKinesisReadStream:
         # so the file sink holds each user record exactly once
         n = spark.read.parquet(out).count()
         assert n == 40 + 25, f"expected no duplicates after resume, got {n}"
+
+
+class TestKinesisStreamSink:
+    """writeStream.format('kinesis'): the reference's producer loop as a
+    native Structured Streaming sink, round-tripped offline through the
+    capture layout."""
+
+    def test_writestream_roundtrip(self, spark, tmp_path):
+        from kinesis_writer_spark.sources import kinesis_stream, kpl_datasource
+
+        kinesis_stream.register(spark)
+        sink_dir = str(tmp_path / "sink_capture")
+        # a small file-backed stream of payload rows
+        src_dir = tmp_path / "src"
+        os.makedirs(src_dir)
+        payloads = [f"msg-{i:03d}".encode() for i in range(300)]
+        spark.createDataFrame([(p,) for p in payloads], "data binary").write.mode(
+            "overwrite"
+        ).parquet(str(src_dir / "p"))
+        stream = spark.readStream.schema("data binary").parquet(str(src_dir / "p"))
+        q = (
+            stream.writeStream.format("kinesis")
+            .option("stream_name", "out-stream")
+            .option(
+                "client_factory",
+                "kinesis_writer_spark.sources.kinesis_stream:capture_sink_client_factory",
+            )
+            .option("client_kwargs", json.dumps({"capture_dir": sink_dir, "num_shards": 2}))
+            .option("checkpointLocation", str(tmp_path / "ckpt_sink"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # the capture dir now holds KPL containers; the batch DataSource
+        # deaggregates them back into the original user-record payloads
+        kpl_datasource.register(spark)
+        back = spark.read.format("kpl").load(sink_dir + "/*/*.kpl")
+        got = sorted(bytes(r["data"]) for r in back.collect())
+        assert got == sorted(payloads)
