@@ -30,15 +30,21 @@ the layout ``write_wire_dir`` spills) through the same ``get_records`` API
 shape, so the full ``readStream → deaggregate → window`` pipeline runs
 hermetically in CI; tests/test_kinesis_stream_source.py does exactly that.
 
-Scale notes (the honest trade): this adapter uses Spark's
-``SimpleDataSourceStreamReader`` — reads happen on the driver and rows ship
-to executors with the batch plan. That is the right shape for control-plane
-simplicity and for streams up to a few MB/s (and for tests); it is NOT the
-100 TB shape. The documented upgrade path keeps this module's client and
-offset contracts and swaps the reader class for a full
-``DataSourceStreamReader`` whose ``partitions(start, end)`` emits one
-partition per shard so each executor polls its own shard in parallel —
-offsets and record schema are already per-shard to make that swap seamless.
+Two reader shapes, same offsets (checkpoint-compatible):
+
+- default: ``SimpleDataSourceStreamReader`` — the driver polls and rows ship
+  with the batch plan. Right for control-plane simplicity and low-MB/s
+  streams.
+- ``.option("reader", "partitioned")``: a full ``DataSourceStreamReader``
+  planning ONE input partition per shard slice, each executor task polling
+  its own shard — ingest parallelism = shard count, no record bytes through
+  the driver. This is the cluster-scale shape; see
+  :class:`KinesisPartitionedStreamReader` for its ``latestOffset`` contract.
+
+The sink side is also native: ``payloads.writeStream.format("kinesis")``
+runs the reference's producer loop (KPL aggregation → shard-midpoint
+routing → retrying PutRecords) per task; ``CaptureSinkClient`` provides the
+offline endpoint, landing records as replayable ``.kpl`` captures.
 """
 
 from __future__ import annotations
@@ -50,7 +56,9 @@ from datetime import datetime, timezone
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamReader,
     DataSourceStreamWriter,
+    InputPartition,
     SimpleDataSourceStreamReader,
 )
 
@@ -362,6 +370,134 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+class _ShardSlice(InputPartition):
+    def __init__(self, shard_id: str | None, start: int, end: int):
+        self.shard_id = shard_id
+        self.start = start
+        self.end = end
+
+
+class KinesisPartitionedStreamReader(DataSourceStreamReader):
+    """Partition-per-shard reader — the cluster-scale shape: each micro-batch
+    plans ONE input partition per shard slice, and every executor task polls
+    its own shard over the boto3 surface (``get_shard_iterator`` +
+    ``get_records``) directly, so ingest parallelism equals the shard count
+    and no record bytes flow through the driver (unlike the Simple reader,
+    which polls driver-side).
+
+    Enabled with ``.option("reader", "partitioned")``. Offsets are the same
+    ``{shard_id: next_index}`` dicts as the Simple reader, so the two are
+    checkpoint-compatible. ``latestOffset`` needs each shard's current end
+    position; it derives it from the client's LATEST shard iterator, which
+    the capture-replay client (and any KCL-style checkpoint store) exposes
+    as an indexable position. A live boto3 iterator is opaque — for live
+    streams, bound each batch instead (end = start + max_records) and let
+    short reads terminate the slice, which preserves replay determinism
+    because Kinesis sequence positions are stable until retention expiry.
+    """
+
+    def __init__(self, options) -> None:
+        self._options = dict(options)
+        self._stream = options.get("stream_name", "stream")
+        self._factory_spec = options.get(
+            "client_factory",
+            "kinesis_writer_spark.sources.kinesis_stream:boto3_client_factory",
+        )
+        self._factory_kwargs = options.get("client_kwargs")
+        self._client = None
+
+    def _c(self):
+        if self._client is None:
+            self._client = resolve_factory(self._factory_spec, self._factory_kwargs)
+        return self._client
+
+    def _shard_ids(self) -> list[str]:
+        client = self._c()
+        out: list[str] = []
+        token = None
+        while True:
+            resp = (
+                client.list_shards(StreamName=self._stream, NextToken=token)
+                if token
+                else client.list_shards(StreamName=self._stream)
+            )
+            out.extend(s["ShardId"] for s in resp["Shards"])
+            token = resp.get("NextToken")
+            if not token:
+                return out
+
+    def initialOffset(self) -> dict:
+        return {sid: 0 for sid in self._shard_ids()}
+
+    def latestOffset(self) -> dict:
+        client = self._c()
+        end = {}
+        for sid in self._shard_ids():
+            it = client.get_shard_iterator(
+                StreamName=self._stream, ShardId=sid, ShardIteratorType="LATEST"
+            )["ShardIterator"]
+            try:
+                end[sid] = int(json.loads(it).get("idx", 0))
+            except (ValueError, TypeError) as exc:
+                raise ValueError(
+                    "partitioned reader needs an indexable LATEST position "
+                    "(capture replay / KCL checkpoint store); live boto3 "
+                    "iterators are opaque — use the default Simple reader or "
+                    "a position-exposing client"
+                ) from exc
+        return end
+
+    def partitions(self, start: dict, end: dict) -> list[_ShardSlice]:
+        slices = [
+            _ShardSlice(sid, int(start.get(sid, 0)), int(e))
+            for sid, e in end.items()
+            if int(e) > int(start.get(sid, 0))
+        ]
+        # Spark requires >= 1 partition per batch; an empty slice yields no rows
+        return slices or [_ShardSlice(None, 0, 0)]
+
+    def read(self, partition: _ShardSlice) -> Iterator[tuple]:
+        # executor-side: this task owns one shard slice
+        if partition.shard_id is None or partition.end <= partition.start:
+            return
+        client = resolve_factory(self._factory_spec, self._factory_kwargs)
+        idx = partition.start
+        while idx < partition.end:
+            if idx == 0:
+                it = client.get_shard_iterator(
+                    StreamName=self._stream,
+                    ShardId=partition.shard_id,
+                    ShardIteratorType="TRIM_HORIZON",
+                )["ShardIterator"]
+            else:
+                it = client.get_shard_iterator(
+                    StreamName=self._stream,
+                    ShardId=partition.shard_id,
+                    ShardIteratorType="AT_SEQUENCE_NUMBER",
+                    StartingSequenceNumber=str(idx),
+                )["ShardIterator"]
+            records = client.get_records(
+                ShardIterator=it, Limit=partition.end - idx
+            )["Records"]
+            if not records:
+                return  # short read: shard drained below the sampled end
+            for rec in records:
+                ts = rec.get("ApproximateArrivalTimestamp") or _EPOCH
+                if getattr(ts, "tzinfo", None) is not None:
+                    ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+                yield (
+                    partition.shard_id,
+                    rec["SequenceNumber"],
+                    rec.get("PartitionKey"),
+                    bytes(rec["Data"]),
+                    ts,
+                )
+            idx = int(records[-1]["SequenceNumber"]) + 1
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class KinesisDataSource(DataSource):
     """``format("kinesis")`` — Kinesis consumer as a streaming source."""
 
@@ -371,6 +507,16 @@ class KinesisDataSource(DataSource):
 
     def schema(self) -> str:
         return KINESIS_SCHEMA
+
+    def streamReader(self, schema) -> KinesisPartitionedStreamReader:
+        if self.options.get("reader") == "partitioned":
+            return KinesisPartitionedStreamReader(self.options)
+        from pyspark.errors import PySparkNotImplementedError
+
+        # fall back to the Simple (driver-polling) reader
+        raise PySparkNotImplementedError(
+            errorClass="NOT_IMPLEMENTED", messageParameters={"feature": "streamReader"}
+        )
 
     def simpleStreamReader(self, schema) -> KinesisSimpleStreamReader:
         return KinesisSimpleStreamReader(self.options)

@@ -215,3 +215,56 @@ class TestKinesisStreamSink:
         back = spark.read.format("kpl").load(sink_dir + "/*/*.kpl")
         got = sorted(bytes(r["data"]) for r in back.collect())
         assert got == sorted(payloads)
+
+
+class TestPartitionedReader:
+    """option('reader','partitioned'): one input partition per shard slice,
+    executor-side polling — the cluster-scale upgrade path, checkpoint-
+    compatible with the Simple reader."""
+
+    def test_partition_planning(self, capture_dir):
+        from kinesis_writer_spark.sources.kinesis_stream import (
+            KinesisPartitionedStreamReader,
+        )
+
+        r = KinesisPartitionedStreamReader(
+            {
+                "stream_name": "events",
+                "client_factory": "kinesis_writer_spark.sources.kinesis_stream:capture_client_factory",
+                "client_kwargs": json.dumps({"capture_dir": capture_dir}),
+            }
+        )
+        start, end = r.initialOffset(), r.latestOffset()
+        assert set(start) == set(end) and all(e > 0 for e in end.values())
+        parts = r.partitions(start, end)
+        assert len(parts) == 2  # one per shard
+        rows = list(r.read(parts[0])) + list(r.read(parts[1]))
+        # frames (aggregated records) per shard, not user records
+        assert len(rows) == sum(end.values())
+        assert {t[0] for t in rows} == set(end)
+
+    def test_partitioned_roundtrip_matches_simple(self, spark, capture_dir, tmp_path):
+        raw = (
+            spark.readStream.format("kinesis")
+            .option("stream_name", "events")
+            .option("reader", "partitioned")
+            .option(
+                "client_factory",
+                "kinesis_writer_spark.sources.kinesis_stream:capture_client_factory",
+            )
+            .option("client_kwargs", json.dumps({"capture_dir": capture_dir}))
+            .load()
+        )
+        q = (
+            deaggregate_records(raw, wire_col="data", strict=False)
+            .writeStream.format("memory")
+            .queryName("kinesis_partitioned")
+            .option("checkpointLocation", str(tmp_path / "ckpt_part"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM kinesis_partitioned").collect()
+        assert len(got) == 40 + 25
+        users = sorted(json.loads(bytes(r["data"]))["user_id"] for r in got)
+        assert users == sorted(list(range(0, 40)) + list(range(1000, 1025)))
