@@ -1,5 +1,6 @@
 """Feature-engineering operators for training-data pipelines: embedding
-quantization, vocabulary building, and MinHash-estimator diagnostics.
+quantization, vocabulary building, MinHash-estimator diagnostics, and the
+approx-percentile accuracy gate.
 
 These extend SURVEY.md §2's LLM-pipeline block (the reference itself is a
 producer library — KinesisWriter.scala ships payloads; what a 100 TB training
@@ -287,4 +288,49 @@ def q133_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             matches.alias("n_sig_matches"),
             F.round(jac * 1000, 0).cast("bigint").alias("jaccard_milli"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q136: approx-percentile accuracy gate (the q16 pattern for quantiles)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q136_approx_percentile_gate",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 2) AS exact_median,
+           ROUND(quantile_cont(o_totalprice, 0.9), 2) AS exact_p90,
+           TRUE AS median_within_2pct,
+           TRUE AS p90_within_2pct
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q136_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy gate for ``approx_percentile`` — the single-pass
+    t-digest/GK quantile every 100 TB pipeline substitutes for exact
+    percentiles (q49's documented swap-in). Emits the EXACT interpolated
+    percentiles (oracle-checkable) plus booleans asserting the approximate
+    answer landed within 2% of exact; the oracle expects TRUE, so estimator
+    drift fails the hash gate like any value bug (the q16/q121 pattern).
+    """
+    (orders,) = tables(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("ex_med"),
+        F.percentile("o_totalprice", F.lit(0.9)).alias("ex_p90"),
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("ap_med"),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("ap_p90"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        F.round("ex_med", 2).alias("exact_median"),
+        F.round("ex_p90", 2).alias("exact_p90"),
+        (F.abs(F.col("ap_med") - F.col("ex_med")) <= 0.02 * F.abs(F.col("ex_med"))).alias(
+            "median_within_2pct"
+        ),
+        (F.abs(F.col("ap_p90") - F.col("ex_p90")) <= 0.02 * F.abs(F.col("ex_p90"))).alias(
+            "p90_within_2pct"
+        ),
     )
