@@ -431,7 +431,8 @@ _JACCARD_BAND_CHARS = 256  # length-band width for q55 candidate generation
     sh AS (
         SELECT doc_id, lang, source, n_chars,
                list_distinct(list_transform(range(1, len(w) - 1),
-                             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+                   i -> CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15))
+                        AS BIGINT))) AS shingles
         FROM d
     ),
     pairs AS (
@@ -453,7 +454,11 @@ _JACCARD_BAND_CHARS = 256  # length-band width for q55 candidate generation
 )
 def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram (word-shingle) Jaccard: top-2 most similar length-banded pairs
-    per (lang, source) block.
+    per (lang, source) block. Shingles are 60-bit MD5 hashes, not strings:
+    the per-pair set intersection compares fixed-width integers instead of
+    ~20-byte strings (measured 13.7 s → 5.9 s warm at sf0.1; collisions at 60
+    bits are negligible for Jaccard), and the banded join shuffles 8-byte
+    elements instead of text.
 
     Scale design (the q118 covering-band shape): pairs must share the
     (lang, source) block AND sit within ``_JACCARD_BAND_CHARS`` characters
@@ -479,7 +484,7 @@ def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.size(w) - 3),
-                lambda i: F.array_join(F.slice(w, i + 1, 3), " "),
+                lambda i: md5_60bit(F.array_join(F.slice(w, i + 1, 3), " ")),
             )
         ).alias("shingles"),
     )
