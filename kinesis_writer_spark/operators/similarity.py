@@ -289,28 +289,40 @@ _KM_K = 4
 _KM_SCALE = 1_000_000  # centroids live as 1e-6-scaled BIGINT arrays
 
 
-def _km_assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+def _km_assign(vectors: DataFrame, centroid_rows: list[tuple[int, list[int]]]) -> DataFrame:
     """Assign each vector to its nearest centroid (squared L2 in scaled
-    space; ties break on cluster_id). Centroids are a tiny broadcast."""
-    d2 = F.aggregate(
-        F.zip_with(
-            "embedding",
-            "cvec",
-            lambda x, c: (x.cast("double") * _KM_SCALE - c.cast("double"))
-            * (x.cast("double") * _KM_SCALE - c.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    space; ties break on cluster_id) as a NARROW expression: the k centroids
+    arrive as plain Python rows (the MLlib pattern — the model is k tiny
+    integer-exact arrays collected driver-side; the data never moves) and
+    are inlined as literal arrays, so assignment is least-of-k over
+    per-row distances — no crossJoin, no per-vector window shuffle.
+    Replaced the crossJoin+row_number shape: 3 shuffles per assignment
+    became 0 (same arithmetic, bit-identical results, same tie-break).
+    """
+    structs = []
+    for cid, cvec in sorted(centroid_rows):
+        lit_vec = F.array(*[F.lit(int(v)) for v in cvec])
+        d2 = F.aggregate(
+            F.zip_with(
+                "embedding",
+                lit_vec,
+                lambda x, c: (x.cast("double") * _KM_SCALE - c.cast("double"))
+                * (x.cast("double") * _KM_SCALE - c.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        structs.append(F.struct(d2.alias("d2"), F.lit(int(cid)).alias("cluster_id")))
+    best = F.least(*structs) if len(structs) > 1 else structs[0]
+    return vectors.select(
+        "vec_id", "embedding", best["cluster_id"].cast("bigint").alias("cluster_id")
     )
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "embedding", "cluster_id", d2.alias("d2")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cluster_id").asc())
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cluster_id")
-    )
+
+
+def _collect_centroids(cdf: DataFrame) -> list[tuple[int, list[int]]]:
+    """Materialize a centroid DataFrame to k driver-side rows (sorted for
+    deterministic literal order)."""
+    return sorted((int(r["cluster_id"]), [int(v) for v in r["cvec"]]) for r in cdf.collect())
 
 
 def _km_update(assigned: DataFrame) -> DataFrame:
@@ -402,21 +414,21 @@ def q97_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     vectors = embeddings.select("vec_id", "embedding")
-    c = embeddings.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cluster_id"),
-        F.transform(
-            "embedding", lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint")
-        ).alias("cvec"),
+    rows = _collect_centroids(
+        embeddings.filter(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cluster_id"),
+            F.transform(
+                "embedding", lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint")
+            ).alias("cvec"),
+        )
     )
     assigned = None
     for _ in range(2):
-        assigned = _km_assign(vectors, c)
-        c = _km_update(assigned)
-    checksums = c.select(
-        "cluster_id",
-        F.aggregate("cvec", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
-            "centroid_checksum"
-        ),
+        assigned = _km_assign(vectors, rows)
+        rows = _collect_centroids(_km_update(assigned))
+    checksums = spark.createDataFrame(
+        [(cid, sum(cvec)) for cid, cvec in rows],
+        "cluster_id bigint, centroid_checksum bigint",
     )
     return (
         assigned.groupBy("cluster_id")
@@ -475,15 +487,17 @@ def q134_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     vectors = embeddings.select("vec_id", "embedding")
-    c = embeddings.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cluster_id"),
-        F.transform(
-            "embedding", lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint")
-        ).alias("cvec"),
+    rows = _collect_centroids(
+        embeddings.filter(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cluster_id"),
+            F.transform(
+                "embedding", lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint")
+            ).alias("cvec"),
+        )
     )
     for _ in range(2):
-        c = _km_update(_km_assign(vectors, c))
-    assigned = _km_assign(vectors, c)
+        rows = _collect_centroids(_km_update(_km_assign(vectors, rows)))
+    assigned = _km_assign(vectors, rows)
     q = assigned.filter(F.col("vec_id") % 100 == 50).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -566,18 +580,20 @@ def q135_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     vectors = embeddings.select("vec_id", "embedding")
-    c = embeddings.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cluster_id"),
-        F.transform(
-            "embedding", lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint")
-        ).alias("cvec"),
+    rows = _collect_centroids(
+        embeddings.filter(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cluster_id"),
+            F.transform(
+                "embedding", lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint")
+            ).alias("cvec"),
+        )
     )
     for _ in range(2):
-        c = _km_update(_km_assign(vectors, c))
-    # three consumers (q, brute via q, ivf) would each recompute the whole
-    # train+assign chain; persist the built index once (measured 28s -> 9s
-    # at sf0.001) — the q52 persist-before-multi-consumer shape
-    assigned = _km_assign(vectors, c).persist()
+        rows = _collect_centroids(_km_update(_km_assign(vectors, rows)))
+    # three consumers (q, brute via q, ivf) would each re-scan for the
+    # narrow assignment; persist the built index once — the q52
+    # persist-before-multi-consumer shape
+    assigned = _km_assign(vectors, rows).persist()
     q = assigned.filter(F.col("vec_id") % 100 == 50).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
