@@ -404,13 +404,13 @@ def q97_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     double means would drift in the last ulp and could flip boundary
     assignments).
 
-    Spark shape per iteration: assignment is a broadcast of k tiny centroid
-    arrays + per-partition argmin (no shuffle on the vector side beyond the
-    window's vec_id partitioning); the update is posexplode → groupBy
-    (cluster, dim) partial means → re-assembled arrays. At 100 TB this is
-    the standard distributed Lloyd step; more iterations = a loop around
-    the same two stages with localCheckpoint per round (see
-    connected_components for why).
+    Spark shape per iteration: assignment is a NARROW least-of-k expression
+    over the k collected integer centroid literals (zero shuffles — the
+    model is constant-sized, the data never moves); the update is
+    posexplode → groupBy (cluster, dim) partial means → re-assembled
+    arrays (one shuffle of partial sums). At 100 TB this is the standard
+    distributed Lloyd step; more iterations = a loop around the same two
+    stages.
     """
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     vectors = embeddings.select("vec_id", "embedding")
