@@ -185,3 +185,13 @@ class TestScaleHardening:
         # a broadcast (either side), never a fact-table sort-merge
         p = plans["q130_recursive_month_spine"]
         assert "BroadcastHashJoin" in p
+
+    def test_q97_assignment_is_shuffle_free(self, plans):
+        # the final k-means assignment inlines collected integer centroid
+        # literals: a narrow least-of-k expression — no crossJoin, no
+        # per-vector window, exactly one exchange (the output rollup)
+        p = plans["q97_kmeans"]
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+        assert "Window" not in p
+        assert p.count("+- Exchange") <= 2
