@@ -404,7 +404,12 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
             "kinesis_writer_spark.sources.kinesis_stream:boto3_client_factory",
         )
         self._factory_kwargs = options.get("client_kwargs")
+        # per-shard per-micro-batch admission cap: bounds batch size (and
+        # therefore recovery replay) the way maxOffsetsPerTrigger does for
+        # Kafka; 0 = unbounded
+        self._max_per_batch = int(options.get("max_records_per_batch", "0"))
         self._client = None
+        self._last_start: dict | None = None
 
     def _c(self):
         if self._client is None:
@@ -427,7 +432,9 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
                 return out
 
     def initialOffset(self) -> dict:
-        return {sid: 0 for sid in self._shard_ids()}
+        start = {sid: 0 for sid in self._shard_ids()}
+        self._last_start = start
+        return start
 
     def latestOffset(self) -> dict:
         client = self._c()
@@ -437,7 +444,15 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
                 StreamName=self._stream, ShardId=sid, ShardIteratorType="LATEST"
             )["ShardIterator"]
             try:
-                end[sid] = int(json.loads(it).get("idx", 0))
+                avail = int(json.loads(it).get("idx", 0))
+                # admission control: cap this batch at max_records_per_batch
+                # past the previous batch's end (unbounded on the first call
+                # after a restart — the recovered batch re-plans from its
+                # checkpointed offsets regardless)
+                if self._max_per_batch and self._last_start is not None:
+                    floor = int(self._last_start.get(sid, 0))
+                    avail = min(avail, floor + self._max_per_batch)
+                end[sid] = avail
             except (ValueError, TypeError) as exc:
                 raise ValueError(
                     "partitioned reader needs an indexable LATEST position "
@@ -445,6 +460,7 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
                     "iterators are opaque — use the default Simple reader or "
                     "a position-exposing client"
                 ) from exc
+        self._last_start = dict(end)
         return end
 
     def partitions(self, start: dict, end: dict) -> list[_ShardSlice]:

@@ -268,3 +268,34 @@ class TestPartitionedReader:
         assert len(got) == 40 + 25
         users = sorted(json.loads(bytes(r["data"]))["user_id"] for r in got)
         assert users == sorted(list(range(0, 40)) + list(range(1000, 1025)))
+
+    def test_rate_limited_batches(self, tmp_path):
+        from kinesis_writer_spark.sources.kinesis_stream import (
+            KinesisPartitionedStreamReader,
+        )
+
+        # 3 single-frame containers per shard -> 3 sequence positions
+        root = tmp_path / "multi"
+        for sid in ("shardId-000000000000", "shardId-000000000001"):
+            os.makedirs(root / sid)
+            for i in range(3):
+                agg = RecordAggregator()
+                agg.add_user_record("pk", f"{sid}-{i}".encode())
+                rec = agg.clear_and_get()
+                write_wire_file(str(root / sid / f"part-{i}.kpl"), [rec.to_bytes()])
+        r = KinesisPartitionedStreamReader(
+            {
+                "stream_name": "events",
+                "client_factory": "kinesis_writer_spark.sources.kinesis_stream:capture_client_factory",
+                "client_kwargs": json.dumps({"capture_dir": str(root)}),
+                "max_records_per_batch": "1",
+            }
+        )
+        start = r.initialOffset()
+        e1 = r.latestOffset()
+        assert all(e - int(start.get(s, 0)) <= 1 for s, e in e1.items())
+        e2 = r.latestOffset()  # next batch advances by at most 1 more
+        assert all(e2[s] - e1[s] <= 1 for s in e2)
+        assert sum(e2.values()) > sum(e1.values())  # and it does advance
+        e3 = r.latestOffset()
+        assert all(v == 3 for v in e3.values())  # reaches the tip, never past
