@@ -56,6 +56,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceReader,
     DataSourceStreamReader,
     DataSourceStreamWriter,
     InputPartition,
@@ -514,8 +515,28 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         pass
 
 
+class KinesisBatchReader(DataSourceReader):
+    """Batch read for backfills: ``spark.read.format("kinesis")`` scans every
+    shard from TRIM_HORIZON to the current tip, one input partition per
+    shard — the bulk-load twin of the streaming readers (same client
+    contract, same record schema), for rebuilding a table from a stream
+    retention window or a capture directory without running a query."""
+
+    def __init__(self, options) -> None:
+        self._options = options
+
+    def partitions(self):
+        r = KinesisPartitionedStreamReader(self._options)
+        start, end = r.initialOffset(), r.latestOffset()
+        return r.partitions(start, end)
+
+    def read(self, partition):
+        return KinesisPartitionedStreamReader(self._options).read(partition)
+
+
 class KinesisDataSource(DataSource):
-    """``format("kinesis")`` — Kinesis consumer as a streaming source."""
+    """``format("kinesis")`` — Kinesis consumer as a streaming source, batch
+    backfill reader, and streaming sink."""
 
     @classmethod
     def name(cls) -> str:
@@ -523,6 +544,9 @@ class KinesisDataSource(DataSource):
 
     def schema(self) -> str:
         return KINESIS_SCHEMA
+
+    def reader(self, schema) -> "KinesisBatchReader":
+        return KinesisBatchReader(self.options)
 
     def streamReader(self, schema) -> KinesisPartitionedStreamReader:
         if self.options.get("reader") == "partitioned":

@@ -299,3 +299,24 @@ class TestPartitionedReader:
         assert sum(e2.values()) > sum(e1.values())  # and it does advance
         e3 = r.latestOffset()
         assert all(v == 3 for v in e3.values())  # reaches the tip, never past
+
+
+class TestKinesisBatchRead:
+    def test_batch_backfill(self, spark, capture_dir):
+        kinesis_stream.register(spark)
+        df = (
+            spark.read.format("kinesis")
+            .option("stream_name", "events")
+            .option(
+                "client_factory",
+                "kinesis_writer_spark.sources.kinesis_stream:capture_client_factory",
+            )
+            .option("client_kwargs", json.dumps({"capture_dir": capture_dir}))
+            .load()
+        )
+        assert not df.isStreaming
+        user_records = deaggregate_records(df, wire_col="data", strict=False)
+        users = sorted(
+            json.loads(bytes(r["data"]))["user_id"] for r in user_records.collect()
+        )
+        assert users == sorted(list(range(0, 40)) + list(range(1000, 1025)))
