@@ -320,3 +320,61 @@ class TestKinesisBatchRead:
             json.loads(bytes(r["data"]))["user_id"] for r in user_records.collect()
         )
         assert users == sorted(list(range(0, 40)) + list(range(1000, 1025)))
+
+
+class TestKinesisToStatefulPipeline:
+    """The full streaming-analytics composition: Kinesis source → KPL
+    deaggregate → parse → session-window aggregation — every stage of the
+    engine's streaming story on one query."""
+
+    def test_kinesis_sessionization(self, spark, tmp_path):
+        # payloads with two sessions per user (> 10 min gap between them)
+        def evts(uid, minutes):
+            return [
+                json.dumps(
+                    {"user_id": uid, "value": 1.0,
+                     "event_time": f"2024-01-01T00:{m:02d}:00"}
+                ).encode()
+                for m in minutes
+            ]
+
+        capture = _make_capture(
+            tmp_path,
+            {
+                # user 1: events at :00-:02 and :30-:31 -> 2 sessions
+                # user 2: events at :05-:06 -> 1 session
+                "shardId-000000000000": evts(1, [0, 1, 2, 30, 31]),
+                "shardId-000000000001": evts(2, [5, 6]),
+            },
+        )
+        raw = _read_stream(spark, capture)
+        events = (
+            deaggregate_records(raw, wire_col="data", strict=False)
+            .select(
+                F.from_json(
+                    F.col("data").cast("string"),
+                    "user_id long, value double, event_time timestamp",
+                ).alias("e")
+            )
+            .select("e.user_id", "e.value", F.col("e.event_time").alias("ts"))
+        )
+        sessions = (
+            events.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "10 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total"))
+        )
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName("kinesis_sessions")
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(
+            "SELECT user_id, n_events FROM kinesis_sessions ORDER BY user_id, n_events"
+        ).collect()
+        got = [(r["user_id"], r["n_events"]) for r in rows]
+        # user 1: one 3-event session + one 2-event session; user 2: 2 events
+        assert got == [(1, 2), (1, 3), (2, 2)]
