@@ -25,6 +25,7 @@ from ..functions.vectors import duckdb_dot, duckdb_sq_norm
 from ..registry import register
 from ._util import tables
 from .sampling import _bucket, _duckdb_bucket
+from .similarity import _km_assign_expr, ivf_assigned_sql_ctes, ivf_train_centroids
 
 # ---------------------------------------------------------------------------
 # TF-IDF
@@ -309,15 +310,16 @@ _EMB_TAU = 0.35
 @register(
     "q102_embedding_neardup",
     oracle=f"""
-    WITH sided AS (
-        SELECT vec_id, label, embedding,
-               {duckdb_sq_norm('embedding')} AS sn
-        FROM embeddings
+    WITH {{ivf_ctes}},
+    sided AS (
+        SELECT e.vec_id, e.label, e.embedding, a.cluster_id AS cell,
+               {duckdb_sq_norm('e.embedding')} AS sn
+        FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id
     ),
     pairs AS (
         SELECT a.label, b.vec_id AS dup_id
         FROM sided a JOIN sided b
-          ON a.label = b.label AND a.vec_id < b.vec_id
+          ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
         WHERE {duckdb_dot('a.embedding', 'b.embedding')} / (sqrt(a.sn) * sqrt(b.sn))
               >= {_EMB_TAU}
     ),
@@ -329,22 +331,30 @@ _EMB_TAU = 0.35
     FROM embeddings e
     LEFT JOIN removed r ON e.label = r.label AND e.vec_id = r.dup_id
     GROUP BY e.label
-    """,
+    """.format(ivf_ctes=ivf_assigned_sql_ctes()),
 )
 def q102_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate removal: within each label block, drop
-    every vector whose cosine to a lower-id same-label vector is ≥ 0.35
-    (keep-first semantic dedup — the embedding-space analogue of q52).
+    """Embedding-cosine near-duplicate removal, IVF-cell blocked: within
+    each (label, trained-IVF cell) block, drop every vector whose cosine to
+    a lower-id vector in the same block is ≥ 0.35 (keep-first semantic
+    dedup — the embedding-space analogue of q52's banded LSH).
 
-    Label blocking bounds the pair space exactly like (lang, source) does in
-    q55: the self-join is an equi-join on label, never a cross join, and at
-    100 TB the block key would be the ANN cell id from q62 (IVF assignment)
-    so blocks stay O(corpus/k). Each side's squared norm is computed ONCE
-    per vector before the join (measured 3× less per-pair work than a full
-    cosine per pair); the per-pair expression is dot ÷ (√sn_a·√sn_b) —
-    the identical arithmetic, factored, on both engines.
+    The round-2 version blocked on label alone: label blocks grow linearly
+    with the corpus, so per-block pair count was quadratic at 100 TB — the
+    last all-pairs shape in the registry. Now the block key is (label,
+    cell) where cell is the trained-IVF assignment from q134's machinery
+    (deterministic integer-quantized Lloyd, bit-identical on both engines),
+    so blocks stay O(corpus/k) and the pair space scales linearly as k is
+    raised with corpus size. Assignment is a NARROW literal-centroid
+    expression (zero shuffles, similarity._km_assign_expr); near-dups in
+    different cells are deliberately missed — the standard ANN-blocked
+    dedup trade-off, measurable via q135's recall harness. Each side's
+    squared norm is computed ONCE per vector before the join; the per-pair
+    expression is dot ÷ (√sn_a·√sn_b) — identical arithmetic, factored, on
+    both engines.
     """
     (embeddings,) = tables(spark, sf_dir, "embeddings")
+    cell = _km_assign_expr(ivf_train_centroids(embeddings))
     # float→double cast is exact, so casting ONCE per vector (not per pair
     # inside the dot lambda) changes no value and drops ~25% of per-pair
     # work at sf0.1
@@ -352,17 +362,20 @@ def q102_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sided = embeddings.select(
         "vec_id",
         "label",
+        cell.alias("cell"),
         emb_d.alias("e"),
         F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x * x).alias("sn"),
     )
     a = sided.select(
         "label",
+        "cell",
         F.col("vec_id").alias("id_a"),
         F.col("e").alias("emb_a"),
         F.col("sn").alias("sn_a"),
     )
     bb = sided.select(
         F.col("label").alias("label_b"),
+        F.col("cell").alias("cell_b"),
         F.col("vec_id").alias("dup_id"),
         F.col("e").alias("emb_b"),
         F.col("sn").alias("sn_b"),
@@ -371,7 +384,12 @@ def q102_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.zip_with("emb_a", "emb_b", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
     removed = (
-        a.join(bb, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("dup_id")))
+        a.join(
+            bb,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("cell") == F.col("cell_b"))
+            & (F.col("id_a") < F.col("dup_id")),
+        )
         .filter(
             pair_dot / (F.sqrt("sn_a") * F.sqrt("sn_b")) >= _EMB_TAU
         )

@@ -289,15 +289,14 @@ _KM_K = 4
 _KM_SCALE = 1_000_000  # centroids live as 1e-6-scaled BIGINT arrays
 
 
-def _km_assign(vectors: DataFrame, centroid_rows: list[tuple[int, list[int]]]) -> DataFrame:
-    """Assign each vector to its nearest centroid (squared L2 in scaled
-    space; ties break on cluster_id) as a NARROW expression: the k centroids
-    arrive as plain Python rows (the MLlib pattern — the model is k tiny
-    integer-exact arrays collected driver-side; the data never moves) and
-    are inlined as literal arrays, so assignment is least-of-k over
-    per-row distances — no crossJoin, no per-vector window shuffle.
-    Replaced the crossJoin+row_number shape: 3 shuffles per assignment
-    became 0 (same arithmetic, bit-identical results, same tie-break).
+def _km_assign_expr(centroid_rows: list[tuple[int, list[int]]]):
+    """The nearest-centroid cell id as a NARROW Column over an ``embedding``
+    column (squared L2 in scaled space; ties break on cluster_id): the k
+    centroids arrive as plain Python rows (the MLlib pattern — the model is
+    k tiny integer-exact arrays collected driver-side; the data never
+    moves) and are inlined as literal arrays, so assignment is least-of-k
+    over per-row distances — no crossJoin, no per-vector window shuffle.
+    Reused by q97/q134/q135 and by q102's cell-blocked near-dup join.
     """
     structs = []
     for cid, cvec in sorted(centroid_rows):
@@ -314,8 +313,15 @@ def _km_assign(vectors: DataFrame, centroid_rows: list[tuple[int, list[int]]]) -
         )
         structs.append(F.struct(d2.alias("d2"), F.lit(int(cid)).alias("cluster_id")))
     best = F.least(*structs) if len(structs) > 1 else structs[0]
+    return best["cluster_id"].cast("bigint")
+
+
+def _km_assign(vectors: DataFrame, centroid_rows: list[tuple[int, list[int]]]) -> DataFrame:
+    """Assign each vector to its nearest centroid. Replaced the
+    crossJoin+row_number shape: 3 shuffles per assignment became 0 (same
+    arithmetic, bit-identical results, same tie-break)."""
     return vectors.select(
-        "vec_id", "embedding", best["cluster_id"].cast("bigint").alias("cluster_id")
+        "vec_id", "embedding", _km_assign_expr(centroid_rows).alias("cluster_id")
     )
 
 
@@ -357,6 +363,45 @@ def _km_sql_assign(vec_src: str, cent_src: str) -> str:
             FROM {vec_src} v CROSS JOIN {cent_src} c
         ) WHERE rn = 1
     """
+
+
+def ivf_train_centroids(
+    embeddings: DataFrame, iters: int = 2
+) -> list[tuple[int, list[int]]]:
+    """Train IVF centroids: seed from the first ``_KM_K`` vec_ids, run
+    ``iters`` deterministic Lloyd iterations (integer-quantized after every
+    update, so the resulting cells are bit-identical cross-engine — the
+    exact twin of :func:`ivf_assigned_sql_ctes`)."""
+    vectors = embeddings.select("vec_id", "embedding")
+    rows = _collect_centroids(
+        embeddings.filter(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cluster_id"),
+            F.transform(
+                "embedding", lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint")
+            ).alias("cvec"),
+        )
+    )
+    for _ in range(iters):
+        rows = _collect_centroids(_km_update(_km_assign(vectors, rows)))
+    return rows
+
+
+def ivf_assigned_sql_ctes() -> str:
+    """DuckDB CTE chain (for splicing after ``WITH``) that reproduces
+    :func:`ivf_train_centroids` + final assignment: yields a CTE named
+    ``assigned(vec_id, embedding, cluster_id)`` over the ``embeddings``
+    view — the oracle twin of the trained-IVF index build."""
+    return f"""c0 AS (
+        SELECT vec_id AS cluster_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS cvec
+        FROM embeddings WHERE vec_id < {_KM_K}
+    ),
+    a1 AS ({_km_sql_assign('embeddings', 'c0')}),
+    c1 AS ({_km_sql_update('a1')}),
+    a2 AS ({_km_sql_assign('embeddings', 'c1')}),
+    c2 AS ({_km_sql_update('a2')}),
+    assigned AS ({_km_sql_assign('embeddings', 'c2')})"""
 
 
 def _km_sql_update(assign_src: str) -> str:
@@ -440,17 +485,7 @@ def q97_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q134_ivf_trained",
     oracle=f"""
-    WITH c0 AS (
-        SELECT vec_id AS cluster_id,
-               list_transform(embedding,
-                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS cvec
-        FROM embeddings WHERE vec_id < {_KM_K}
-    ),
-    a1 AS ({_km_sql_assign('embeddings', 'c0')}),
-    c1 AS ({_km_sql_update('a1')}),
-    a2 AS ({_km_sql_assign('embeddings', 'c1')}),
-    c2 AS ({_km_sql_update('a2')}),
-    assigned AS ({_km_sql_assign('embeddings', 'c2')}),
+    WITH {ivf_assigned_sql_ctes()},
     q AS (
         SELECT vec_id AS query_id, embedding AS qv, cluster_id AS qcell
         FROM assigned WHERE vec_id % 100 = 50
@@ -487,17 +522,7 @@ def q134_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     vectors = embeddings.select("vec_id", "embedding")
-    rows = _collect_centroids(
-        embeddings.filter(F.col("vec_id") < _KM_K).select(
-            F.col("vec_id").alias("cluster_id"),
-            F.transform(
-                "embedding", lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint")
-            ).alias("cvec"),
-        )
-    )
-    for _ in range(2):
-        rows = _collect_centroids(_km_update(_km_assign(vectors, rows)))
-    assigned = _km_assign(vectors, rows)
+    assigned = _km_assign(vectors, ivf_train_centroids(embeddings))
     q = assigned.filter(F.col("vec_id") % 100 == 50).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
@@ -522,17 +547,7 @@ def q134_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q135_ann_recall",
     oracle=f"""
-    WITH c0 AS (
-        SELECT vec_id AS cluster_id,
-               list_transform(embedding,
-                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS cvec
-        FROM embeddings WHERE vec_id < {_KM_K}
-    ),
-    a1 AS ({_km_sql_assign('embeddings', 'c0')}),
-    c1 AS ({_km_sql_update('a1')}),
-    a2 AS ({_km_sql_assign('embeddings', 'c1')}),
-    c2 AS ({_km_sql_update('a2')}),
-    assigned AS ({_km_sql_assign('embeddings', 'c2')}),
+    WITH {ivf_assigned_sql_ctes()},
     q AS (
         SELECT vec_id AS query_id, embedding AS qv, cluster_id AS qcell
         FROM assigned WHERE vec_id % 100 = 50
@@ -580,20 +595,10 @@ def q135_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     vectors = embeddings.select("vec_id", "embedding")
-    rows = _collect_centroids(
-        embeddings.filter(F.col("vec_id") < _KM_K).select(
-            F.col("vec_id").alias("cluster_id"),
-            F.transform(
-                "embedding", lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint")
-            ).alias("cvec"),
-        )
-    )
-    for _ in range(2):
-        rows = _collect_centroids(_km_update(_km_assign(vectors, rows)))
     # three consumers (q, brute via q, ivf) would each re-scan for the
     # narrow assignment; persist the built index once — the q52
     # persist-before-multi-consumer shape
-    assigned = _km_assign(vectors, rows).persist()
+    assigned = _km_assign(vectors, ivf_train_centroids(embeddings)).persist()
     q = assigned.filter(F.col("vec_id") % 100 == 50).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),

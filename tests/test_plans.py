@@ -186,6 +186,16 @@ class TestScaleHardening:
         p = plans["q130_recursive_month_spine"]
         assert "BroadcastHashJoin" in p
 
+    def test_q102_neardup_blocks_on_ivf_cell(self, plans):
+        # round-2's last quadratic shape: label-only blocks grow with the
+        # corpus. The self-join key must include the trained-IVF cell id so
+        # blocks stay O(corpus/k); assignment itself is a narrow
+        # literal-centroid expression (no crossJoin, no window).
+        p = plans["q102_embedding_neardup"]
+        assert "cell_b" in p  # join key carries the cell id
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+
     def test_q97_assignment_is_shuffle_free(self, plans):
         # the final k-means assignment inlines collected integer centroid
         # literals: a narrow least-of-k expression — no crossJoin, no
