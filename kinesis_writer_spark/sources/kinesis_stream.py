@@ -19,10 +19,22 @@ and composes with the rest of the engine: KPL deaggregation
 (:func:`..sources.kpl_stream.deaggregate_records` explodes aggregated
 payloads), watermarked windows, and the stateful operators.
 
-Offsets are ``{shard_id: last_consumed_sequence_number}`` dicts — the exact
-checkpoint shape a KCL lease table keeps — so a restarted query resumes from
-its checkpoint without data loss (``readBetweenOffsets`` replays a committed
-range deterministically).
+Offsets are ``{shard_id: {"seq": last_consumed_sequence_number, "done":
+reached_shard_end}}`` dicts — the exact checkpoint shape a KCL lease table
+keeps. Sequence numbers are treated as OPAQUE per-shard-ordered strings
+(the real Kinesis contract): resume is always ``AFTER_SEQUENCE_NUMBER`` with
+the stored value, never arithmetic on it, so live boto3 streams work
+executor-side. A restarted query resumes from its checkpoint without data
+loss (``readBetweenOffsets`` / the partitioned ranges replay a committed
+``(after seq_a .. through seq_b]`` range deterministically). Legacy round-2
+checkpoints (dense integer next-index values) are transparently upgraded.
+
+Resharding: closed shards (``SHARD_END`` — ``NextShardIterator == null``, or
+``SequenceNumberRange.EndingSequenceNumber`` set, the predicate the reference
+inverts to find OPEN shards at KinesisWriter.scala:51) are drained to their
+end, marked ``done`` in the offset, and never polled again; child shards are
+admitted only once every parent still in the shard map is ``done`` — the KCL
+parent-before-child ordering rule.
 
 Offline testing: no AWS access is required anywhere. ``capture_client_factory``
 replays a directory of ``.kpl`` container files (one subdirectory per shard —
@@ -114,7 +126,20 @@ class CaptureReplayClient:
     index within the shard, so offsets are deterministic run to run.
     """
 
-    def __init__(self, capture_dir: str, partition_key: str = "capture") -> None:
+    def __init__(
+        self,
+        capture_dir: str,
+        partition_key: str = "capture",
+        opaque: bool = False,
+        reshard: dict | None = None,
+    ) -> None:
+        """``opaque=True`` makes shard-iterator tokens non-JSON strings (the
+        real boto3 shape) so readers must treat positions as opaque and go
+        through the probe/AFTER_SEQUENCE_NUMBER path. ``reshard`` simulates a
+        split/merge topology: ``{"closed": [shard_id, ...], "parents":
+        {child_id: parent_id}}`` — closed shards report an
+        ``EndingSequenceNumber`` and hit SHARD_END (``NextShardIterator ==
+        None``) when drained."""
         import glob as _glob
         import os
 
@@ -122,6 +147,10 @@ class CaptureReplayClient:
 
         self._shards: dict[str, list[bytes]] = {}
         self._pk = partition_key
+        self._opaque = opaque
+        reshard = reshard or {}
+        self._closed = set(reshard.get("closed", ()))
+        self._parents = dict(reshard.get("parents", {}))
         for shard_dir in sorted(_glob.glob(os.path.join(capture_dir, "*"))):
             if not os.path.isdir(shard_dir):
                 continue
@@ -132,9 +161,30 @@ class CaptureReplayClient:
         if not self._shards:
             raise FileNotFoundError(f"no <shard>/*.kpl captures under {capture_dir}")
 
+    def _tok(self, shard: str, idx: int) -> str:
+        if self._opaque:
+            return f"opaque-iterator/{shard}/{idx}"  # not JSON — like real boto3
+        return json.dumps({"shard": shard, "idx": idx})
+
+    def _untok(self, token: str) -> tuple[str, int]:
+        if token.startswith("opaque-iterator/"):
+            _, shard, idx = token.rsplit("/", 2)
+            return shard, int(idx)
+        state = json.loads(token)
+        return state["shard"], state["idx"]
+
     # --- boto3 consumer surface -------------------------------------------
     def list_shards(self, StreamName: str, NextToken: str | None = None, **_):
-        shards = [{"ShardId": sid} for sid in sorted(self._shards)]
+        shards = []
+        for sid in sorted(self._shards):
+            s: dict = {"ShardId": sid}
+            if sid in self._parents:
+                s["ParentShardId"] = self._parents[sid]
+            rng: dict = {"StartingSequenceNumber": "0"}
+            if sid in self._closed:
+                rng["EndingSequenceNumber"] = str(len(self._shards[sid]) - 1)
+            s["SequenceNumberRange"] = rng
+            shards.append(s)
         return {"Shards": shards}
 
     def get_shard_iterator(
@@ -155,11 +205,12 @@ class CaptureReplayClient:
             idx = len(self._shards[ShardId])
         else:
             raise ValueError(f"unsupported iterator type {ShardIteratorType}")
-        return {"ShardIterator": json.dumps({"shard": ShardId, "idx": idx})}
+        return {"ShardIterator": self._tok(ShardId, idx)}
 
     def get_records(self, ShardIterator: str, Limit: int = 10000, **_):
-        state = json.loads(ShardIterator)
-        shard, idx = state["shard"], state["idx"]
+        if Limit > 10000:
+            raise ValueError("Limit must be <= 10000 (Kinesis API bound)")
+        shard, idx = self._untok(ShardIterator)
         frames = self._shards[shard]
         batch = frames[idx : idx + Limit]
         records = [
@@ -172,15 +223,24 @@ class CaptureReplayClient:
             for i, frame in enumerate(batch)
         ]
         next_idx = idx + len(batch)
+        drained = next_idx >= len(frames)
+        # SHARD_END: a closed (split/merged-away) shard has no next iterator
+        # once drained — the consumer-side signal to hand off to children
+        next_it = None if (drained and shard in self._closed) else self._tok(shard, next_idx)
         return {
             "Records": records,
-            "NextShardIterator": json.dumps({"shard": shard, "idx": next_idx}),
-            "MillisBehindLatest": 0 if next_idx >= len(frames) else 1,
+            "NextShardIterator": next_it,
+            "MillisBehindLatest": 0 if drained else 1,
         }
 
 
-def capture_client_factory(capture_dir: str, partition_key: str = "capture"):
-    return CaptureReplayClient(capture_dir, partition_key)
+def capture_client_factory(
+    capture_dir: str,
+    partition_key: str = "capture",
+    opaque: bool = False,
+    reshard: dict | None = None,
+):
+    return CaptureReplayClient(capture_dir, partition_key, opaque, reshard)
 
 
 class CaptureSinkClient:
@@ -257,12 +317,171 @@ def capture_sink_client_factory(capture_dir: str, num_shards: int = 1):
     return CaptureSinkClient(capture_dir, num_shards)
 
 
+# ---------------------------------------------------------------------------
+# Offset plumbing shared by both readers
+# ---------------------------------------------------------------------------
+
+_GET_RECORDS_LIMIT = 10_000  # hard Kinesis API bound per GetRecords call
+
+
+def _norm_off(v) -> dict:
+    """Normalize one shard's offset entry to ``{"seq": str|None, "done":
+    bool, ["pos": "LATEST"]}``. Accepts the round-2 legacy shape (a dense
+    integer "next index to read") so old checkpoints resume cleanly — legacy
+    offsets only ever came from the capture client, whose sequence numbers
+    ARE the dense indices."""
+    if v is None:
+        return {"seq": None, "done": False}
+    if isinstance(v, dict):
+        out = {"seq": v.get("seq"), "done": bool(v.get("done", False))}
+        if v.get("pos"):
+            out["pos"] = v["pos"]
+        return out
+    n = int(v)
+    return {"seq": str(n - 1) if n > 0 else None, "done": False}
+
+
+def _list_shards_meta(client, stream: str) -> list[dict]:
+    """Full shard map with reshard metadata (ParentShardId /
+    SequenceNumberRange), paginated like the reference walks describeStream
+    (KinesisWriter.scala:46-64)."""
+    out: list[dict] = []
+    token = None
+    while True:
+        resp = (
+            client.list_shards(StreamName=stream, NextToken=token)
+            if token
+            else client.list_shards(StreamName=stream)
+        )
+        out.extend(resp["Shards"])
+        token = resp.get("NextToken")
+        if not token:
+            return out
+
+
+def _parents_done(meta: dict, known_ids: set[str], offsets: dict) -> bool:
+    """KCL ordering rule: a child shard may be consumed only after every
+    parent still present in the shard map is fully drained (``done``). A
+    parent that has aged out of the shard map (retention expiry) no longer
+    gates its children."""
+    for key in ("ParentShardId", "AdjacentParentShardId"):
+        pid = meta.get(key)
+        if pid and pid in known_ids and not _norm_off(offsets.get(pid)).get("done"):
+            return False
+    return True
+
+
+def _open_iterator(client, stream: str, shard_id: str, off: dict) -> str:
+    """Shard iterator resuming AFTER the last consumed sequence number —
+    never arithmetic on the (opaque) value."""
+    if off.get("seq") is not None:
+        return client.get_shard_iterator(
+            StreamName=stream,
+            ShardId=shard_id,
+            ShardIteratorType="AFTER_SEQUENCE_NUMBER",
+            StartingSequenceNumber=str(off["seq"]),
+        )["ShardIterator"]
+    pos = "LATEST" if off.get("pos") == "LATEST" else "TRIM_HORIZON"
+    return client.get_shard_iterator(
+        StreamName=stream, ShardId=shard_id, ShardIteratorType=pos
+    )["ShardIterator"]
+
+
+def _poll_shard(
+    client, stream: str, shard_id: str, off: dict, cap: int, keep_records: bool = True
+):
+    """Poll one shard from its offset: loop ``get_records`` (Limit clamped
+    to the 10 000 API bound) until the shard is caught up
+    (``MillisBehindLatest == 0``), the admission cap is hit, or SHARD_END.
+    Returns ``(records, new_offset)``. ``keep_records=False`` is the
+    sequence-probe mode: only the last sequence number is tracked and
+    payload bytes are dropped page by page (bounded memory on the driver)."""
+    it = _open_iterator(client, stream, shard_id, off)
+    out: list = []
+    n = 0
+    last_seq = None
+    done = False
+    empties = 0
+    while True:
+        limit = min(_GET_RECORDS_LIMIT, cap - n) if cap else _GET_RECORDS_LIMIT
+        resp = client.get_records(ShardIterator=it, Limit=limit)
+        recs = resp["Records"]
+        n += len(recs)
+        if recs:
+            last_seq = recs[-1]["SequenceNumber"]
+            if keep_records:
+                out.extend(recs)
+        nxt = resp.get("NextShardIterator")
+        if nxt is None:
+            done = True  # SHARD_END: closed shard fully drained
+            break
+        if cap and n >= cap:
+            break
+        if not recs:
+            # a behind iterator may legally return empty pages; bounded retry
+            empties += 1
+            if resp.get("MillisBehindLatest", 0) == 0 or empties >= 5:
+                break
+        else:
+            empties = 0
+        it = nxt
+    if last_seq is not None:
+        new = {"seq": last_seq, "done": done}
+    else:
+        new = dict(off)
+        new["done"] = done or off.get("done", False)
+    return out, new
+
+
+def _read_shard_range(client, stream: str, shard_id: str, start: dict, end_seq: str):
+    """Deterministically replay the committed range ``(start.seq ..
+    end_seq]``: loop get_records from AFTER the start sequence number and
+    stop INCLUSIVELY at end_seq (string equality — the end was an observed
+    record's sequence number, never computed). Never trusts a single call to
+    return a full page (short reads are legal)."""
+    it = _open_iterator(client, stream, shard_id, start)
+    while True:
+        resp = client.get_records(ShardIterator=it, Limit=_GET_RECORDS_LIMIT)
+        for rec in resp["Records"]:
+            yield rec
+            if rec["SequenceNumber"] == end_seq:
+                return
+        nxt = resp.get("NextShardIterator")
+        if nxt is None:
+            return  # SHARD_END before end_seq: range trimmed (retention)
+        if not resp["Records"] and resp.get("MillisBehindLatest", 0) == 0:
+            return  # drained below the committed end: nothing more to replay
+        it = nxt
+
+
+def _rows_for(shard_id: str, records) -> Iterator[tuple]:
+    for rec in records:
+        ts = rec.get("ApproximateArrivalTimestamp") or _EPOCH
+        if getattr(ts, "tzinfo", None) is not None:
+            ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
+        yield (
+            shard_id,
+            rec["SequenceNumber"],
+            rec.get("PartitionKey"),
+            bytes(rec["Data"]),
+            ts,
+        )
+
+
 class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
     """Driver-side polling reader over the boto3 consumer surface.
 
-    Offset format: ``{shard_id: next_sequence_number_to_read}`` (stringly,
-    JSON-safe). ``read`` advances every shard by up to ``max_records`` per
-    micro-batch; ``readBetweenOffsets`` replays a committed range exactly.
+    Offset format: ``{shard_id: {"seq": last_consumed, "done": bool}}`` with
+    sequence numbers treated as opaque strings (resume =
+    ``AFTER_SEQUENCE_NUMBER``) — valid against live boto3 streams, the
+    capture replay client, and round-2 integer checkpoints. ``read``
+    advances every pollable shard by up to ``max_records`` per micro-batch;
+    ``readBetweenOffsets`` replays a committed range exactly (loops
+    get_records to the recorded end sequence number — never a single
+    count-bounded call). Closed shards drain to SHARD_END once and are then
+    skipped; children unlock when their parents finish (same call: admission
+    is re-checked until a pass makes no progress, so availableNow drains a
+    whole reshard tree).
     """
 
     def __init__(self, options) -> None:
@@ -281,89 +500,69 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
             self._client = resolve_factory(self._factory_spec, self._factory_kwargs)
         return self._client
 
-    def _shard_ids(self) -> list[str]:
-        client = self._c()
-        shard_ids: list[str] = []
-        token = None
-        while True:  # paginate like KinesisWriter.scala:46-64 walks describeStream
-            resp = (
-                client.list_shards(StreamName=self._stream, NextToken=token)
-                if token
-                else client.list_shards(StreamName=self._stream)
-            )
-            shard_ids.extend(s["ShardId"] for s in resp["Shards"])
-            token = resp.get("NextToken")
-            if not token:
-                return shard_ids
-
     def initialOffset(self) -> dict:
-        # "next index to read" per shard: TRIM_HORIZON starts everything at 0
+        metas = _list_shards_meta(self._c(), self._stream)
         if self._starting_position == "LATEST":
-            return {
-                sid: self._drain_count(sid) for sid in self._shard_ids()
-            }
-        return {sid: 0 for sid in self._shard_ids()}
+            return {m["ShardId"]: self._latest_start(m["ShardId"]) for m in metas}
+        return {m["ShardId"]: {"seq": None, "done": False} for m in metas}
 
-    def _drain_count(self, shard_id: str) -> int:
-        """Sequence position of LATEST (capture replay: end of shard)."""
-        client = self._c()
-        it = client.get_shard_iterator(
+    def _latest_start(self, shard_id: str) -> dict:
+        """Pin LATEST for one shard. An index-exposing client (capture
+        replay / KCL store) yields an exact position; a live boto3 iterator
+        is opaque, so the offset carries a LATEST marker and the first poll
+        opens a LATEST iterator instead (records arriving before that first
+        poll are skipped — the standard "start from latest" contract)."""
+        it = self._c().get_shard_iterator(
             StreamName=self._stream, ShardId=shard_id, ShardIteratorType="LATEST"
         )["ShardIterator"]
-        state = json.loads(it)
-        return int(state.get("idx", 0))
-
-    def _poll_shard(self, shard_id: str, start_idx: int, limit: int):
-        client = self._c()
-        if start_idx == 0:
-            it = client.get_shard_iterator(
-                StreamName=self._stream,
-                ShardId=shard_id,
-                ShardIteratorType="TRIM_HORIZON",
-            )["ShardIterator"]
-        else:
-            it = client.get_shard_iterator(
-                StreamName=self._stream,
-                ShardId=shard_id,
-                ShardIteratorType="AT_SEQUENCE_NUMBER",
-                StartingSequenceNumber=str(start_idx),
-            )["ShardIterator"]
-        return client.get_records(ShardIterator=it, Limit=limit)["Records"]
-
-    def _rows_for(self, shard_id: str, records) -> Iterator[tuple]:
-        for rec in records:
-            ts = rec.get("ApproximateArrivalTimestamp") or _EPOCH
-            if getattr(ts, "tzinfo", None) is not None:
-                ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
-            yield (
-                shard_id,
-                rec["SequenceNumber"],
-                rec.get("PartitionKey"),
-                bytes(rec["Data"]),
-                ts,
-            )
+        try:
+            idx = int(json.loads(it).get("idx", 0))
+        except (ValueError, TypeError, AttributeError):
+            return {"seq": None, "done": False, "pos": "LATEST"}
+        return {"seq": str(idx - 1) if idx > 0 else None, "done": False}
 
     def read(self, start: dict):
+        client = self._c()
+        metas = _list_shards_meta(client, self._stream)
+        known = {m["ShardId"] for m in metas}
         rows: list[tuple] = []
-        end = dict(start)
-        for shard_id in self._shard_ids():
-            start_idx = int(start.get(shard_id, 0))
-            records = self._poll_shard(shard_id, start_idx, self._max_records)
-            rows.extend(self._rows_for(shard_id, records))
-            if records:
-                end[shard_id] = int(records[-1]["SequenceNumber"]) + 1
-            else:
-                end.setdefault(shard_id, start_idx)
+        end = {sid: _norm_off(v) for sid, v in start.items()}
+        pending = {m["ShardId"]: m for m in metas}
+        progressed = True
+        while pending and progressed:  # re-admit children as parents drain
+            progressed = False
+            for sid in list(pending):
+                off = end.get(sid, _norm_off(start.get(sid)))
+                if off.get("done"):
+                    end[sid] = off
+                    del pending[sid]
+                    continue
+                if not _parents_done(pending[sid], known, end):
+                    continue  # parent not drained yet — maybe this pass
+                records, new_off = _poll_shard(
+                    client, self._stream, sid, off, self._max_records
+                )
+                rows.extend(_rows_for(sid, records))
+                end[sid] = new_off
+                del pending[sid]
+                progressed = True
+        # shards still blocked on an un-drained parent carry their start
+        # offset forward and will be admitted by a later batch
+        for sid in pending:
+            end.setdefault(sid, _norm_off(start.get(sid)))
         return iter(rows), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        for shard_id, end_idx in end.items():
-            start_idx = int(start.get(shard_id, 0))
-            n = int(end_idx) - start_idx
-            if n <= 0:
+        client = self._c()
+        for shard_id, raw_end in end.items():
+            eo = _norm_off(raw_end)
+            so = _norm_off(start.get(shard_id))
+            if eo["seq"] is None or eo["seq"] == so["seq"]:
                 continue
-            records = self._poll_shard(shard_id, start_idx, n)
-            yield from self._rows_for(shard_id, records[:n])
+            yield from _rows_for(
+                shard_id,
+                _read_shard_range(client, self._stream, shard_id, so, eo["seq"]),
+            )
 
     def commit(self, end: dict) -> None:
         # at-least-once bookkeeping happens in Spark's checkpoint; a KCL-style
@@ -372,10 +571,10 @@ class KinesisSimpleStreamReader(SimpleDataSourceStreamReader):
 
 
 class _ShardSlice(InputPartition):
-    def __init__(self, shard_id: str | None, start: int, end: int):
+    def __init__(self, shard_id: str | None, start: dict | None, end_seq: str | None):
         self.shard_id = shard_id
         self.start = start
-        self.end = end
+        self.end_seq = end_seq
 
 
 class KinesisPartitionedStreamReader(DataSourceStreamReader):
@@ -383,18 +582,35 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
     plans ONE input partition per shard slice, and every executor task polls
     its own shard over the boto3 surface (``get_shard_iterator`` +
     ``get_records``) directly, so ingest parallelism equals the shard count
-    and no record bytes flow through the driver (unlike the Simple reader,
-    which polls driver-side).
+    and no record bytes are retained on the driver (unlike the Simple
+    reader, which reads driver-side).
 
     Enabled with ``.option("reader", "partitioned")``. Offsets are the same
-    ``{shard_id: next_index}`` dicts as the Simple reader, so the two are
-    checkpoint-compatible. ``latestOffset`` needs each shard's current end
-    position; it derives it from the client's LATEST shard iterator, which
-    the capture-replay client (and any KCL-style checkpoint store) exposes
-    as an indexable position. A live boto3 iterator is opaque — for live
-    streams, bound each batch instead (end = start + max_records) and let
-    short reads terminate the slice, which preserves replay determinism
-    because Kinesis sequence positions are stable until retention expiry.
+    ``{shard_id: {"seq", "done"}}`` dicts as the Simple reader, so the two
+    are checkpoint-compatible (including round-2 integer checkpoints).
+
+    ``latestOffset`` must pin each shard's batch-end sequence number BEFORE
+    executors read (that is what makes a committed batch deterministically
+    replayable). Two strategies, picked per shard:
+
+    - index-exposing clients (capture replay, a KCL lease store): the LATEST
+      iterator decodes to an exact position — zero data moved.
+    - live boto3 (opaque iterators): the driver PROBES the shard — loops
+      ``get_records`` from the last checkpoint, keeping only the final
+      sequence number and discarding payload bytes — then executors re-read
+      the pinned range. One extra pass over new records on the driver's NIC,
+      but bounded memory, and the only way to get an exact, replayable bound
+      out of an API that exposes no tip position. Cap it with
+      ``max_records_per_batch`` (strongly recommended live) — the probe then
+      stops at the cap and the stream is consumed in bounded, deterministic
+      batches, exactly like Kafka's ``maxOffsetsPerTrigger``.
+
+    Resharding follows the KCL rule: closed shards (SHARD_END, or
+    ``EndingSequenceNumber`` in the shard map — the predicate the reference
+    inverts at KinesisWriter.scala:51) drain once and flip ``done``;
+    children are planned only after their parents are done, re-checked
+    within a single ``latestOffset`` so an availableNow run walks the whole
+    split tree parent-first.
     """
 
     def __init__(self, options) -> None:
@@ -417,99 +633,93 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
             self._client = resolve_factory(self._factory_spec, self._factory_kwargs)
         return self._client
 
-    def _shard_ids(self) -> list[str]:
-        client = self._c()
-        out: list[str] = []
-        token = None
-        while True:
-            resp = (
-                client.list_shards(StreamName=self._stream, NextToken=token)
-                if token
-                else client.list_shards(StreamName=self._stream)
-            )
-            out.extend(s["ShardId"] for s in resp["Shards"])
-            token = resp.get("NextToken")
-            if not token:
-                return out
-
     def initialOffset(self) -> dict:
-        start = {sid: 0 for sid in self._shard_ids()}
+        start = {
+            m["ShardId"]: {"seq": None, "done": False}
+            for m in _list_shards_meta(self._c(), self._stream)
+        }
         self._last_start = start
         return start
 
-    def latestOffset(self) -> dict:
+    def _tip(self, meta: dict, cur: dict) -> dict:
+        """Batch-end offset for one shard: exact position if the client
+        exposes one, else a driver-side sequence probe."""
         client = self._c()
-        end = {}
-        for sid in self._shard_ids():
-            it = client.get_shard_iterator(
-                StreamName=self._stream, ShardId=sid, ShardIteratorType="LATEST"
-            )["ShardIterator"]
-            try:
-                avail = int(json.loads(it).get("idx", 0))
-                # admission control: cap this batch at max_records_per_batch
-                # past the previous batch's end (unbounded on the first call
-                # after a restart — the recovered batch re-plans from its
-                # checkpointed offsets regardless)
-                if self._max_per_batch and self._last_start is not None:
-                    floor = int(self._last_start.get(sid, 0))
-                    avail = min(avail, floor + self._max_per_batch)
-                end[sid] = avail
-            except (ValueError, TypeError) as exc:
-                raise ValueError(
-                    "partitioned reader needs an indexable LATEST position "
-                    "(capture replay / KCL checkpoint store); live boto3 "
-                    "iterators are opaque — use the default Simple reader or "
-                    "a position-exposing client"
-                ) from exc
+        sid = meta["ShardId"]
+        ending = (meta.get("SequenceNumberRange") or {}).get("EndingSequenceNumber")
+        # admission cap — skipped on the first planning call after a restart
+        # (self._last_start unknown): the recovered batch re-plans from its
+        # checkpointed offsets, so an uncapped end can never land below them
+        cap = self._max_per_batch if self._last_start is not None else 0
+        it = client.get_shard_iterator(
+            StreamName=self._stream, ShardId=sid, ShardIteratorType="LATEST"
+        )["ShardIterator"]
+        try:
+            avail = int(json.loads(it).get("idx", 0))
+        except (ValueError, TypeError, AttributeError):
+            # opaque live iterator: probe forward from the checkpoint,
+            # keeping only the last sequence number (payloads dropped)
+            _, new = _poll_shard(
+                client, self._stream, sid, cur, cap, keep_records=False
+            )
+            return new
+        # indexable fast path: offsets are dense, so the admission cap can
+        # be applied arithmetically
+        floor = int(cur["seq"]) + 1 if cur.get("seq") is not None else 0
+        if cap:
+            avail = min(avail, floor + cap)
+        seq = str(avail - 1) if avail > 0 else None
+        done = ending is not None and (seq is None or int(seq) >= int(ending))
+        return {"seq": seq, "done": done}
+
+    def latestOffset(self) -> dict:
+        metas = _list_shards_meta(self._c(), self._stream)
+        known = {m["ShardId"] for m in metas}
+        start = self._last_start or {}
+        end: dict = {}
+        pending = {m["ShardId"]: m for m in metas}
+        progressed = True
+        while pending and progressed:
+            progressed = False
+            for sid in list(pending):
+                cur = _norm_off(end.get(sid, start.get(sid)))
+                if cur.get("done"):
+                    end[sid] = cur
+                    del pending[sid]
+                    progressed = True
+                    continue
+                if not _parents_done(pending[sid], known, {**start, **end}):
+                    continue
+                end[sid] = self._tip(pending[sid], cur)
+                del pending[sid]
+                progressed = True
+        for sid, m in pending.items():  # blocked behind an un-drained parent
+            end[sid] = _norm_off(start.get(sid))
         self._last_start = dict(end)
         return end
 
     def partitions(self, start: dict, end: dict) -> list[_ShardSlice]:
-        slices = [
-            _ShardSlice(sid, int(start.get(sid, 0)), int(e))
-            for sid, e in end.items()
-            if int(e) > int(start.get(sid, 0))
-        ]
+        slices = []
+        for sid, raw_end in end.items():
+            eo = _norm_off(raw_end)
+            so = _norm_off(start.get(sid))
+            if eo["seq"] is not None and eo["seq"] != so["seq"]:
+                slices.append(_ShardSlice(sid, so, eo["seq"]))
         # Spark requires >= 1 partition per batch; an empty slice yields no rows
-        return slices or [_ShardSlice(None, 0, 0)]
+        return slices or [_ShardSlice(None, None, None)]
 
     def read(self, partition: _ShardSlice) -> Iterator[tuple]:
-        # executor-side: this task owns one shard slice
-        if partition.shard_id is None or partition.end <= partition.start:
+        # executor-side: this task owns one shard slice and opens its own
+        # AFTER_SEQUENCE_NUMBER iterator — no record bytes via the driver
+        if partition.shard_id is None or partition.end_seq is None:
             return
         client = resolve_factory(self._factory_spec, self._factory_kwargs)
-        idx = partition.start
-        while idx < partition.end:
-            if idx == 0:
-                it = client.get_shard_iterator(
-                    StreamName=self._stream,
-                    ShardId=partition.shard_id,
-                    ShardIteratorType="TRIM_HORIZON",
-                )["ShardIterator"]
-            else:
-                it = client.get_shard_iterator(
-                    StreamName=self._stream,
-                    ShardId=partition.shard_id,
-                    ShardIteratorType="AT_SEQUENCE_NUMBER",
-                    StartingSequenceNumber=str(idx),
-                )["ShardIterator"]
-            records = client.get_records(
-                ShardIterator=it, Limit=partition.end - idx
-            )["Records"]
-            if not records:
-                return  # short read: shard drained below the sampled end
-            for rec in records:
-                ts = rec.get("ApproximateArrivalTimestamp") or _EPOCH
-                if getattr(ts, "tzinfo", None) is not None:
-                    ts = ts.astimezone(timezone.utc).replace(tzinfo=None)
-                yield (
-                    partition.shard_id,
-                    rec["SequenceNumber"],
-                    rec.get("PartitionKey"),
-                    bytes(rec["Data"]),
-                    ts,
-                )
-            idx = int(records[-1]["SequenceNumber"]) + 1
+        yield from _rows_for(
+            partition.shard_id,
+            _read_shard_range(
+                client, self._stream, partition.shard_id, partition.start, partition.end_seq
+            ),
+        )
 
     def commit(self, end: dict) -> None:
         pass
@@ -520,7 +730,9 @@ class KinesisBatchReader(DataSourceReader):
     shard from TRIM_HORIZON to the current tip, one input partition per
     shard — the bulk-load twin of the streaming readers (same client
     contract, same record schema), for rebuilding a table from a stream
-    retention window or a capture directory without running a query."""
+    retention window or a capture directory without running a query.
+    ``latestOffset``'s parent-first multi-pass means a fully-resharded
+    stream backfills in one shot (parents and children in the same scan)."""
 
     def __init__(self, options) -> None:
         self._options = options

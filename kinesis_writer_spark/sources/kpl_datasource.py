@@ -206,11 +206,28 @@ class KplWriter(DataSourceWriter):
     def commit(self, messages):
         # exactly-once across task retries: only the files of SUCCESSFUL task
         # attempts enter the manifest; orphans from retried attempts exist on
-        # disk but are never read (the reader trusts the manifest)
+        # disk but are never read (the reader trusts the manifest).
+        # mode('append') MERGES with a previously committed manifest (a second
+        # job must not make earlier containers invisible); mode('overwrite')
+        # replaces it and removes the superseded containers from disk.
         import json as _json
 
-        files = sorted(m.file for m in messages if m and m.file)
-        with open(os.path.join(self.path, MANIFEST), "w") as f:
+        new_files = sorted(m.file for m in messages if m and m.file)
+        manifest_path = os.path.join(self.path, MANIFEST)
+        prior: list[str] = []
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as f:
+                prior = _json.load(f).get("files", [])
+        if self.overwrite:
+            for name in set(prior) - set(new_files):
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass  # already gone; the manifest is the source of truth
+            files = new_files
+        else:
+            files = sorted(set(prior) | set(new_files))
+        with open(manifest_path, "w") as f:
             _json.dump({"files": files}, f)
 
     def abort(self, messages):

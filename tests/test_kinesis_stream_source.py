@@ -235,12 +235,14 @@ class TestPartitionedReader:
             }
         )
         start, end = r.initialOffset(), r.latestOffset()
-        assert set(start) == set(end) and all(e > 0 for e in end.values())
+        assert set(start) == set(end)
+        assert all(e["seq"] is not None for e in end.values())
         parts = r.partitions(start, end)
         assert len(parts) == 2  # one per shard
         rows = list(r.read(parts[0])) + list(r.read(parts[1]))
-        # frames (aggregated records) per shard, not user records
-        assert len(rows) == sum(end.values())
+        # frames (aggregated records) per shard, not user records; capture
+        # sequence numbers are dense, so last seq + 1 == frame count
+        assert len(rows) == sum(int(e["seq"]) + 1 for e in end.values())
         assert {t[0] for t in rows} == set(end)
 
     def test_partitioned_roundtrip_matches_simple(self, spark, capture_dir, tmp_path):
@@ -291,14 +293,235 @@ class TestPartitionedReader:
                 "max_records_per_batch": "1",
             }
         )
-        start = r.initialOffset()
-        e1 = r.latestOffset()
-        assert all(e - int(start.get(s, 0)) <= 1 for s, e in e1.items())
+        r.initialOffset()
+        e1 = r.latestOffset()  # capture seqs are dense ints: batch 1 ends at "0"
+        assert all(e["seq"] == "0" for e in e1.values())
         e2 = r.latestOffset()  # next batch advances by at most 1 more
-        assert all(e2[s] - e1[s] <= 1 for s in e2)
-        assert sum(e2.values()) > sum(e1.values())  # and it does advance
+        assert all(e["seq"] == "1" for e in e2.values())
         e3 = r.latestOffset()
-        assert all(v == 3 for v in e3.values())  # reaches the tip, never past
+        assert all(e["seq"] == "2" for e in e3.values())  # reaches the tip
+        e4 = r.latestOffset()
+        assert all(e["seq"] == "2" for e in e4.values())  # and never goes past
+
+
+class TestOpaqueSequenceNumbers:
+    """Real boto3 shard iterators are opaque strings and sequence numbers
+    admit no arithmetic. With ``opaque=True`` the capture client hides its
+    indices, so the readers must go through AFTER_SEQUENCE_NUMBER resume and
+    (for the partitioned reader) the driver-side sequence probe."""
+
+    def _opts(self, capture_dir, **extra):
+        kw = {"capture_dir": capture_dir, "opaque": True}
+        kw.update(extra)
+        return {
+            "stream_name": "events",
+            "client_factory": "kinesis_writer_spark.sources.kinesis_stream:capture_client_factory",
+            "client_kwargs": json.dumps(kw),
+        }
+
+    def test_probe_pins_exact_end(self, capture_dir):
+        from kinesis_writer_spark.sources.kinesis_stream import (
+            KinesisPartitionedStreamReader,
+        )
+
+        r = KinesisPartitionedStreamReader(self._opts(capture_dir))
+        start, end = r.initialOffset(), r.latestOffset()
+        parts = r.partitions(start, end)
+        assert len(parts) == 2
+        rows = list(r.read(parts[0])) + list(r.read(parts[1]))
+        # the probe pinned each shard's true tip; executors replayed to it
+        by_shard: dict[str, list] = {}
+        for t in rows:
+            by_shard.setdefault(t[0], []).append(t[1])
+        for sid, seqs in by_shard.items():
+            assert seqs[-1] == end[sid]["seq"]
+        # a second planning call from the same position adds nothing
+        e2 = r.latestOffset()
+        assert all(e2[s]["seq"] == end[s]["seq"] for s in e2)
+        assert r.partitions(end, e2) and r.partitions(end, e2)[0].shard_id is None
+
+    def test_opaque_checkpoint_resume_exactly_once(self, spark, capture_dir, tmp_path):
+        ckpt = str(tmp_path / "ckpt_opq")
+        out = str(tmp_path / "out_opq")
+        for _ in range(2):  # second run resumes from the checkpoint
+            raw = (
+                spark.readStream.format("kinesis")
+                .option("reader", "partitioned")
+                .options(**self._opts(capture_dir))
+                .load()
+            )
+            q = (
+                deaggregate_records(raw, wire_col="data", strict=False)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+        n = spark.read.parquet(out).count()
+        assert n == 40 + 25, f"expected exactly-once across resume, got {n}"
+
+    def test_simple_reader_opaque_roundtrip(self, spark, capture_dir, tmp_path):
+        raw = (
+            spark.readStream.format("kinesis")
+            .options(**self._opts(capture_dir))
+            .load()
+        )
+        q = (
+            deaggregate_records(raw, wire_col="data", strict=False)
+            .writeStream.format("memory")
+            .queryName("kinesis_opaque_simple")
+            .option("checkpointLocation", str(tmp_path / "ckpt_opq_s"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM kinesis_opaque_simple").collect()
+        users = sorted(json.loads(bytes(r["data"]))["user_id"] for r in got)
+        assert users == sorted(list(range(0, 40)) + list(range(1000, 1025)))
+
+    def test_simple_reader_latest_start_is_graceful(self, capture_dir):
+        # ADVICE r02: LATEST on an opaque client used to die in json.loads;
+        # it must fall back to a LATEST position marker instead
+        from kinesis_writer_spark.sources.kinesis_stream import (
+            KinesisSimpleStreamReader,
+        )
+
+        opts = self._opts(capture_dir)
+        opts["starting_position"] = "LATEST"
+        r = KinesisSimpleStreamReader(opts)
+        off = r.initialOffset()
+        assert all(v == {"seq": None, "done": False, "pos": "LATEST"} for v in off.values())
+        rows, end = r.read(off)
+        assert list(rows) == []  # nothing after the tip
+
+
+class TestResharding:
+    """A mid-stream split: the parent shard closes (SHARD_END) and two
+    children take over its key range. No loss, no duplication, no infinite
+    polling of the drained parent, parent-before-child admission."""
+
+    PARENT = "shardId-000000000000"
+    CHILD_A = "shardId-000000000001"
+    CHILD_B = "shardId-000000000002"
+
+    @pytest.fixture()
+    def reshard_capture(self, tmp_path):
+        # one KPL frame per payload => one sequence position per payload, so
+        # record-count admission caps are exercised frame by frame
+        root = tmp_path / "reshard_capture"
+        for sid, payloads in {
+            self.PARENT: _payloads(0, 10),
+            self.CHILD_A: _payloads(1, 7),
+            self.CHILD_B: _payloads(2, 5),
+        }.items():
+            os.makedirs(root / sid)
+            for i, p in enumerate(payloads):
+                agg = RecordAggregator()
+                agg.add_user_record("pk", p)
+                rec = agg.clear_and_get()
+                write_wire_file(str(root / sid / f"part-{i:04d}.kpl"), [rec.to_bytes()])
+        reshard = {
+            "closed": [self.PARENT],
+            "parents": {self.CHILD_A: self.PARENT, self.CHILD_B: self.PARENT},
+        }
+        return str(root), reshard
+
+    def _opts(self, capture, reshard, **extra):
+        kw = {"capture_dir": capture, "opaque": True, "reshard": reshard}
+        o = {
+            "stream_name": "events",
+            "client_factory": "kinesis_writer_spark.sources.kinesis_stream:capture_client_factory",
+            "client_kwargs": json.dumps(kw),
+        }
+        o.update(extra)
+        return o
+
+    def test_partitioned_drains_tree_parent_first(self, reshard_capture):
+        from kinesis_writer_spark.sources.kinesis_stream import (
+            KinesisPartitionedStreamReader,
+        )
+
+        capture, reshard = reshard_capture
+        r = KinesisPartitionedStreamReader(self._opts(capture, reshard))
+        start, end = r.initialOffset(), r.latestOffset()
+        # parent hit SHARD_END during the probe and is marked done
+        assert end[self.PARENT]["done"] is True
+        parts = r.partitions(start, end)
+        assert {p.shard_id for p in parts} == {self.PARENT, self.CHILD_A, self.CHILD_B}
+        rows = [t for p in parts for t in r.read(p)]
+        assert len(rows) == 10 + 7 + 5  # no loss, no duplication
+        # next planning call: parent stays done and plans NO further slices
+        e2 = r.latestOffset()
+        assert e2[self.PARENT]["done"] is True
+        assert all(p.shard_id != self.PARENT for p in r.partitions(end, e2))
+
+    def test_children_wait_for_capped_parent(self, reshard_capture):
+        from kinesis_writer_spark.sources.kinesis_stream import (
+            KinesisPartitionedStreamReader,
+        )
+
+        capture, reshard = reshard_capture
+        r = KinesisPartitionedStreamReader(
+            self._opts(capture, reshard, max_records_per_batch="4")
+        )
+        r.initialOffset()
+        e1 = r.latestOffset()  # parent caps at 4 of 10 records — not done
+        assert e1[self.PARENT]["done"] is False
+        assert e1[self.CHILD_A]["seq"] is None  # children blocked behind parent
+        assert e1[self.CHILD_B]["seq"] is None
+        e2 = r.latestOffset()
+        e3 = r.latestOffset()  # 4+4+2: parent drains on the third batch
+        assert e3[self.PARENT]["done"] is True
+        e4 = r.latestOffset()  # children admitted only now
+        assert e4[self.CHILD_A]["seq"] is not None
+        assert e4[self.CHILD_B]["seq"] is not None
+
+    def test_streaming_reshard_exactly_once(self, spark, reshard_capture, tmp_path):
+        capture, reshard = reshard_capture
+        raw = (
+            spark.readStream.format("kinesis")
+            .option("reader", "partitioned")
+            .options(**self._opts(capture, reshard))
+            .load()
+        )
+        q = (
+            deaggregate_records(raw, wire_col="data", strict=False)
+            .writeStream.format("memory")
+            .queryName("kinesis_reshard")
+            .option("checkpointLocation", str(tmp_path / "ckpt_rs"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM kinesis_reshard").collect()
+        users = sorted(json.loads(bytes(r["data"]))["user_id"] for r in got)
+        assert users == sorted(
+            list(range(0, 10)) + list(range(1000, 1007)) + list(range(2000, 2005))
+        )
+
+    def test_simple_reader_reshard(self, spark, reshard_capture, tmp_path):
+        capture, reshard = reshard_capture
+        raw = (
+            spark.readStream.format("kinesis")
+            .options(**self._opts(capture, reshard))
+            .load()
+        )
+        q = (
+            deaggregate_records(raw, wire_col="data", strict=False)
+            .writeStream.format("memory")
+            .queryName("kinesis_reshard_simple")
+            .option("checkpointLocation", str(tmp_path / "ckpt_rs_s"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM kinesis_reshard_simple").collect()
+        users = sorted(json.loads(bytes(r["data"]))["user_id"] for r in got)
+        assert users == sorted(
+            list(range(0, 10)) + list(range(1000, 1007)) + list(range(2000, 2005))
+        )
 
 
 class TestKinesisBatchRead:

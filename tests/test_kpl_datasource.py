@@ -121,6 +121,41 @@ class TestKplWriter:
         with pytest.raises(Exception, match="data"):
             df.write.format("kpl").mode("append").save(str(tmp_path / "nope"))
 
+    def test_append_merges_manifest(self, spark, tmp_path):
+        """A second mode('append') job must keep the first job's containers
+        visible: the commit manifest merges, never overwrites (ADVICE r02)."""
+        from kinesis_writer_spark.sources import kpl_datasource
+
+        kpl_datasource.register(spark)
+        out = str(tmp_path / "append_twice")
+        spark.createDataFrame([(b"first-1",), (b"first-2",)], "data binary").coalesce(
+            1
+        ).write.format("kpl").mode("append").save(out)
+        spark.createDataFrame([(b"second-1",)], "data binary").coalesce(1).write.format(
+            "kpl"
+        ).mode("append").save(out)
+        got = {bytes(r["data"]) for r in spark.read.format("kpl").load(out).collect()}
+        assert got == {b"first-1", b"first-2", b"second-1"}
+
+    def test_overwrite_replaces_and_cleans(self, spark, tmp_path):
+        """mode('overwrite') replaces the manifest and removes superseded
+        containers from disk."""
+        import glob as g
+
+        from kinesis_writer_spark.sources import kpl_datasource
+
+        kpl_datasource.register(spark)
+        out = str(tmp_path / "overwrite")
+        spark.createDataFrame([(b"old-1",), (b"old-2",)], "data binary").coalesce(
+            1
+        ).write.format("kpl").mode("append").save(out)
+        spark.createDataFrame([(b"new-1",)], "data binary").coalesce(1).write.format(
+            "kpl"
+        ).mode("overwrite").save(out)
+        got = {bytes(r["data"]) for r in spark.read.format("kpl").load(out).collect()}
+        assert got == {b"new-1"}
+        assert len(g.glob(out + "/*.kpl")) == 1  # old containers deleted
+
     def test_manifest_hides_orphan_files(self, spark, tmp_path):
         """A container left by a failed/retried task attempt is not read."""
         import json as _json
