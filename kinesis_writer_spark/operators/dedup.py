@@ -435,12 +435,14 @@ _JACCARD_BAND_CHARS = 256  # length-band width for q55 candidate generation
                         AS BIGINT))) AS shingles
         FROM d
     ),
+    sk AS (SELECT *, list_min(shingles) AS min_sh FROM sh),
     pairs AS (
         SELECT a.lang, a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
                len(list_intersect(a.shingles, b.shingles))::DOUBLE
                  / len(list_distinct(a.shingles || b.shingles)) AS j
-        FROM sh a JOIN sh b
-          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        FROM sk a JOIN sk b
+          ON a.lang = b.lang AND a.source = b.source AND a.min_sh = b.min_sh
+         AND a.doc_id < b.doc_id
          AND abs(a.n_chars - b.n_chars) <= {_JACCARD_BAND_CHARS}
     )
     SELECT lang, source, doc_a, doc_b, ROUND(j, 4) AS jaccard
@@ -460,16 +462,18 @@ def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits are negligible for Jaccard), and the banded join shuffles 8-byte
     elements instead of text.
 
-    Scale design (the q118 covering-band shape): pairs must share the
-    (lang, source) block AND sit within ``_JACCARD_BAND_CHARS`` characters
-    of each other — near-identical documents have near-identical lengths, so
-    the band costs little recall while bounding per-key pair counts by block
-    *density*, not corpus size. The left side fans out to its three
-    neighboring band keys so the join stays a pure equi-join on
-    (lang, source, band); the |Δn_chars| post-filter makes each qualifying
-    pair survive exactly one probe (no post-dedup needed). Without the band,
-    (lang, source) blocks grow linearly with the corpus and the within-block
-    self-join goes quadratic at 100 TB.
+    Scale design (the q118 covering-band shape, hardened round 3): pairs
+    must share the (lang, source) block, sit within ``_JACCARD_BAND_CHARS``
+    characters of each other, AND agree on a bottom-1 MinHash sketch — the
+    minimum 60-bit shingle hash (``array_min(shingles)``: the hash family
+    is the permutation, so the min IS a MinHash; two docs agree with
+    probability equal to their Jaccard). Length bands bound pairs by block
+    density; the sketch key bounds them by *duplicate* density — a band
+    full of same-length non-duplicates no longer goes quadratic, because
+    unrelated docs land in different sketch buckets. The left side fans out
+    to its three neighboring band keys so the join stays a pure equi-join
+    on (lang, source, min_sh, band); the |Δn_chars| post-filter makes each
+    qualifying pair survive exactly one probe (no post-dedup needed).
     """
     from pyspark.sql import Window
 
@@ -494,6 +498,7 @@ def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_a"),
         F.col("n_chars").alias("chars_a"),
         F.col("shingles").alias("sh_a"),
+        F.array_min("shingles").alias("min_sh"),
         F.explode(F.array(band - 1, band, band + 1)).alias("probe_band"),
     )
     b = shingled.select(
@@ -502,10 +507,11 @@ def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"),
         F.col("n_chars").alias("chars_b"),
         F.col("shingles").alias("sh_b"),
+        F.array_min("shingles").alias("min_sh"),
         band.alias("probe_band"),
     )
     pairs = (
-        a.join(b, ["lang", "source", "probe_band"])
+        a.join(b, ["lang", "source", "min_sh", "probe_band"])
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.abs(F.col("chars_a") - F.col("chars_b")) <= _JACCARD_BAND_CHARS)
@@ -649,11 +655,20 @@ _LEV_BAND_CHARS = 24  # length-band width; also the max |n_chars| gap allowed
 @register(
     "q118_fuzzy_levenshtein",
     oracle=f"""
+    WITH sk AS (
+        SELECT doc_id, lang, source, n_chars, text,
+               list_min(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                   i -> CAST(('0x' || substr(md5(string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2]), 1, 15)) AS BIGINT))) AS min_sh
+        FROM documents
+    )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            levenshtein(substring(a.text, 1, {_LEV_PREFIX}),
                        substring(b.text, 1, {_LEV_PREFIX})) AS edit_dist
-    FROM documents a JOIN documents b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    FROM sk a JOIN sk b
+      ON a.lang = b.lang AND a.source = b.source AND a.min_sh = b.min_sh
+     AND a.doc_id < b.doc_id
      AND abs(a.n_chars - b.n_chars) <= {_LEV_BAND_CHARS}
     WHERE levenshtein(substring(a.text, 1, {_LEV_PREFIX}),
                       substring(b.text, 1, {_LEV_PREFIX})) <= {_LEV_MAX}
@@ -662,25 +677,37 @@ _LEV_BAND_CHARS = 24  # length-band width; also the max |n_chars| gap allowed
 def q118_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy near-dup pairs by bounded edit distance (record-linkage style).
 
-    Candidate generation never goes quadratic: pairs must share the
-    (lang, source) block AND sit in adjacent length bands of
-    ``_LEV_BAND_CHARS`` chars. The left side fans out to its three
-    neighboring band keys (band-1, band, band+1) so the join stays a pure
-    equi-join on (lang, source, band) — hash-partitionable, no BNL — and
-    any pair within the ``|n_chars| <= _LEV_BAND_CHARS`` gap is provably
+    Candidate generation never goes quadratic (hardened round 3): pairs
+    must share the (lang, source) block, sit in adjacent length bands of
+    ``_LEV_BAND_CHARS`` chars, AND agree on a bottom-1 MinHash sketch over
+    word 3-grams (the q55 prefilter — ``array_min`` of the 60-bit shingle
+    hashes; the hash family is the permutation, so the min IS a MinHash).
+    Length bands bound pairs by block density; the sketch key bounds them
+    by duplicate density — a band of same-length unrelated docs no longer
+    pairs up at all. The left side fans out to its three neighboring band
+    keys (band-1, band, band+1) so the join stays a pure equi-join on
+    (lang, source, min_sh, band) — hash-partitionable, no BNL — and any
+    pair within the ``|n_chars| <= _LEV_BAND_CHARS`` gap is provably
     covered by exactly one probe, so no post-dedup is needed. The O(k^2)
     ``levenshtein`` verify runs JVM-side on a fixed-length prefix only for
-    surviving candidates. At 100 TB the band key keeps per-task pair counts
-    proportional to block density, not corpus size.
+    surviving candidates.
     """
     docs = tables(spark, sf_dir, "documents")[0]
     band = (F.col("n_chars") / _LEV_BAND_CHARS).cast("bigint")
+    w = F.split("text", " ")
+    min_sh = F.array_min(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 3),
+            lambda i: md5_60bit(F.array_join(F.slice(w, i + 1, 3), " ")),
+        )
+    )
     left = docs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("lang"),
         F.col("source"),
         F.col("n_chars").alias("chars_a"),
         F.substring("text", 1, _LEV_PREFIX).alias("text_a"),
+        min_sh.alias("min_sh"),
         F.explode(F.array(band - 1, band, band + 1)).alias("probe_band"),
     )
     right = docs.select(
@@ -689,10 +716,11 @@ def q118_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source"),
         F.col("n_chars").alias("chars_b"),
         F.substring("text", 1, _LEV_PREFIX).alias("text_b"),
+        min_sh.alias("min_sh"),
         band.alias("probe_band"),
     )
     return (
-        left.join(right, ["lang", "source", "probe_band"])
+        left.join(right, ["lang", "source", "min_sh", "probe_band"])
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.abs(F.col("chars_a") - F.col("chars_b")) <= _LEV_BAND_CHARS)

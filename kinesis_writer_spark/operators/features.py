@@ -168,11 +168,17 @@ def q132_vocab_topk_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (documents,) = tables(spark, sf_dir, "documents")
     words = F.split("text", " ")
+    # guard: sequence(0, -1) would DESCEND for 1-word/empty docs and the
+    # element_at(words, 0) it produces throws; DuckDB's range() is simply
+    # empty for the same input, so emit no bigrams (ADVICE r02)
+    idxs = F.when(
+        F.size(words) >= 2, F.sequence(F.lit(0), F.size(words) - 2)
+    ).otherwise(F.array().cast("array<int>"))
     grams = documents.select(
         "lang",
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.size(words) - 2),
+                idxs,
                 lambda i: F.concat_ws(
                     " ", F.element_at(words, i + 1), F.element_at(words, i + 2)
                 ),

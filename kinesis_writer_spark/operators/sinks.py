@@ -102,10 +102,13 @@ def q92_kpl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final small groupBy. This is the full producer→consumer path of the
     reference (AggRecord.java:61-74 wire format) exercised at plan level.
     """
+    import os
+
     from ..sources.kpl_stream import aggregate_payloads, deaggregate_records
 
+    n_parts = int(os.environ.get("SPARK_GRAFT_KPL_PARTITIONS", "8"))
     (events,) = tables(spark, sf_dir, "events")
-    payloads = events.repartition(8, "user_id").select(
+    payloads = events.repartition(n_parts, "user_id").select(
         F.encode(F.to_json(F.struct("event_id", "event_type")), "utf-8").alias("data")
     )
     wires = aggregate_payloads(payloads)

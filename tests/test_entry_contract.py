@@ -36,3 +36,20 @@ class TestDriverContract:
         df = entry_mod.entry(spark)
         assert df.count() > 0
         assert "sum_qty" in df.columns
+
+    def test_no_fixed_partition_counts_in_operators(self):
+        # a literal repartition(N) pins parallelism regardless of cluster
+        # size; counts must come from config/env (q90/q92 use
+        # SPARK_GRAFT_KPL_PARTITIONS)
+        import glob
+        import os
+
+        import kinesis_writer_spark.operators as ops
+
+        offenders = []
+        for path in glob.glob(os.path.join(os.path.dirname(ops.__file__), "*.py")):
+            with open(path) as f:
+                for i, line in enumerate(f, 1):
+                    if re.search(r"\brepartition\(\s*\d", line):
+                        offenders.append(f"{os.path.basename(path)}:{i}")
+        assert not offenders, f"literal repartition counts: {offenders}"

@@ -175,9 +175,18 @@ class TestScaleHardening:
 
     def test_q55_jaccard_joins_include_length_band(self, plans):
         # the q118-style covering band: join keys must include probe_band so
-        # (lang, source) blocks never go quadratic with corpus growth
+        # (lang, source) blocks never go quadratic with corpus growth, plus
+        # the round-3 bottom-1 MinHash sketch key (min_sh) so same-length
+        # non-duplicate bands don't pair up either
         p = plans["q55_ngram_jaccard"]
         assert "probe_band" in p
+        assert "min_sh" in p
+        assert "CartesianProduct" not in p
+
+    def test_q118_fuzzy_joins_include_sketch_key(self, plans):
+        p = plans["q118_fuzzy_levenshtein"]
+        assert "probe_band" in p
+        assert "min_sh" in p
         assert "CartesianProduct" not in p
 
     def test_q130_spine_join_is_tiny(self, plans):
