@@ -1,6 +1,12 @@
 """Engine benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
 on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-    {"metric": "...", "value": <total_sec>, "unit": "sec", "queries": {...}, "sf": ...}
+    {"metric": "...", "value": <total_sec>, "unit": "sec", "queries": {...},
+     "all_queries": {...}, "sf": ...}
+
+``queries`` is the headline suite (median of 3, steady-state); ``value`` sums
+it. ``all_queries`` is a single-shot pass over EVERY registered query (the
+headline entries reuse their median) so per-query regressions anywhere in the
+registry are visible round over round.
 
 Each query executes fully through the noop sink (no driver collect, no I/O
 cost in the measurement beyond the scan itself).
@@ -75,6 +81,7 @@ def main() -> None:
 
     errors: dict[str, str] = {}
     timings: dict[str, float] = {}
+    all_timings: dict[str, float] = {}
 
     try:
         from kinesis_writer_spark import registry
@@ -120,6 +127,23 @@ def main() -> None:
                 timings[name] = round(sorted(runs)[1], 3)
             except Exception:
                 errors[name] = traceback.format_exc(limit=3)
+
+        # full-registry single pass: coarser (one shot, headline entries reuse
+        # their median) but covers every registered query so per-query
+        # regressions anywhere show up round over round
+        for name in queries:
+            if name in all_timings or name in warm_failed:
+                continue
+            if name in timings:
+                all_timings[name] = timings[name]
+                continue
+            try:
+                t0 = time.time()
+                _run_once(queries, name, spark, sf_dir)
+                all_timings[name] = round(time.time() - t0, 3)
+                spark.catalog.clearCache()
+            except Exception:
+                errors[name] = traceback.format_exc(limit=3)
     except Exception:
         errors["harness"] = traceback.format_exc(limit=5)
 
@@ -129,6 +153,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "all_queries": all_timings,
         "sf": sf,
     }
     if errors:

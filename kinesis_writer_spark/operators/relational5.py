@@ -1,0 +1,134 @@
+"""Final TPC-H relational coverage: Q11 and Q16 re-cut to the fixture schema
+(no ``partsupp`` / ``s_comment`` columns), completing the 22-query family.
+
+Money math follows relational3.py: per-row exact integer cents, BIGINT sums
+(associative, so partition-order independent), and integer-only threshold
+comparisons so Spark and DuckDB agree bit-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ._util import tables
+
+#: synthetic per-line stock value (the fixture has no partsupp.ps_supplycost
+#: * ps_availqty): the part's retail price times the shipped quantity, exact
+#: cents per row — same convention as relational4's _COST_CENTS_SQL
+_VALUE_CENTS_SQL = "CAST(ROUND(p_retailprice * l_quantity * 100, 0) AS BIGINT)"
+
+
+@register(
+    "q137_important_stock",
+    oracle=f"""
+    WITH per_part AS (
+        SELECT l.l_partkey AS partkey,
+               CAST(SUM({_VALUE_CENTS_SQL}) AS BIGINT) AS value_cents
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN part p     ON l.l_partkey = p.p_partkey
+        WHERE n.n_name IN ('NATION_7', 'NATION_13')
+        GROUP BY l.l_partkey
+    )
+    SELECT partkey, value_cents
+    FROM per_part
+    WHERE value_cents * 200 > (SELECT CAST(SUM(value_cents) AS BIGINT) FROM per_part)
+    """,
+)
+def q137_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock (TPC-H Q11 re-cut: no ``partsupp``, so a part's stock
+    value is retail price × quantity shipped by the target nations'
+    suppliers): parts whose value exceeds 1/200 of the nations' total.
+
+    The canonical Q11 shape — a grouped aggregate HAVING-compared against a
+    scalar subquery over the *same* aggregate. Spark computes ``per_part``
+    once, derives the grand total from it, and broadcasts the single-row
+    total back for the threshold filter, so the fact tables are scanned and
+    joined exactly once. The nation filter prunes supplier before it touches
+    lineitem (dim → broadcast), and the threshold comparison is integer-only
+    (``value*200 > total``) — no float boundary disagreements.
+
+    At 100 TB the per-part aggregate is one shuffle on ``l_partkey`` and the
+    total is a tree-reduce over the already-aggregated (tiny) result;
+    nothing rescans the fact table for the subquery.
+
+    Reference capability parity: query plane of SURVEY.md §2.2 (TPC-H
+    family); completes the 22-query coverage.
+    """
+    lineitem, supplier, nation, part = tables(
+        spark, sf_dir, "lineitem", "supplier", "nation", "part"
+    )
+    target_suppliers = (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name").isin("NATION_7", "NATION_13"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    value_cents = F.round(F.col("p_retailprice") * F.col("l_quantity") * 100, 0).cast(
+        "bigint"
+    )
+    per_part = (
+        lineitem.join(F.broadcast(target_suppliers), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part.select("p_partkey", "p_retailprice"), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_partkey").alias("partkey"), value_cents.alias("value_cents_row"))
+        .groupBy("partkey")
+        .agg(F.sum("value_cents_row").alias("value_cents"))
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 200 > F.col("total_cents"))
+        .select("partkey", "value_cents")
+    )
+
+
+@register(
+    "q138_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_type AS type, p.p_size AS size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#11'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q138_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier–part relationship counts (TPC-H Q16 re-cut: no ``s_comment``,
+    so the "customer complaints" exclusion becomes suppliers with a negative
+    account balance): distinct suppliers per surviving (brand, type, size).
+
+    The canonical Q16 shape — attribute filters on the dim, a NOT IN
+    anti-join on the excluded-supplier set, then a multi-key COUNT DISTINCT.
+    Both small sides broadcast: the filtered part dim joins lineitem without
+    a shuffle, and the excluded-supplier list (a filter over a dim) feeds a
+    broadcast LEFT ANTI join, so the only shuffle is the final grouped
+    distinct-count on (brand, type, size, suppkey) — Spark's two-phase
+    distinct aggregation handles that with map-side partials.
+
+    Reference capability parity: query plane of SURVEY.md §2.2 (TPC-H
+    family); completes the 22-query coverage.
+    """
+    lineitem, part, supplier = tables(spark, sf_dir, "lineitem", "part", "supplier")
+    parts = part.filter(
+        (F.col("p_brand") != "Brand#11")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    complainers = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem.join(F.broadcast(complainers), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -76,6 +76,7 @@ def _ensure_loaded() -> None:
         relational2,
         relational3,
         relational4,
+        relational5,
         retrieval,
         sampling,
         scalar_funcs,
