@@ -1,0 +1,307 @@
+"""Corpus-curation operators: passage-level cross-document dedup, per-lang
+length-band filtering, source mixing weights, and per-document contamination
+scoring — the remaining curation stages of a pretraining data pipeline (the
+removal/flagging twins of text.py's scoring and retrieval.py's q101).
+
+Cross-engine determinism rules (same as dedup.py / text.py):
+- passages/grams are hashed to 60-bit MD5 ints before any shuffle or join
+  (8-byte rows, bit-identical in DuckDB);
+- thresholds and ratios are integer-only (ppm floors, ``20*cum >= cnt``-style
+  rank rules) so no float boundary can disagree between engines;
+- percentiles use an explicit histogram-cumulative rank rule instead of
+  ``percentile_disc`` — Spark's (SQL-standard cume_dist) and DuckDB's
+  (floor(p*(n-1)) index) disagree at boundary ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duckdb_md5_60bit, md5_60bit
+from ..registry import register
+from ._util import tables
+
+_PASS_LEN = 10  # tokens per non-overlapping passage (q139)
+_CONT_N = 8  # contamination gram width (q142); q101 uses the same width
+
+
+@register(
+    "q139_passage_dedup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    p AS (
+        SELECT doc_id,
+               {duckdb_md5_60bit(f"array_to_string(w[i*{_PASS_LEN}+1 : i*{_PASS_LEN}+{_PASS_LEN}], ' ')", salt='pass')} AS phash
+        FROM d, LATERAL unnest(range(0, len(w) // {_PASS_LEN})) t(i)
+    ),
+    dup AS (
+        SELECT phash FROM p GROUP BY phash HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT p.doc_id,
+           COUNT(*) AS n_passages,
+           CAST(SUM(CASE WHEN dup.phash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST((1000000 * SUM(CASE WHEN dup.phash IS NOT NULL THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS dup_ppm
+    FROM p LEFT JOIN dup ON p.phash = dup.phash
+    GROUP BY p.doc_id
+    """,
+)
+def q139_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level cross-document exact dedup (the chunk-granularity cut of
+    suffix-style "exact substring" dedup): each document is split into
+    non-overlapping 10-token passages; a passage is *duplicated* when its
+    hash occurs in ≥ 2 distinct documents. Emits per-doc passage counts and
+    the duplicated fraction in ppm. Documents shorter than one passage
+    contribute no rows (both engines produce no chunk for them).
+
+    Spark shape: passages are hashed to 60-bit ints inside the same select
+    that builds them (no re-evaluation inside Generate — see q101's note),
+    so every shuffle row is (doc_id, bigint). Finding cross-doc hashes is
+    one grouped distinct-count on the hash; the dup set joins back on the
+    same hash key, so AQE plans both exchanges on one partitioning; the
+    final per-doc rollup is a groupBy on doc_id. At 100 TB: three shuffles
+    of 8-byte-key rows, no all-pairs anywhere, and the dup-hash side
+    shrinks with duplicate density (broadcastable when small).
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    n_pass = (F.size(w) / _PASS_LEN).cast("bigint")
+    starts = F.when(n_pass >= 1, F.sequence(F.lit(0), (n_pass - 1).cast("int"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    passages = documents.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: md5_60bit(
+                    F.array_join(F.slice(w, i * _PASS_LEN + 1, _PASS_LEN), " "),
+                    salt="pass",
+                ),
+            )
+        ).alias("phash"),
+    )
+    dup = (
+        passages.groupBy("phash")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("phash", F.lit(1).alias("is_dup"))
+    )
+    return (
+        passages.join(dup, "phash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_passages",
+            "n_dup",
+            F.expr("(1000000 * n_dup) DIV n_passages").alias("dup_ppm"),
+        )
+    )
+
+
+@register(
+    "q140_length_band_filter",
+    oracle="""
+    WITH h AS (
+        SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY lang, n_chars
+    ),
+    cum AS (
+        SELECT lang, n_chars,
+               SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+               SUM(c) OVER (PARTITION BY lang) AS cnt
+        FROM h
+    ),
+    thr AS (
+        SELECT lang,
+               MIN(CASE WHEN 20 * cum >= cnt THEN n_chars END) AS lo_chars,
+               MIN(CASE WHEN 20 * cum >= 19 * cnt THEN n_chars END) AS hi_chars
+        FROM cum GROUP BY lang
+    )
+    SELECT d.lang, thr.lo_chars, thr.hi_chars,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN d.n_chars BETWEEN thr.lo_chars AND thr.hi_chars
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN thr ON d.lang = thr.lang
+    GROUP BY d.lang, thr.lo_chars, thr.hi_chars
+    """,
+)
+def q140_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length-band filter (the p5–p95 "reasonable length" gate
+    of quality pipelines): thresholds are the smallest ``n_chars`` whose
+    cumulative doc count reaches 5% / 95% of the language's total, then
+    each language reports how many documents survive the band.
+
+    The thresholds are computed on a per-(lang, n_chars) HISTOGRAM, not a
+    per-document sort: the heavy shuffle is a grouped count with map-side
+    combine, and the cumulative window runs over distinct values only
+    (bounded by the value domain, not the corpus). That is the 100 TB-safe
+    exact-percentile shape — a per-lang sort of raw docs would funnel whole
+    languages through single tasks. The rank rule is integer-only
+    (``20*cum >= cnt``), so both engines pick identical thresholds.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    hist = documents.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy("lang").orderBy("n_chars")
+    w_all = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "n_chars",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("cnt"),
+    )
+    thr = cum.groupBy("lang").agg(
+        F.min(F.when(20 * F.col("cum") >= F.col("cnt"), F.col("n_chars"))).alias("lo_chars"),
+        F.min(F.when(20 * F.col("cum") >= 19 * F.col("cnt"), F.col("n_chars"))).alias(
+            "hi_chars"
+        ),
+    )
+    return (
+        documents.join(F.broadcast(thr), "lang")
+        .groupBy("lang", "lo_chars", "hi_chars")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("n_chars").between(F.col("lo_chars"), F.col("hi_chars")), 1
+                ).otherwise(0)
+            ).alias("n_kept"),
+        )
+        .select("lang", "lo_chars", "hi_chars", "n_docs", "n_kept")
+    )
+
+
+@register(
+    "q141_source_mixing_weights",
+    oracle="""
+    WITH per_source AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        FROM documents GROUP BY source
+    ),
+    scaled AS (
+        SELECT source, n_docs, tokens,
+               CAST(FLOOR(SQRT(tokens) * 1000) AS BIGINT) AS s
+        FROM per_source
+    )
+    SELECT source, n_docs, tokens,
+           CAST((1000000 * s) // (SELECT CAST(SUM(s) AS BIGINT) FROM scaled)
+                AS BIGINT) AS weight_ppm
+    FROM scaled
+    """,
+)
+def q141_source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing weights (the T=0.5 "square-root
+    sampling" rule used to balance pretraining mixtures): each source's
+    sampling weight is sqrt(token count) normalized across sources, in ppm.
+
+    Float discipline: sqrt and the ×1000 scale are IEEE-exact per source,
+    then everything cross-source is BIGINT (the sum of quantized sqrts and
+    the ppm floor-division) — a float *sum* across sources would depend on
+    aggregation order. One grouped count over the corpus (map-side
+    combine), a tiny per-source table after; the normalizing total is
+    broadcast back. The token count, not the doc count, drives the weight,
+    so verbose sources don't get oversampled per document.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    per_source = documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("tokens"),
+    )
+    scaled = per_source.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.floor(F.sqrt(F.col("tokens")) * 1000).cast("bigint").alias("s"),
+    )
+    total = scaled.agg(F.sum("s").alias("s_total"))
+    return scaled.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.expr("(1000000 * s) DIV s_total").alias("weight_ppm"),
+    )
+
+
+@register(
+    "q142_contamination_overlap",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+    ),
+    train_grams AS (
+        SELECT DISTINCT doc_id,
+               {duckdb_md5_60bit(f"array_to_string(w[i+1 : i+{_CONT_N}], ' ')", salt='cont8')} AS g
+        FROM d, LATERAL unnest(range(0, len(w) - {_CONT_N} + 1)) t(i)
+        WHERE source <> 'src0'
+    ),
+    eval_grams AS (
+        SELECT DISTINCT
+               {duckdb_md5_60bit(f"array_to_string(w[i+1 : i+{_CONT_N}], ' ')", salt='cont8')} AS g
+        FROM d, LATERAL unnest(range(0, len(w) - {_CONT_N} + 1)) t(i)
+        WHERE source = 'src0'
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+           CAST((1000000 * SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS hit_ppm
+    FROM train_grams t LEFT JOIN eval_grams e ON t.g = e.g
+    GROUP BY t.doc_id
+    """,
+)
+def q142_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document contamination score: the fraction (ppm) of a training
+    document's distinct 8-grams that also occur anywhere in the eval corpus
+    (source ``src0`` stands in for the benchmark set). q101 is the boolean
+    remove-the-doc gate; this is its graded twin for contamination
+    *auditing* — rank the near-misses instead of dropping them. Documents
+    shorter than 8 tokens have no grams and produce no row (both engines).
+
+    Spark shape: grams are 60-bit-hashed and per-doc-deduplicated in the
+    array domain (``array_distinct`` before explode), so the shuffle rows
+    are (doc_id, bigint) and per-doc gram multiplicity never inflates the
+    join. The eval side collapses to a global DISTINCT hash set before the
+    LEFT join (no row multiplication — the join is key-unique on the right),
+    and the per-doc rollup groups on doc_id. At 100 TB the eval-gram table
+    is benchmark-sized (tiny → broadcast); the train side streams once.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - _CONT_N),
+            lambda i: md5_60bit(F.array_join(F.slice(w, i + 1, _CONT_N), " "), salt="cont8"),
+        )
+    )
+    guarded = F.when(F.size(w) >= _CONT_N, grams_arr).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    train_grams = documents.filter(F.col("source") != "src0").select(
+        "doc_id", F.explode(guarded).alias("g")
+    )
+    eval_grams = (
+        documents.filter(F.col("source") == "src0")
+        .select(F.explode(guarded).alias("g"))
+        .distinct()
+        .select("g", F.lit(1).alias("hit"))
+    )
+    return (
+        train_grams.join(F.broadcast(eval_grams), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.expr("(1000000 * n_hit) DIV n_grams").alias("hit_ppm"),
+        )
+    )

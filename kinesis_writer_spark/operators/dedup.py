@@ -474,6 +474,14 @@ def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     to its three neighboring band keys so the join stays a pure equi-join
     on (lang, source, min_sh, band); the |Δn_chars| post-filter makes each
     qualifying pair survive exactly one probe (no post-dedup needed).
+
+    The shingle table is materialized ONCE (``localCheckpoint``, the q101
+    pattern) before it fans into the self-join: without it, each join side
+    re-evaluates the whole MD5 shingle transform — and ``array_min`` over
+    the un-materialized alias duplicates it again within a side (Spark's
+    collapsed projections don't CSE through transform lambdas; measured 4×
+    the hashing cost). At 100 TB: swap for ``checkpoint()`` to reliable
+    storage, same as the connected-components note.
     """
     from pyspark.sql import Window
 
@@ -491,14 +499,15 @@ def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda i: md5_60bit(F.array_join(F.slice(w, i + 1, 3), " ")),
             )
         ).alias("shingles"),
-    )
+    ).localCheckpoint()
+    shingled = shingled.withColumn("min_sh", F.array_min("shingles"))
     a = shingled.select(
         F.col("lang").alias("lang"),
         F.col("source").alias("source"),
         F.col("doc_id").alias("doc_a"),
         F.col("n_chars").alias("chars_a"),
         F.col("shingles").alias("sh_a"),
-        F.array_min("shingles").alias("min_sh"),
+        F.col("min_sh"),
         F.explode(F.array(band - 1, band, band + 1)).alias("probe_band"),
     )
     b = shingled.select(
@@ -507,7 +516,7 @@ def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"),
         F.col("n_chars").alias("chars_b"),
         F.col("shingles").alias("sh_b"),
-        F.array_min("shingles").alias("min_sh"),
+        F.col("min_sh"),
         band.alias("probe_band"),
     )
     pairs = (
@@ -701,22 +710,35 @@ def q118_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: md5_60bit(F.array_join(F.slice(w, i + 1, 3), " ")),
         )
     )
-    left = docs.select(
+    # materialize the per-doc sketch ONCE (q101/q55 pattern): otherwise each
+    # join side re-evaluates the MD5 transform, and the left side's explode
+    # inlines it into Generate where it runs per OUTPUT row (3 bands) —
+    # measured ~4x the hashing cost. 100 TB: swap for checkpoint().
+    sk = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.substring("text", 1, _LEV_PREFIX).alias("prefix"),
+        min_sh.alias("min_sh"),
+    ).localCheckpoint()
+    band = (F.col("n_chars") / _LEV_BAND_CHARS).cast("bigint")
+    left = sk.select(
         F.col("doc_id").alias("doc_a"),
         F.col("lang"),
         F.col("source"),
         F.col("n_chars").alias("chars_a"),
-        F.substring("text", 1, _LEV_PREFIX).alias("text_a"),
-        min_sh.alias("min_sh"),
+        F.col("prefix").alias("text_a"),
+        F.col("min_sh"),
         F.explode(F.array(band - 1, band, band + 1)).alias("probe_band"),
     )
-    right = docs.select(
+    right = sk.select(
         F.col("doc_id").alias("doc_b"),
         F.col("lang"),
         F.col("source"),
         F.col("n_chars").alias("chars_b"),
-        F.substring("text", 1, _LEV_PREFIX).alias("text_b"),
-        min_sh.alias("min_sh"),
+        F.col("prefix").alias("text_b"),
+        F.col("min_sh"),
         band.alias("probe_band"),
     )
     return (

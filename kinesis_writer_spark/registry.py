@@ -66,6 +66,7 @@ def _ensure_loaded() -> None:
     from .operators import (  # noqa: F401
         aggregates,
         asof,
+        corpus_ops,
         dedup,
         events_analytics,
         features,
