@@ -139,12 +139,20 @@ def q16_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate, not just a unit test.
     """
     (lineitem,) = tables(spark, sf_dir, "lineitem")
-    agg = lineitem.groupBy("l_returnflag").agg(
+    # two aggregation passes joined on the (3-row) group key, NOT one mixed
+    # agg: combining approx_count_distinct with multi-column COUNT(DISTINCT)
+    # plans an Expand x3 that drags the HLL buffers through every expanded
+    # row (measured 4.8 s vs 1.7 s split at sf0.1). The extra fact scan is
+    # the cheap part at 100 TB; the Expand blowup is not.
+    approx = lineitem.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.02).alias("a_orders"),
         F.approx_count_distinct("l_partkey", 0.02).alias("a_parts"),
+    )
+    exact = lineitem.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+    agg = exact.join(F.broadcast(approx), "l_returnflag")
     return agg.select(
         "l_returnflag",
         "exact_orders",
