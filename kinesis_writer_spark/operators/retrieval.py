@@ -354,7 +354,7 @@ def q102_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines.
     """
     (embeddings,) = tables(spark, sf_dir, "embeddings")
-    cell = _km_assign_expr(ivf_train_centroids(embeddings))
+    cell = _km_assign_expr(ivf_train_centroids(embeddings, cache_key=sf_dir))
     # float→double cast is exact, so casting ONCE per vector (not per pair
     # inside the dot lambda) changes no value and drops ~25% of per-pair
     # work at sf0.1
