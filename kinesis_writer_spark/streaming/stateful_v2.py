@@ -38,12 +38,12 @@ from ..kpl import AggRecordBuilder
 if TYPE_CHECKING:  # pragma: no cover
     import pandas as pd
 
-try:  # the TWS worker protocol needs protobuf; absent in minimal installs
-    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+# the TWS worker protocol needs protobuf; absent in minimal installs, but a
+# vendored pure-python runtime may be reachable through the compat shim (must
+# engage BEFORE the SparkSession exists so workers inherit the PYTHONPATH)
+from ..compat.protobuf_fallback import ensure_protobuf  # noqa: E402
 
-    TWS_AVAILABLE = True
-except ImportError:  # pragma: no cover - environment-dependent
-    TWS_AVAILABLE = False
+TWS_AVAILABLE = ensure_protobuf()
 
 #: output: one row per completed KPL aggregated record
 OUTPUT_SCHEMA = (
@@ -135,11 +135,26 @@ def _make_processor(soft_max_bytes: int):
     return KplBatchProcessor()
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def kpl_batch_stream(
     stream: DataFrame, soft_max_bytes: int = DEFAULT_SOFT_MAX
 ) -> DataFrame:
     """Batch a streaming ``(pk string, data binary)`` frame into KPL
     aggregated records per key via transformWithStateInPandas."""
+    # TWS stores each state variable as a column family, which the default
+    # HDFS-backed provider can't do — RocksDB is the documented requirement.
+    # The conf is read at query *start*, so setting it here covers queries
+    # built from this frame; sessions that already chose a provider
+    # explicitly are left alone.
+    conf = stream.sparkSession.conf
+    key = "spark.sql.streaming.stateStore.providerClass"
+    current = conf.get(key, None)
+    if current is None or "HDFSBackedStateStoreProvider" in current:
+        conf.set(key, _ROCKSDB_PROVIDER)
     return stream.groupBy("pk").transformWithStateInPandas(
         statefulProcessor=_make_processor(soft_max_bytes),
         outputStructType=OUTPUT_SCHEMA,
