@@ -15,7 +15,7 @@ ingly parallel, no driver collects anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import duckdb_md5_60bit, md5_60bit
@@ -753,4 +753,90 @@ def q118_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("text_a", "text_b").alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= _LEV_MAX)
+    )
+
+
+@register(
+    "q144_cluster_representatives",
+    oracle=_SIMHASH_TABLE_SQL.replace("WITH w", "WITH RECURSIVE w", 1)
+    + f"""
+    , chunks AS (
+        SELECT doc_id, simhash, unnest(range(0, {_SIMHASH_CHUNKS})) AS c FROM sh
+    ),
+    keyed AS (
+        SELECT doc_id, simhash, c, (simhash >> (15 * c::INT)) & 32767 AS chunk_key FROM chunks
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a, b.doc_id AS doc_b, b.simhash AS sh_b
+        FROM keyed a JOIN keyed b
+          ON a.c = b.c AND a.chunk_key = b.chunk_key AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM cand
+        WHERE bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) <= {_HAMMING_MAX}
+    ),
+    bi AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, b FROM bi
+        UNION
+        SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a
+    ),
+    comp AS (
+        SELECT a AS node, LEAST(a, MIN(b)) AS comp_id FROM reach GROUP BY a
+    ),
+    scored AS (
+        SELECT c.comp_id, c.node,
+               len(list_distinct(string_split(d.text, ' '))) AS quality
+        FROM comp c JOIN documents d ON d.doc_id = c.node
+    )
+    SELECT comp_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(CASE WHEN rn = 1 THEN node END) AS rep_doc,
+           MIN(CASE WHEN rn = 1 THEN quality END) AS rep_quality
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY comp_id
+                                     ORDER BY quality DESC, node ASC) AS rn
+        FROM scored
+    )
+    GROUP BY comp_id
+    """,
+)
+def q144_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster RESOLUTION — the decision step after q96's cluster
+    assembly: within each connected component of SimHash near-dup pairs,
+    keep the most lexically rich copy (max distinct-token count, ties to
+    the lowest doc_id) as the cluster representative; everything else in
+    the cluster is the drop set.
+
+    Spark shape on top of q96's components: doc quality is a narrow
+    projection over documents, joined to the (tiny relative to the corpus)
+    component table on doc_id, then one per-component row_number window.
+    At 100 TB the component table holds only docs that HAVE a near-dup
+    (duplicate-density-sized, not corpus-sized), so the join broadcasts or
+    co-partitions on doc_id and the window partitions by cluster — no
+    corpus-wide sort anywhere. The oracle replays the same transitive
+    closure recursively and picks representatives with the identical
+    (quality DESC, node ASC) rule.
+    """
+    pairs = q54_simhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    comps = connected_components(pairs, src="doc_a", dst="doc_b")
+    (documents,) = tables(spark, sf_dir, "documents")
+    quality = documents.select(
+        F.col("doc_id").alias("node"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("quality"),
+    )
+    scored = comps.join(quality, "node")
+    win = Window.partitionBy("comp").orderBy(F.col("quality").desc(), F.col("node").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .groupBy(F.col("comp").alias("comp_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.when(F.col("rn") == 1, F.col("node"))).alias("rep_doc"),
+            F.min(F.when(F.col("rn") == 1, F.col("quality"))).alias("rep_quality"),
+        )
     )

@@ -290,21 +290,17 @@ _KM_SCALE = 1_000_000  # centroids live as 1e-6-scaled BIGINT arrays
 _IVF_TRAIN_MOD = 4  # IVF codebooks train on a 1-in-4 deterministic sample
 
 
-def _km_assign_expr(centroid_rows: list[tuple[int, list[int]]]):
-    """The nearest-centroid cell id as a NARROW Column over an ``embedding``
-    column (squared L2 in scaled space; ties break on cluster_id): the k
-    centroids arrive as plain Python rows (the MLlib pattern — the model is
-    k tiny integer-exact arrays collected driver-side; the data never
-    moves) and are inlined as literal arrays, so assignment is least-of-k
-    over per-row distances — no crossJoin, no per-vector window shuffle.
-    Reused by q97/q134/q135 and by q102's cell-blocked near-dup join.
-    """
+def _km_best_struct(centroid_rows: list[tuple[int, list[int]]], col="embedding"):
+    """least-of-k (d2, cluster_id) struct over a vector column — the narrow
+    assignment core shared by :func:`_km_assign_expr` (cell id only) and the
+    PQ encoder (which also needs the chosen distance)."""
+    column = F.col(col) if isinstance(col, str) else col
     structs = []
     for cid, cvec in sorted(centroid_rows):
         lit_vec = F.array(*[F.lit(int(v)) for v in cvec])
         d2 = F.aggregate(
             F.zip_with(
-                "embedding",
+                column,
                 lit_vec,
                 lambda x, c: (x.cast("double") * _KM_SCALE - c.cast("double"))
                 * (x.cast("double") * _KM_SCALE - c.cast("double")),
@@ -313,8 +309,20 @@ def _km_assign_expr(centroid_rows: list[tuple[int, list[int]]]):
             lambda acc, x: acc + x,
         )
         structs.append(F.struct(d2.alias("d2"), F.lit(int(cid)).alias("cluster_id")))
-    best = F.least(*structs) if len(structs) > 1 else structs[0]
-    return best["cluster_id"].cast("bigint")
+    return F.least(*structs) if len(structs) > 1 else structs[0]
+
+
+def _km_assign_expr(centroid_rows: list[tuple[int, list[int]]], col="embedding"):
+    """The nearest-centroid cell id as a NARROW Column over an ``embedding``
+    column (squared L2 in scaled space; ties break on cluster_id): the k
+    centroids arrive as plain Python rows (the MLlib pattern — the model is
+    k tiny integer-exact arrays collected driver-side; the data never
+    moves) and are inlined as literal arrays, so assignment is least-of-k
+    over per-row distances — no crossJoin, no per-vector window shuffle.
+    Reused by q97/q134/q135, q102's cell-blocked near-dup join, and q143's
+    per-subspace PQ codes.
+    """
+    return _km_best_struct(centroid_rows, col)["cluster_id"].cast("bigint")
 
 
 def _km_assign(vectors: DataFrame, centroid_rows: list[tuple[int, list[int]]]) -> DataFrame:
@@ -664,3 +672,131 @@ def q135_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("hit").isNull(), 0).otherwise(1)).alias("n_in_brute_top10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization: per-subspace codebooks + codes + reconstruction error
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_SUB = 16  # dims per subspace (4 x 16 = the fixture's 64)
+
+
+def _km_sql_assign_d2(vec_src: str, cent_src: str) -> str:
+    """Like :func:`_km_sql_assign` but keeps the chosen distance (the PQ
+    reconstruction-error term)."""
+    d2 = (
+        "list_sum(list_transform(list_zip(v.embedding, c.cvec), "
+        f"p -> (CAST(p[1] AS DOUBLE) * {_KM_SCALE} - CAST(p[2] AS DOUBLE)) "
+        f"* (CAST(p[1] AS DOUBLE) * {_KM_SCALE} - CAST(p[2] AS DOUBLE))))"
+    )
+    return f"""
+        SELECT vec_id, cluster_id, d2 FROM (
+            SELECT v.vec_id, c.cluster_id, {d2} AS d2,
+                   ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {d2} ASC, c.cluster_id ASC) AS rn
+            FROM {vec_src} v CROSS JOIN {cent_src} c
+        ) WHERE rn = 1
+    """
+
+
+def _pq_sql_ctes() -> str:
+    """CTE chain training one codebook per subspace (seed -> 1 Lloyd
+    iteration on the 1-in-``_IVF_TRAIN_MOD`` sample) and encoding every
+    vector: yields ``code_0..code_{m-1}(vec_id, cluster_id, d2)``."""
+    parts = []
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_SUB + 1, (s + 1) * _PQ_SUB
+        parts.append(
+            f"""sub_{s} AS (
+        SELECT vec_id, embedding[{lo}:{hi}] AS embedding FROM embeddings
+    ),
+    c0_{s} AS (
+        SELECT vec_id AS cluster_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_KM_SCALE}) AS BIGINT)) AS cvec
+        FROM sub_{s} WHERE vec_id < {_KM_K}
+    ),
+    a1_{s} AS ({_km_sql_assign(f'(SELECT * FROM sub_{s} WHERE vec_id % {_IVF_TRAIN_MOD} = 0)', f'c0_{s}')}),
+    c1_{s} AS ({_km_sql_update(f'a1_{s}')}),
+    code_{s} AS ({_km_sql_assign_d2(f'sub_{s}', f'c1_{s}')})"""
+        )
+    return ",\n    ".join(parts)
+
+
+def _pq_train_subspace(
+    embeddings: DataFrame, s: int, cache_key: str | None = None
+) -> list[tuple[int, list[int]]]:
+    """Train subspace ``s``'s codebook: seed from the first ``_KM_K``
+    vec_ids' subvectors, one deterministic Lloyd iteration over the
+    1-in-``_IVF_TRAIN_MOD`` sample (same quantization discipline as
+    :func:`ivf_train_centroids`, same memoization)."""
+    key = (f"{cache_key}#pq{s}", 1)
+    if cache_key is not None and key in _CODEBOOK_CACHE:
+        return _CODEBOOK_CACHE[key]
+    sub = embeddings.select(
+        "vec_id", F.slice("embedding", s * _PQ_SUB + 1, _PQ_SUB).alias("embedding")
+    )
+    seeds = _collect_centroids(
+        sub.filter(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cluster_id"),
+            F.transform(
+                "embedding", lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint")
+            ).alias("cvec"),
+        )
+    )
+    train = sub.filter(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
+    rows = _collect_centroids(_km_update(_km_assign(train, seeds)))
+    if cache_key is not None:
+        _CODEBOOK_CACHE[key] = rows
+    return rows
+
+
+@register(
+    "q143_pq_encode",
+    oracle=f"""
+    WITH {_pq_sql_ctes()}
+    SELECT e.vec_id, e.label,
+           k0.cluster_id AS code0, k1.cluster_id AS code1,
+           k2.cluster_id AS code2, k3.cluster_id AS code3,
+           CAST(FLOOR((k0.d2 + k1.d2 + k2.d2 + k3.d2) / {_KM_SCALE}) AS BIGINT)
+               AS err_scaled
+    FROM embeddings e
+    JOIN code_0 k0 ON k0.vec_id = e.vec_id
+    JOIN code_1 k1 ON k1.vec_id = e.vec_id
+    JOIN code_2 k2 ON k2.vec_id = e.vec_id
+    JOIN code_3 k3 ON k3.vec_id = e.vec_id
+    """,
+)
+def q143_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encoding — the memory-scale path for vector
+    search (IVF-PQ): the 64-dim embedding splits into 4 subspaces of 16
+    dims, each with its own trained codebook (seed + one deterministic
+    integer-quantized Lloyd iteration over the 1-in-4 sample); every vector
+    is encoded as 4 code ids (here 2 bits each — a 32x compression of the
+    fixture vector) plus its total scaled reconstruction error.
+
+    Spark shape: all 4 codebooks are driver-side literal models (the
+    ivf_train_centroids pattern, memoized per dataset), so encoding is ONE
+    narrow projection over the corpus — 8 least-of-k folds (code + chosen
+    distance per subspace), zero shuffles, no join anywhere on the Spark
+    side. At 100 TB this is the plan you want: the oracle's 4-way
+    vec_id join exists only because SQL can't share the argmin subplan.
+    Float discipline: each d2 is a fixed-order left fold (deterministic
+    IEEE on both engines), and the 4-term error sum is written in the same
+    association order both sides, so FLOOR cannot disagree.
+
+    Reference capability parity: similarity plane of SURVEY.md §2
+    (dedup/ANN family); completes the IVF story (q134) with the PQ
+    compression stage of a production IVF-PQ index.
+    """
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    sel = [F.col("vec_id"), F.col("label")]
+    d2s = []
+    for s in range(_PQ_M):
+        rows = _pq_train_subspace(embeddings, s, cache_key=sf_dir)
+        best = _km_best_struct(rows, F.slice("embedding", s * _PQ_SUB + 1, _PQ_SUB))
+        sel.append(best["cluster_id"].cast("bigint").alias(f"code{s}"))
+        d2s.append(best["d2"])
+    err = F.floor(((d2s[0] + d2s[1]) + d2s[2] + d2s[3]) / _KM_SCALE).cast("bigint")
+    return embeddings.select(*sel, err.alias("err_scaled"))
