@@ -132,3 +132,93 @@ def q138_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "q145_cdc_upsert",
+    oracle="""
+    WITH changes AS (
+        SELECT c_custkey AS key, 'U' AS op, c_name, c_nationkey,
+               ROUND(c_acctbal + 100, 2) AS c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 3
+        UNION ALL
+        SELECT c_custkey + 10000000, 'I', 'new_' || c_name, c_nationkey,
+               500.0, c_mktsegment
+        FROM customer WHERE c_custkey % 100 = 7
+        UNION ALL
+        SELECT c_custkey, 'D', NULL, NULL, NULL, NULL
+        FROM customer WHERE c_custkey % 100 = 55
+    ),
+    merged AS (
+        SELECT COALESCE(ch.c_mktsegment, s.c_mktsegment) AS c_mktsegment,
+               COALESCE(ch.c_acctbal, s.c_acctbal) AS bal
+        FROM customer s
+        FULL OUTER JOIN changes ch ON s.c_custkey = ch.key
+        WHERE COALESCE(ch.op, '') <> 'D'
+    )
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(ROUND(bal * 100, 0) AS BIGINT)) AS BIGINT) AS total_bal_cents
+    FROM merged
+    GROUP BY c_mktsegment
+    """,
+)
+def q145_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (SCD1 apply) without a table format: a CDC batch
+    of updates / inserts / deletes (derived deterministically from the
+    snapshot so both engines see identical changes) is applied to the
+    customer snapshot via one FULL OUTER join — update rows replace, insert
+    rows append, delete rows drop — then the merged state rolls up per
+    segment.
+
+    The canonical formats-less upsert shape: matching on the snapshot's
+    key, ``COALESCE(change, snapshot)`` per column, a WHERE dropping
+    matched deletes. At 100 TB both sides hash-partition on the key (the
+    CDC batch is usually the small side — broadcastable); with a real
+    lakehouse table format the same plan runs under MERGE INTO, and AQE
+    turns it into a shuffled hash join with skew splitting for hot keys.
+    """
+    (customer,) = tables(spark, sf_dir, "customer")
+    updates = customer.filter(F.col("c_custkey") % 10 == 3).select(
+        F.col("c_custkey").alias("key"),
+        F.lit("U").alias("op"),
+        "c_name",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    inserts = customer.filter(F.col("c_custkey") % 100 == 7).select(
+        (F.col("c_custkey") + 10_000_000).alias("key"),
+        F.lit("I").alias("op"),
+        F.concat(F.lit("new_"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.lit(500.0).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    deletes = customer.filter(F.col("c_custkey") % 100 == 55).select(
+        F.col("c_custkey").alias("key"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("int").alias("c_nationkey"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("c_mktsegment"),
+    )
+    changes = updates.unionByName(inserts).unionByName(deletes)
+    ch = changes.select(
+        "key",
+        "op",
+        F.col("c_mktsegment").alias("ch_segment"),
+        F.col("c_acctbal").alias("ch_bal"),
+    )
+    merged = (
+        customer.join(ch, F.col("c_custkey") == F.col("key"), "full_outer")
+        .filter(F.coalesce(F.col("op"), F.lit("")) != "D")
+        .select(
+            F.coalesce(F.col("ch_segment"), F.col("c_mktsegment")).alias("c_mktsegment"),
+            F.coalesce(F.col("ch_bal"), F.col("c_acctbal")).alias("bal"),
+        )
+    )
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.round(F.col("bal") * 100, 0).cast("bigint")).alias("total_bal_cents"),
+    )

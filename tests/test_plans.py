@@ -216,3 +216,23 @@ class TestScaleHardening:
         assert "CartesianProduct" not in p
         assert "Window" not in p
         assert p.count("+- Exchange") <= 2
+
+    def test_q143_pq_encode_is_shuffle_free(self, plans):
+        # PQ encoding must be ONE narrow projection: codebooks are literal
+        # models, so any Exchange or Join means the plan regressed to the
+        # crossJoin/assignment-shuffle shape
+        p = plans["q143_pq_encode"]
+        assert "Exchange" not in p
+        assert "Join" not in p
+
+    def test_q139_passage_dedup_joins_on_hash(self, plans):
+        # the join-back of the dup-hash set must key on the 60-bit passage
+        # hash (8-byte shuffle rows), never on passage text
+        p = plans["q139_passage_dedup"]
+        assert "phash" in p
+        assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+    def test_q142_eval_gram_side_broadcast(self, plans):
+        # the benchmark gram set is eval-corpus-sized -> must broadcast;
+        # a shuffled join here would re-shuffle the whole train gram table
+        assert "BroadcastHashJoin" in plans["q142_contamination_overlap"]
