@@ -65,12 +65,17 @@ def q139_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinks with duplicate density (broadcastable when small).
     """
     (documents,) = tables(spark, sf_dir, "documents")
-    w = F.split("text", " ")
+    # bind the split to a projected column: referencing the raw split()
+    # expression inside the transform lambda would inline it per ELEMENT
+    # (one split per passage — the q132 anti-pattern); the multi-referenced
+    # column keeps the projection from collapsing, so split runs once/row
+    docs_w = documents.select("doc_id", F.split("text", " ").alias("w"))
+    w = F.col("w")
     n_pass = (F.size(w) / _PASS_LEN).cast("bigint")
     starts = F.when(n_pass >= 1, F.sequence(F.lit(0), (n_pass - 1).cast("int"))).otherwise(
         F.array().cast("array<int>")
     )
-    passages = documents.select(
+    passages = docs_w.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -272,7 +277,9 @@ def q142_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     is benchmark-sized (tiny → broadcast); the train side streams once.
     """
     (documents,) = tables(spark, sf_dir, "documents")
-    w = F.split("text", " ")
+    # bound words column, not the raw split() expression — see q139's note
+    docs_w = documents.select("doc_id", "source", F.split("text", " ").alias("w"))
+    w = F.col("w")
     grams_arr = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(w) - _CONT_N),
@@ -282,11 +289,11 @@ def q142_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     guarded = F.when(F.size(w) >= _CONT_N, grams_arr).otherwise(
         F.array().cast("array<bigint>")
     )
-    train_grams = documents.filter(F.col("source") != "src0").select(
+    train_grams = docs_w.filter(F.col("source") != "src0").select(
         "doc_id", F.explode(guarded).alias("g")
     )
     eval_grams = (
-        documents.filter(F.col("source") == "src0")
+        docs_w.filter(F.col("source") == "src0")
         .select(F.explode(guarded).alias("g"))
         .distinct()
         .select("g", F.lit(1).alias("hit"))

@@ -486,9 +486,15 @@ def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     (documents,) = tables(spark, sf_dir, "documents")
-    w = F.split("text", " ")
     band = (F.col("n_chars") / _JACCARD_BAND_CHARS).cast("bigint")
-    shingled = documents.select(
+    # words bound to a projected column: slice(raw-split-expr) inside the
+    # transform lambda would inline one split() per shingle (q132's
+    # anti-pattern); the multi-referenced column splits once per row
+    docs_w = documents.select(
+        "doc_id", "lang", "source", "n_chars", F.split("text", " ").alias("w")
+    )
+    w = F.col("w")
+    shingled = docs_w.select(
         "doc_id",
         "lang",
         "source",
@@ -702,8 +708,16 @@ def q118_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     surviving candidates.
     """
     docs = tables(spark, sf_dir, "documents")[0]
-    band = (F.col("n_chars") / _LEV_BAND_CHARS).cast("bigint")
-    w = F.split("text", " ")
+    # words bound to a projected column (q132 anti-pattern note in q55)
+    docs_w = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.substring("text", 1, _LEV_PREFIX).alias("prefix"),
+        F.split("text", " ").alias("w"),
+    )
+    w = F.col("w")
     min_sh = F.array_min(
         F.transform(
             F.sequence(F.lit(0), F.size(w) - 3),
@@ -714,12 +728,12 @@ def q118_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join side re-evaluates the MD5 transform, and the left side's explode
     # inlines it into Generate where it runs per OUTPUT row (3 bands) —
     # measured ~4x the hashing cost. 100 TB: swap for checkpoint().
-    sk = docs.select(
+    sk = docs_w.select(
         "doc_id",
         "lang",
         "source",
         "n_chars",
-        F.substring("text", 1, _LEV_PREFIX).alias("prefix"),
+        "prefix",
         min_sh.alias("min_sh"),
     ).localCheckpoint()
     band = (F.col("n_chars") / _LEV_BAND_CHARS).cast("bigint")

@@ -168,23 +168,18 @@ def q132_vocab_topk_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (documents,) = tables(spark, sf_dir, "documents")
     words = F.split("text", " ")
-    # guard: sequence(0, -1) would DESCEND for 1-word/empty docs and the
-    # element_at(words, 0) it produces throws; DuckDB's range() is simply
-    # empty for the same input, so emit no bigrams (ADVICE r02)
-    idxs = F.when(
-        F.size(words) >= 2, F.sequence(F.lit(0), F.size(words) - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = documents.select(
-        "lang",
-        F.explode(
-            F.transform(
-                idxs,
-                lambda i: F.concat_ws(
-                    " ", F.element_at(words, i + 1), F.element_at(words, i + 2)
-                ),
-            )
-        ).alias("bigram"),
+    # bigrams via zip_with over two shifted slices — NOT index lambdas:
+    # element_at(words, i) inside a transform lambda inlines the split()
+    # for every ELEMENT (O(n^2) splits per doc, measured 2x the query);
+    # the slices evaluate split() per row and the lambda touches only its
+    # element variables. A 1-word doc yields an empty slice -> no bigrams
+    # (DuckDB's range() twin is empty for the same input), guard-free.
+    bigrams = F.zip_with(
+        F.slice(words, 1, F.size(words) - 1),
+        F.slice(words, 2, F.size(words) - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
     )
+    grams = documents.select("lang", F.explode(bigrams).alias("bigram"))
     counted = grams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
     return (
