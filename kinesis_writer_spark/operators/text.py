@@ -334,9 +334,11 @@ def q74_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint are near-dup candidates).
     """
     (documents,) = tables(spark, sf_dir, "documents")
-    w = F.split("text", " ")
-    # array_join(slice) is one linear pass per shingle; element_at-in-
-    # transform re-evaluates the split per lookup (see q79)
+    # words bound to a projected column: slice(raw-split-expr) inside the
+    # transform lambda would inline one split() per shingle (the q132
+    # anti-pattern); the multi-referenced column splits once per row
+    docs_w = documents.select("doc_id", F.split("text", " ").alias("w"))
+    w = F.col("w")
     shingles = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.size(w) - 4),
@@ -344,11 +346,14 @@ def q74_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     fp = F.slice(F.sort_array(F.transform(shingles, lambda s: md5_60bit(s))), 1, 3)
-    return documents.select(
+    # fp bound to a column too: three element_at(fp-expr) projections would
+    # re-run the whole shingle+hash+sort chain three times per row
+    docs_fp = docs_w.select("doc_id", fp.alias("fp"))
+    return docs_fp.select(
         "doc_id",
-        F.element_at(fp, 1).alias("fp1"),
-        F.element_at(fp, 2).alias("fp2"),
-        F.element_at(fp, 3).alias("fp3"),
+        F.element_at("fp", 1).alias("fp1"),
+        F.element_at("fp", 2).alias("fp2"),
+        F.element_at("fp", 3).alias("fp3"),
     )
 
 
