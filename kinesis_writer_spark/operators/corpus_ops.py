@@ -312,3 +312,56 @@ def q142_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_hit) DIV n_grams").alias("hit_ppm"),
         )
     )
+
+
+@register(
+    "q146_partitioned_export_roundtrip",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 1000000007)
+               AS BIGINT) AS content_checksum
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q146_partitioned_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data EXPORT path, verified end-to-end: the corpus is written
+    as lang-partitioned parquet (repartitioned by the partition column so
+    each output partition is produced by one task — no tiny-file spray —
+    and sorted by doc_id within files for locality), read back through the
+    partition-discovering reader, and rolled up per lang with a content
+    checksum. The oracle computes the same rollup from the ORIGINAL table,
+    so any row lost, duplicated, or corrupted in the write→read cycle
+    breaks the hash gate.
+
+    At 100 TB this is the standard shard-export recipe:
+    ``repartition(partition_cols)`` bounds files per partition to tasks
+    actually holding that key, ``sortWithinPartitions`` gives readers
+    monotone ids per shard, and partition pruning on the read side comes
+    free from the directory layout. The checksum is an order-independent
+    BIGINT sum of (60-bit content hash mod 1e9+7) — overflow-safe under
+    ANSI mode up to ~9e9 rows per group — so verification never collects
+    rows.
+    """
+    import os
+    import tempfile
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), "kws_export", os.path.basename(os.path.normpath(sf_dir))
+    )
+    (
+        documents.repartition("lang")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(md5_60bit(F.col("text")) % 1000000007).alias("content_checksum"),
+    )
