@@ -854,3 +854,92 @@ def q144_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("rn") == 1, F.col("quality"))).alias("rep_quality"),
         )
     )
+
+
+@register(
+    "q148_pagerank_neardup_graph",
+    oracle=_SIMHASH_TABLE_SQL
+    + f"""
+    , chunks AS (
+        SELECT doc_id, simhash, unnest(range(0, {_SIMHASH_CHUNKS})) AS c FROM sh
+    ),
+    keyed AS (
+        SELECT doc_id, simhash, c, (simhash >> (15 * c::INT)) & 32767 AS chunk_key FROM chunks
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a, b.doc_id AS doc_b, b.simhash AS sh_b
+        FROM keyed a JOIN keyed b
+          ON a.c = b.c AND a.chunk_key = b.chunk_key AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM cand
+        WHERE bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) <= {_HAMMING_MAX}
+    ),
+    bi AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT a AS node, COUNT(*) AS d FROM bi GROUP BY a),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg),
+    r1 AS (
+        SELECT bi.b AS node, 150000 + (85 * SUM(r0.r // dg.d)) // 100 AS r
+        FROM bi JOIN r0 ON r0.node = bi.a JOIN deg dg ON dg.node = bi.a
+        GROUP BY bi.b
+    ),
+    r2 AS (
+        SELECT bi.b AS node, 150000 + (85 * SUM(r1.r // dg.d)) // 100 AS r
+        FROM bi JOIN r1 ON r1.node = bi.a JOIN deg dg ON dg.node = bi.a
+        GROUP BY bi.b
+    ),
+    r3 AS (
+        SELECT bi.b AS node, 150000 + (85 * SUM(r2.r // dg.d)) // 100 AS r
+        FROM bi JOIN r2 ON r2.node = bi.a JOIN deg dg ON dg.node = bi.a
+        GROUP BY bi.b
+    )
+    SELECT r3.node, CAST(r3.r AS BIGINT) AS rank_1e6, CAST(deg.d AS BIGINT) AS degree
+    FROM r3 JOIN deg ON deg.node = r3.node
+    """,
+)
+def q148_pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 power iterations, damping 0.85) over the SimHash near-dup
+    graph — centrality inside duplicate neighborhoods ranks the "canonical"
+    documents that many near-copies point at. Complements q96 (which docs
+    cluster) and q144 (which doc to keep by quality) with a structural
+    keep-signal.
+
+    Determinism: ranks live as 1e-6-scaled BIGINTs and every step is
+    integer-only — per-edge contribution ``r DIV degree``, damping
+    ``150000 + (85·Σ) DIV 100`` — so three unrolled iterations are
+    bit-identical across engines and partition orders (a float PageRank
+    would drift in summation order). Every node of the undirected graph
+    has ≥ 1 in-edge, so no dangling-mass term is needed.
+
+    Scale shape: the same per-round join+aggregate as connected_components
+    — contributions shuffle on the destination key, ranks localCheckpoint
+    per round (lineage must truncate; swap for checkpoint() on a cluster).
+    Iterations are a fixed unroll (power iteration budget), not
+    convergence-tested — the standard bounded-cost choice at 100 TB.
+    """
+    pairs = q54_simhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    bi = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = bi.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    ranks = deg.select("node", F.lit(1_000_000).cast("bigint").alias("r"))
+    for _ in range(3):
+        src = ranks.join(deg, "node").select(
+            F.col("node").alias("src"), F.expr("r DIV d").alias("contrib")
+        )
+        ranks = (
+            bi.join(src, bi.a == F.col("src"))
+            .groupBy(F.col("b").alias("node"))
+            .agg((F.lit(150000) + F.expr("(85 * SUM(contrib)) DIV 100")).alias("r"))
+            .localCheckpoint()
+        )
+    return ranks.join(deg, "node").select(
+        "node", F.col("r").alias("rank_1e6"), F.col("d").alias("degree")
+    )

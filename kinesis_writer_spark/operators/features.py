@@ -335,3 +335,66 @@ def q136_approx_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_within_2pct"
         ),
     )
+
+
+@register(
+    "q147_exact_corr",
+    oracle="""
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_quantity, 0) AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+               CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+        FROM m GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           ROUND((n * sxy - sx * sy)
+                 / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)),
+                 6) AS corr_qty_price
+    FROM s
+    """,
+)
+def q147_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation from EXACT integer moments — the deterministic
+    twin of ``corr()``: quantity and price-cents are integer-exact per row,
+    the five moments (Σx, Σy, Σxy, Σx², Σy²) accumulate as wide integers
+    (DECIMAL(38) / HUGEINT — associative, partition-order independent,
+    overflow-safe at 100 TB where int64 moments would wrap), and the
+    closed-form corr is evaluated in double only at the very end from
+    identical exact inputs, so ROUND(…, 6) cannot disagree between engines.
+    Built-in ``corr()`` is a streaming float recurrence whose result
+    depends on aggregation order — unusable under a bit-exact gate.
+
+    Shape: one grouped aggregation with map-side partials; the five
+    moments ride one shuffle of 3 group keys. This is also the right
+    100 TB shape for covariance/regression fits — exact partial moments,
+    closed form at the end.
+    """
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    x = F.round(F.col("l_quantity"), 0).cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    m = lineitem.select("l_returnflag", x.alias("x"), y.alias("y"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = m.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("x"))).cast("double").alias("sx"),
+        F.sum(dec(F.col("y"))).cast("double").alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).cast("double").alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).cast("double").alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    corr = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select("l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price"))
