@@ -365,3 +365,67 @@ def q146_partitioned_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
         F.sum("n_chars").alias("total_chars"),
         F.sum(md5_60bit(F.col("text")) % 1000000007).alias("content_checksum"),
     )
+
+
+@register(
+    "q149_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q149_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-layout co-located join: both fact tables are written ONCE as
+    managed tables bucketed (16 buckets) and sorted on the join key, and the
+    join then reads bucket-aligned files — NO shuffle on either side (the
+    plan has no Exchange above the join; see test_plans). This is Spark's
+    answer to the repeated fact-fact join at 100 TB: pay the partitioning
+    when the table is laid down, never again per query. The oracle computes
+    the same rollup from the raw parquet, so the bucketed layout is proven
+    to preserve every row.
+
+    The bucketed tables are created idempotently per dataset (managed-table
+    names derive from the sf dir) in the session warehouse — the batch twin
+    of a real lakehouse table registration.
+    """
+    import os
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    lt, ot = f"kws_lineitem_b_{tag}", f"kws_orders_b_{tag}"
+    lineitem, orders = tables(spark, sf_dir, "lineitem", "orders")
+
+    def _ensure(name: str, df: DataFrame, key: str) -> None:
+        if spark.catalog.tableExists(name):
+            return
+        # a previous session's managed-table files may survive the (in-memory)
+        # catalog; clear the stale location so saveAsTable can recreate it
+        loc = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:"), name
+        )
+        if loc and os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+        df.write.bucketBy(16, key).sortBy(key).mode("overwrite").saveAsTable(name)
+
+    _ensure(lt, lineitem.select("l_orderkey", "l_extendedprice", "l_discount"), "l_orderkey")
+    _ensure(ot, orders.select("o_orderkey", "o_orderpriority"), "o_orderkey")
+    lb, ob = spark.table(lt), spark.table(ot)
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast(
+        "bigint"
+    )
+    # MERGE hint: at test SF the orders side fits the broadcast threshold and
+    # would bypass the bucket layout; at 100 TB neither fact side broadcasts
+    # and the SMJ-over-buckets path below (zero Exchange before the join,
+    # plan-pinned) is exactly what runs
+    return (
+        lb.join(ob.hint("merge"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev).alias("revenue_cents"),
+        )
+    )

@@ -236,3 +236,11 @@ class TestScaleHardening:
         # the benchmark gram set is eval-corpus-sized -> must broadcast;
         # a shuffled join here would re-shuffle the whole train gram table
         assert "BroadcastHashJoin" in plans["q142_contamination_overlap"]
+
+    def test_q149_bucketed_join_no_join_shuffle(self, plans):
+        # both sides read bucket-aligned files: the only Exchange in the plan
+        # is the final aggregation; the fact-fact join itself never shuffles
+        p = plans["q149_bucketed_join"]
+        assert "SortMergeJoin" in p
+        assert "Bucketed: true" in p
+        assert p.count("+- Exchange") == 1
