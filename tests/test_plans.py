@@ -244,3 +244,10 @@ class TestScaleHardening:
         assert "SortMergeJoin" in p
         assert "Bucketed: true" in p
         assert p.count("+- Exchange") == 1
+
+    def test_q150_join_keys_include_salt(self, plans):
+        # the whole point of the operator: the physical join key space is
+        # (hot_key, salt), never hot_key alone
+        p = plans["q150_salted_skew_join"]
+        assert "SortMergeJoin" in p
+        assert "salt" in p
