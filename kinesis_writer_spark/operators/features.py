@@ -398,3 +398,95 @@ def q147_exact_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return s.select("l_returnflag", "n", F.round(corr, 6).alias("corr_qty_price"))
+
+
+@register(
+    "q151_chi_square",
+    oracle="""
+    WITH obs AS (
+        SELECT event_type,
+               CAST(EXTRACT(dow FROM ts) AS BIGINT) % 7 AS dow,
+               COUNT(*) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    margins AS (
+        SELECT o.event_type, o.dow, o.o,
+               SUM(o.o) OVER (PARTITION BY o.event_type) AS row_total,
+               SUM(o.o) OVER (PARTITION BY o.dow) AS col_total,
+               SUM(o.o) OVER () AS grand
+        FROM obs o
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(SUM((o - CAST(row_total AS DOUBLE) * col_total / grand)
+                     * (o - CAST(row_total AS DOUBLE) * col_total / grand)
+                     / (CAST(row_total AS DOUBLE) * col_total / grand)), 4)
+               AS chi_square
+    FROM margins
+    """,
+)
+def q151_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for (event_type × day-of-week) —
+    the categorical drift / A-B sanity test, computed from the contingency
+    table. Observed counts are exact integers; expected counts and the
+    statistic evaluate in double from those exact inputs with the identical
+    expression on both engines, so ROUND(…, 4) agrees bit-for-bit (per-cell
+    terms are summed over ≤ |types|·7 cells — a bounded, deterministic
+    reduction after the one grouped-count shuffle).
+
+    Scale shape: the only corpus-sized operation is the grouped count with
+    map-side combine; margins are windows over the tiny contingency table.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    # Spark dayofweek is 1..7 (Sun=1); DuckDB dow is 0..6 (Sun=0) — align
+    obs = events.groupBy(
+        "event_type", ((F.dayofweek("ts") - 1) % 7).cast("bigint").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("dow")
+    w_all = Window.partitionBy()
+    m = obs.select(
+        "o",
+        F.sum("o").over(w_row).alias("row_total"),
+        F.sum("o").over(w_col).alias("col_total"),
+        F.sum("o").over(w_all).alias("grand"),
+    )
+    e = F.col("row_total").cast("double") * F.col("col_total") / F.col("grand")
+    return m.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.round(F.sum((F.col("o") - e) * (F.col("o") - e) / e), 4).alias("chi_square"),
+    )
+
+
+@register(
+    "q152_listagg",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           string_agg(s.s_name, ',' ORDER BY s.s_name) AS supplier_csv
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q152_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg / group_concat —
+    the report-building surface): supplier names per nation, comma-joined
+    in deterministic name order.
+
+    ``listagg`` without WITHIN GROUP is partition-order dependent —
+    useless under a bit-exact gate and irreproducible at scale; the
+    deterministic form here is ``array_sort(collect_list(...))`` joined
+    after sorting (equivalent to LISTAGG ... WITHIN GROUP (ORDER BY), and
+    the shape Spark executes for it). The dim join broadcasts; one shuffle
+    groups by nation.
+    """
+    supplier, nation = tables(spark, sf_dir, "supplier", "nation")
+    return (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "supplier_csv"
+            ),
+        )
+    )
