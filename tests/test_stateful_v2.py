@@ -129,3 +129,55 @@ def test_fold_batches_core_invariants():
     assert rebuilt == payloads
     for _, wire in completed:
         assert len(wire) >= 256 or wire is completed[-1][1]
+
+
+@pytest.mark.parametrize("binding", BINDINGS)
+def test_checkpoint_restart_resumes_state(binding, spark, tmp_path):
+    """Kill the query mid-corpus and restart from the checkpoint: batch
+    sequences stay contiguous per key, no aggregated record is emitted
+    twice, and the unflushed tail carried in the state store survives the
+    restart (the replay-from-raw representation, MyAggregator.scala:10-15).
+    """
+    src = tmp_path / "events"
+    events = kio.load(spark, SF_DIR, "events").repartition(6)
+    events.write.mode("overwrite").parquet(str(src))
+    files = sorted(f.name for f in src.glob("part-*"))
+    half = tmp_path / "half"
+    half.mkdir()
+    for f in files[:3]:
+        (half / f).symlink_to(src / f)
+    ckpt = str(tmp_path / "ckpt")
+
+    sink = str(tmp_path / "out")
+
+    def run(path: str) -> None:
+        stream = read_event_stream(spark, path, max_files_per_trigger=1).select(
+            F.col("user_id").cast("string").alias("pk"),
+            F.to_json(F.struct("event_id", "user_id", "event_type", "value"))
+            .cast("binary")
+            .alias("data"),
+        )
+        q = (
+            binding(stream, soft_max_bytes=SOFT_MAX)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    run(str(half))
+    for f in files[3:]:
+        (half / f).symlink_to(src / f)
+    run(str(half))
+
+    out = spark.read.parquet(sink).collect()
+    by_key: dict[str, list[int]] = {}
+    for row in out:
+        by_key.setdefault(row.pk, []).append(row.batch_seq)
+    assert by_key, "no batches emitted across restart"
+    for pk, seqs in by_key.items():
+        assert sorted(seqs) == list(range(len(seqs))), f"gap/dup in seq for {pk}"
