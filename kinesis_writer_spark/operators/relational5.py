@@ -222,3 +222,108 @@ def q145_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(F.round(F.col("bal") * 100, 0).cast("bigint")).alias("total_bal_cents"),
     )
+
+
+@register(
+    "q153_grouping_id",
+    oracle="""
+    SELECT n.n_name, c.c_mktsegment,
+           GROUPING(n.n_name) AS g_nation,
+           GROUPING(c.c_mktsegment) AS g_segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+    """,
+)
+def q153_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicator columns on a ROLLUP — the surface that lets a
+    report distinguish "NULL because subtotal row" from "NULL because the
+    data was NULL" (q17's rollup emits the levels; this exposes the
+    markers). Same single-Expand plan as any rollup; the indicators are
+    free metadata of the grouping set id.
+    """
+    customer, nation = tables(spark, sf_dir, "customer", "nation")
+    return (
+        customer.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.grouping("c_mktsegment").cast("int").alias("g_segment"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .select("n_name", "c_mktsegment", "g_nation", "g_segment", "n_customers")
+    )
+
+
+@register(
+    "q154_offset_pagination",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20 OFFSET 40
+    """,
+)
+def q154_offset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination (page 3 of a price-ranked report) with a
+    total deterministic order (price, then key) so every page is stable.
+
+    Scale note: OFFSET still evaluates the global top-(offset+limit) —
+    Spark plans it as a TakeOrdered of 60 rows here, fine for report
+    pages; DEEP pagination (offset in the millions) should keyset-paginate
+    instead (``WHERE (price, key) < last_seen ORDER BY ... LIMIT k``),
+    which reuses the same plan shape with a pushed-down predicate.
+    """
+    (orders,) = tables(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .offset(40)
+        .limit(20)
+    )
+
+
+@register(
+    "q155_try_arithmetic",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN days_open = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_day,
+           CAST(SUM(COALESCE(FLOOR(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                    / NULLIF(days_open, 0)), 0)) AS BIGINT)
+               AS total_cents_per_day
+    FROM (
+        SELECT o_orderstatus, o_totalprice,
+               CAST(EXTRACT(day FROM ts_last - o_orderdate) AS BIGINT) AS days_open
+        FROM orders
+        CROSS JOIN (SELECT MAX(o_orderdate) AS ts_last FROM orders)
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def q155_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic under ANSI mode: price-per-day-open where the
+    newest order has zero days open — a plain division would throw
+    DIVIDE_BY_ZERO under ANSI SQL (Spark 4's default). ``try_divide``
+    yields NULL instead, the rows are counted, and the rollup coalesces
+    NULL contributions to 0. The oracle expresses the identical semantics
+    with ``NULLIF`` (DuckDB's division is non-throwing). The per-row
+    metric floors to integer cents-per-day BEFORE the sum, the repo's
+    order-independence convention (a double sum would drift). ANSI + try_*
+    is the production posture at 100 TB: hard errors for unexpected
+    overflow, explicit NULL semantics where division by zero is expected.
+    """
+    (orders,) = tables(spark, sf_dir, "orders")
+    last = orders.agg(F.max("o_orderdate").alias("ts_last"))
+    days_open = F.datediff(F.col("ts_last"), F.col("o_orderdate")).cast("bigint")
+    base = orders.crossJoin(F.broadcast(last)).select(
+        "o_orderstatus", "o_totalprice", days_open.alias("days_open")
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    per_day = F.floor(F.try_divide(cents, F.col("days_open"))).cast("bigint")
+    return base.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("days_open") == 0, 1).otherwise(0)).alias("n_zero_day"),
+        F.sum(F.coalesce(per_day, F.lit(0))).alias("total_cents_per_day"),
+    )
