@@ -77,3 +77,71 @@ def q113_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING COUNT(*) >= 3
         """
     )
+
+
+@register(
+    "q156_cogroup_order_gaps",
+    oracle="""
+    WITH gaps AS (
+        SELECT o_custkey,
+               CAST(EXTRACT(day FROM o_orderdate
+                    - LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey))
+                    AS BIGINT) AS gap_days
+        FROM orders
+    ),
+    stats AS (
+        SELECT o_custkey AS custkey,
+               COUNT(*) AS n_gaps,
+               ROUND(MEDIAN(gap_days), 1) AS median_gap_days
+        FROM gaps WHERE gap_days IS NOT NULL
+        GROUP BY o_custkey
+    )
+    SELECT s.custkey, c.c_mktsegment, s.n_gaps, s.median_gap_days
+    FROM stats s JOIN customer c ON c.c_custkey = s.custkey
+    """,
+)
+def q156_cogroup_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped pandas processing — the last piece of the Python-UDF API
+    family (pandas_udf → mapInPandas → applyInPandas(WithState) → UDTF →
+    THIS): per customer, the orders group and the customer-dim group arrive
+    as two aligned pandas frames and the median day-gap between consecutive
+    orders is computed imperatively. The oracle reproduces it relationally
+    (LAG + MEDIAN), proving the imperative path agrees with the declarative
+    one.
+
+    Scale shape: cogroup shuffles BOTH sides on the key once and streams
+    each key's frames through Arrow — per-task memory is the largest single
+    key group, not the partition. This is the escape hatch for per-entity
+    logic that truly needs pandas (model scoring per group, complex
+    alignment); everything expressible relationally should stay relational
+    (100x rule: the JVM window in the oracle IS the faster plan here).
+    """
+    import pandas as pd
+
+    orders, customer = tables(spark, sf_dir, "orders", "customer")
+
+    def gaps(key, odf: "pd.DataFrame", cdf: "pd.DataFrame"):
+        if len(odf) < 2 or cdf.empty:
+            return pd.DataFrame(
+                columns=["custkey", "c_mktsegment", "n_gaps", "median_gap_days"]
+            )
+        od = odf.sort_values(["o_orderdate", "o_orderkey"])
+        gap = od["o_orderdate"].diff().dt.days.dropna()
+        return pd.DataFrame(
+            {
+                "custkey": [int(key[0])],
+                "c_mktsegment": [cdf["c_mktsegment"].iloc[0]],
+                "n_gaps": [int(len(gap))],
+                "median_gap_days": [round(float(gap.median()), 1)],
+            }
+        )
+
+    return (
+        orders.groupBy("o_custkey")
+        .cogroup(customer.groupBy("c_custkey"))
+        .applyInPandas(
+            gaps,
+            "custkey bigint, c_mktsegment string, n_gaps bigint, median_gap_days double",
+        )
+    )
