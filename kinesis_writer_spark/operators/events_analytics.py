@@ -509,3 +509,95 @@ def q129_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+@register(
+    "q157_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST((1000000 * COUNT(*))
+                // SUM(COUNT(*)) OVER (PARTITION BY event_type) AS BIGINT)
+               AS share_ppm
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def q157_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    for each (from_type → to_type) pair, the transition count and its ppm
+    share of all transitions leaving ``from_type`` — the behavioral-flow
+    primitive behind next-action prediction and funnel discovery.
+
+    Shape: one LEAD window partitioned by user (the entity key — never a
+    global sort), one grouped count, and the share normalizer is a window
+    over the |types|² matrix, not the corpus. Integer-ppm division keeps
+    the shares bit-exact. Deterministic sequence order ties on event_id.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counted = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    return counted.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.expr(
+            "(1000000 * n_transitions) DIV SUM(n_transitions) OVER (PARTITION BY from_type)"
+        ).alias("share_ppm"),
+    )
+
+
+@register(
+    "q158_dwell_time",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id, event_type,
+               (epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id))
+                - epoch_us(ts)) // 1000000 AS dwell_s
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(dwell_s) AS BIGINT) AS total_dwell_s,
+           CAST(SUM(dwell_s) // COUNT(*) AS BIGINT) AS avg_dwell_s
+    FROM spans WHERE dwell_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q158_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-state analytics: how long users dwell in each event type
+    before their next action (span = gap to the user's next event). The
+    state-duration primitive for engagement and ops dashboards.
+
+    One LEAD window on the user key, spans in integer epoch-seconds (exact
+    BIGINT sums — no float duration drift), one grouped rollup. The final
+    average uses integer division so both engines floor identically.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact epoch-micros difference floored to seconds: unix_timestamp would
+    # truncate each endpoint BEFORE subtracting and drift vs the oracle
+    dwell = F.expr(
+        "(unix_micros(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))"
+        " - unix_micros(ts)) DIV 1000000"
+    )
+    spans = events.select("event_type", dwell.alias("dwell_s")).filter(
+        F.col("dwell_s").isNotNull()
+    )
+    return spans.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("dwell_s").alias("total_dwell_s"),
+        F.expr("SUM(dwell_s) DIV COUNT(*)").alias("avg_dwell_s"),
+    )
