@@ -601,3 +601,90 @@ def q158_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("dwell_s").alias("total_dwell_s"),
         F.expr("SUM(dwell_s) DIV COUNT(*)").alias("avg_dwell_s"),
     )
+
+
+_WF_DAYS = 7  # each stage must follow the previous within this window
+
+
+@register(
+    "q159_windowed_funnel",
+    oracle=f"""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view' AND e.ts > s1.t1
+          AND e.ts <= s1.t1 + INTERVAL {_WF_DAYS} DAY
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'click' AND e.ts > s2.t2
+          AND e.ts <= s2.t2 + INTERVAL {_WF_DAYS} DAY
+        GROUP BY e.user_id
+    ),
+    s4 AS (
+        SELECT e.user_id, MIN(e.ts) AS t4
+        FROM events e JOIN s3 ON e.user_id = s3.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > s3.t3
+          AND e.ts <= s3.t3 + INTERVAL {_WF_DAYS} DAY
+        GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_signup,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_view_7d,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_click_7d,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s4) AS n_purchase_7d
+    """,
+)
+def q159_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-constrained sequential funnel: signup → view → click → purchase
+    where each stage must happen within {days} days of the user's PREVIOUS
+    stage completion (q110 is the unconstrained ordered funnel; real
+    conversion windows look like this). Earliest-qualifying-event
+    semantics at every stage.
+
+    Shape: four grouped MINs chained by equi-joins on user_id — every
+    stage reuses the same hash partitioning (AQE plans one exchange per
+    stage side, no window over raw events, no per-user sort). Timestamp
+    bounds compare at full microsecond precision on both engines. At
+    100 TB each stage's survivor table shrinks monotonically, and the
+    event scan is pruned to the stage's event type before its join.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+
+    def stage(evt: str, prev, tcol: str):
+        e = events.filter(F.col("event_type") == evt).select("user_id", "ts")
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias(tcol))
+        prev_t = prev.columns[1]
+        return (
+            e.join(prev, "user_id")
+            .filter(
+                (F.col("ts") > F.col(prev_t))
+                & (F.col("ts") <= F.col(prev_t) + F.expr(f"INTERVAL {_WF_DAYS} DAY"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcol))
+        )
+
+    s1 = stage("signup", None, "t1")
+    s2 = stage("view", s1, "t2")
+    s3 = stage("click", s2, "t3")
+    s4 = stage("purchase", s3, "t4")
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(name))
+        for df, name in [
+            (s1, "n_signup"),
+            (s2, "n_view_7d"),
+            (s3, "n_click_7d"),
+            (s4, "n_purchase_7d"),
+        ]
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out

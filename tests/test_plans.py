@@ -66,6 +66,7 @@ class TestJoinStrategies:
             "q137_important_stock",  # 1-row grand-total broadcast (Q11 threshold)
             "q141_source_mixing_weights",  # 1-row normalizing-total broadcast
             "q155_try_arithmetic",  # 1-row max-orderdate broadcast
+            "q159_windowed_funnel",  # 1-row stage-count broadcasts
             "q119_gapfill_ffill",  # 1-row min/max bounds broadcast under the grid
             "q123_rolling_distinct",  # 1-row day-range bounds broadcast
         }
