@@ -800,3 +800,59 @@ def q143_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         d2s.append(best["d2"])
     err = F.floor(((d2s[0] + d2s[1]) + d2s[2] + d2s[3]) / _KM_SCALE).cast("bigint")
     return embeddings.select(*sel, err.alias("err_scaled"))
+
+
+# fixed "trained" linear model weights: deterministic integer weights in
+# 1e-6 scale (one per dimension) + bias, shared literally by both engines
+_LM_SCALE = 1_000_000
+_LM_W = [((7 * d + 3) % 13 - 6) * 1000 for d in range(64)]  # -6000..6000
+_LM_B = 250_000
+
+
+@register(
+    "q160_linear_scoring",
+    oracle=f"""
+    WITH scored AS (
+        SELECT vec_id, label,
+               list_sum(list_transform(list_zip(embedding, {list(_LM_W)}),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / {_LM_SCALE} + {_LM_B}.0 / {_LM_SCALE} AS logit
+        FROM embeddings
+    )
+    SELECT vec_id, label,
+           CAST(FLOOR(10000.0 / (1.0 + EXP(-logit))) AS BIGINT) AS score_bp,
+           CASE WHEN logit > 0 THEN 1 ELSE 0 END AS predicted
+    FROM scored
+    """,
+)
+def q160_linear_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference — apply a trained linear classifier (logistic
+    head) to every embedding: score = sigmoid(w·x + b), with the weight
+    vector inlined as a 64-int literal array (the broadcast-model pattern:
+    the model is constant-sized, the corpus never moves). The pipeline op
+    that follows training in every production loop, at its correct scale
+    shape: ONE narrow projection, no shuffle, no Python — the dot product
+    is a fixed-order zip_with fold, so the double logit is bit-identical
+    across engines; the score floors to basis points (1e4), coarse
+    enough that a last-ulp exp() difference cannot flip the floor.
+
+    Swapping in real trained weights keeps the identical plan; for models
+    larger than expression-literal size, a broadcast join on a 1-row
+    weights table is the same shape one operator later.
+    """
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    w_lit = F.array(*[F.lit(w) for w in _LM_W])
+    dot = F.aggregate(
+        F.zip_with("embedding", w_lit, lambda x, w: x.cast("double") * w.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    logit = dot / _LM_SCALE + F.lit(float(_LM_B)) / _LM_SCALE
+    return embeddings.select(
+        "vec_id",
+        "label",
+        F.floor(10_000.0 / (F.lit(1.0) + F.exp(-logit))).cast("bigint").alias(
+            "score_bp"
+        ),
+        F.when(logit > 0, 1).otherwise(0).alias("predicted"),
+    )
