@@ -429,3 +429,61 @@ def q149_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "q162_schema_evolution",
+    oracle="""
+    WITH unioned AS (
+        SELECT doc_id, lang, n_chars, NULL AS source
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT doc_id, lang, n_chars, source
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN source IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_with_source,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM unioned GROUP BY lang
+    """,
+)
+def q162_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on an append-only parquet layout, verified through a
+    real write→read cycle: an early batch lands WITHOUT the ``source``
+    column, a later batch adds it, and the merged-schema read surfaces old
+    rows with NULLs — the additive-column lifecycle every long-lived table
+    goes through. The oracle computes the same rollup from the source
+    table, so the cycle provably loses nothing and nulls exactly the
+    missing column.
+
+    Scale notes: ``mergeSchema`` reconciles footers at planning time — pay
+    it on evolving tables only (or pin the read schema explicitly, which
+    skips footer merging entirely); additive nullable columns are the only
+    always-safe evolution (renames/narrowings need a rewrite or a real
+    table format's mapping).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(), "kws_evolve", os.path.basename(os.path.normpath(sf_dir))
+    )
+    shutil.rmtree(out, ignore_errors=True)
+    old_batch = documents.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "lang", "n_chars"
+    )
+    new_batch = documents.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    old_batch.write.mode("overwrite").parquet(out)
+    new_batch.write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("source").isNull(), 0).otherwise(1)).alias("n_with_source"),
+        F.sum("n_chars").alias("total_chars"),
+    )

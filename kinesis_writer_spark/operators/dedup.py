@@ -970,3 +970,98 @@ def q148_pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(deg, "node").select(
         "node", F.col("r").alias("rank_1e6"), F.col("d").alias("degree")
     )
+
+
+@register(
+    "q161_blocking_recall",
+    oracle=f"""
+    WITH orig AS (
+        SELECT doc_id, lang, {_WORDS_SQL} AS words FROM documents
+    ),
+    noisy AS (
+        SELECT doc_id + 1000000 AS doc_id, lang,
+               list_distinct(list_filter(string_split(text, ' '),
+                   (w, i) -> i % 7 <> 0)) AS words
+        FROM documents
+    ),
+    corpus AS (SELECT * FROM orig UNION ALL SELECT * FROM noisy),
+    hs AS (SELECT doc_id, {_WORD_HASHES_SQL} AS hashes FROM corpus),
+    sigs AS (SELECT doc_id, [{", ".join(_minhash_sig_sql())}] AS signature FROM hs),
+    bands AS (
+        SELECT doc_id, unnest([{", ".join(_band_exprs_sql())}]) AS band_key FROM sigs
+    ),
+    rec AS (
+        SELECT DISTINCT a.doc_id
+        FROM bands a JOIN bands b
+          ON b.doc_id = a.doc_id + 1000000 AND a.band_key = b.band_key
+    )
+    SELECT o.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_recovered,
+           CAST((1000000 * SUM(CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END))
+                // COUNT(*) AS BIGINT) AS recall_ppm
+    FROM orig o LEFT JOIN rec r ON r.doc_id = o.doc_id
+    GROUP BY o.lang
+    """,
+)
+def q161_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality evaluation for the LSH dedup pipeline — the q135
+    pattern (ship the approximate path WITH its measurement) applied to
+    q52's banding: a synthetic corpus with KNOWN noisy duplicates (every
+    7th word dropped from each doc's copy) measures what fraction of true
+    duplicate pairs share at least one MinHash band key, per language.
+
+    "Measure, don't guess": band count / rows-per-band tuning at 100 TB
+    reads recall off this harness instead of assuming it. The ground-truth
+    join is (doc, doc+offset) — candidate generation stays the banded
+    equi-join (band keys between a doc and ITS OWN copy), so the harness
+    is linear like the pipeline it measures; no all-pairs anywhere.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    orig = documents.select("doc_id", "lang", _WORDS_SPARK().alias("words"))
+    # Spark higher-order filter passes a 0-based index; DuckDB's is 1-based
+    noisy_words = F.array_distinct(
+        F.filter(F.split("text", " "), lambda x, i: (i + 1) % 7 != 0)
+    )
+    noisy = documents.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", noisy_words.alias("words")
+    )
+    corpus = orig.unionByName(noisy)
+    hs = corpus.select("doc_id", _word_hashes_spark(F.col("words")).alias("hashes"))
+    sigs = hs.select(
+        "doc_id", F.array(*_minhash_sig_spark(F.col("hashes"))).alias("signature")
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*_band_exprs_spark())).alias("band_key")
+    )
+    a = bands.filter(F.col("doc_id") < 1_000_000)
+    b = bands.select(
+        (F.col("doc_id") - 1_000_000).alias("copy_of"),
+        F.col("band_key").alias("band_key_b"),
+    ).filter(F.col("copy_of") >= 0)
+    rec = (
+        a.join(
+            b,
+            (F.col("doc_id") == F.col("copy_of"))
+            & (F.col("band_key") == F.col("band_key_b")),
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        orig.select("doc_id", "lang")
+        .join(rec, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_recovered"),
+        )
+        .select(
+            "lang",
+            "n_pairs",
+            "n_recovered",
+            F.expr("(1000000 * n_recovered) DIV n_pairs").alias("recall_ppm"),
+        )
+    )
