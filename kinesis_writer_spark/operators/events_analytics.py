@@ -688,3 +688,61 @@ def q159_windowed_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.crossJoin(c)
     return out
+
+
+@register(
+    "q163_event_streaks",
+    oracle="""
+    WITH numbered AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn_type
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, event_type, rn - rn_type AS island,
+               CAST(COUNT(*) AS BIGINT) AS streak_len
+        FROM numbered
+        GROUP BY user_id, event_type, rn - rn_type
+    )
+    SELECT event_type,
+           CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(SUM(CASE WHEN streak_len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_streaks_3plus
+    FROM islands
+    GROUP BY event_type
+    """,
+)
+def q163_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: the longest run of CONSECUTIVE same-type events per
+    user (engagement streaks, repeated-failure detection), via the
+    row_number-difference trick — rn over the user's full sequence minus rn
+    over the user's per-type sequence is constant exactly within a
+    consecutive run, so islands fall out of a GROUP BY with no self-join
+    and no iterative logic.
+
+    Shape: two window passes over the same (user) partitioning (Catalyst
+    shares the exchange; the second window only adds a sort key), then two
+    grouped rollups. Deterministic sequence order ties on event_id. At
+    100 TB this is the standard islands shape — the naive alternative
+    (self-join on adjacency) is quadratic within hot users.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    numbered = events.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("island"),
+    )
+    islands = numbered.groupBy("user_id", "event_type", "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return islands.groupBy("event_type").agg(
+        F.max("streak_len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum(F.when(F.col("streak_len") >= 3, 1).otherwise(0)).alias("n_streaks_3plus"),
+    )
