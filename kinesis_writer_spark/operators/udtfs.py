@@ -88,7 +88,7 @@ def q113_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - LAG(o_orderdate) OVER (PARTITION BY o_custkey
                                              ORDER BY o_orderdate, o_orderkey))
                     AS BIGINT) AS gap_days
-        FROM orders WHERE o_custkey % 10 = 0
+        FROM orders
     ),
     stats AS (
         SELECT o_custkey AS custkey,
@@ -104,47 +104,55 @@ def q113_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q156_cogroup_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped pandas processing — the last piece of the Python-UDF API
     family (pandas_udf → mapInPandas → applyInPandas(WithState) → UDTF →
-    THIS): per customer, the orders group and the customer-dim group arrive
-    as two aligned pandas frames and the median day-gap between consecutive
-    orders is computed imperatively. The oracle reproduces it relationally
-    (LAG + MEDIAN), proving the imperative path agrees with the declarative
-    one.
+    THIS): orders and the customer dim arrive as two aligned pandas frames
+    per key and the median inter-order day gap is computed imperatively.
+    The oracle reproduces it relationally (LAG + MEDIAN), proving the
+    imperative path agrees with the declarative one.
 
-    Scale shape: cogroup shuffles BOTH sides on the key once and streams
-    each key's frames through Arrow — per-task memory is the largest single
-    key group, not the partition. This is the escape hatch for per-entity
-    logic that truly needs pandas (model scoring per group, complex
-    alignment); everything expressible relationally should stay relational
-    (100x rule: the JVM window in the oracle IS the faster plan here).
+    THE scale lesson of this operator: cogroup invokes Python once per
+    KEY. With per-customer keys the calls are ~1 ms of pure overhead on
+    frames of ~10 rows — measured 17 s at sf0.1 for 15k customers. The
+    key here is therefore a BUCKET (``custkey % 64``): 64 Arrow-batched
+    invocations, each computing per-customer stats vectorized inside
+    pandas (groupby/diff/median). Same results, two orders of magnitude
+    less call overhead — bucket the cogroup key whenever entity groups
+    are small. Shuffle-wise both sides exchange once on the bucket key;
+    per-task memory is one bucket's frames.
     """
     import pandas as pd
 
     orders, customer = tables(spark, sf_dir, "orders", "customer")
-    # deterministic 1-in-10 cohort: cogroup pays one Python invocation per
-    # KEY (tiny frames, large constant overhead) - the measured reason the
-    # relational twin wins when the logic is expressible; the cohort keeps
-    # the API demonstration honest without benching pure call overhead
-    orders = orders.filter(F.col("o_custkey") % 10 == 0)
+    ob = orders.withColumn("bucket", (F.col("o_custkey") % 64).cast("int"))
+    cb = customer.withColumn("bucket", (F.col("c_custkey") % 64).cast("int"))
 
     def gaps(key, odf: "pd.DataFrame", cdf: "pd.DataFrame"):
-        if len(odf) < 2 or cdf.empty:
-            return pd.DataFrame(
-                columns=["custkey", "c_mktsegment", "n_gaps", "median_gap_days"]
-            )
-        od = odf.sort_values(["o_orderdate", "o_orderkey"])
-        gap = od["o_orderdate"].diff().dt.days.dropna()
-        return pd.DataFrame(
+        cols = ["custkey", "c_mktsegment", "n_gaps", "median_gap_days"]
+        if odf.empty or cdf.empty:
+            return pd.DataFrame(columns=cols)
+        od = odf.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+        od = od.assign(gap=od.groupby("o_custkey")["o_orderdate"].diff().dt.days)
+        g = (
+            od.dropna(subset=["gap"])
+            .groupby("o_custkey")["gap"]
+            .agg(["count", "median"])
+            .reset_index()
+        )
+        if g.empty:
+            return pd.DataFrame(columns=cols)
+        seg = cdf.set_index("c_custkey")["c_mktsegment"]
+        out = pd.DataFrame(
             {
-                "custkey": [int(key[0])],
-                "c_mktsegment": [cdf["c_mktsegment"].iloc[0]],
-                "n_gaps": [int(len(gap))],
-                "median_gap_days": [round(float(gap.median()), 1)],
+                "custkey": g["o_custkey"].astype("int64"),
+                "c_mktsegment": g["o_custkey"].map(seg),
+                "n_gaps": g["count"].astype("int64"),
+                "median_gap_days": g["median"].astype(float).round(1),
             }
         )
+        return out.dropna(subset=["c_mktsegment"])
 
     return (
-        orders.groupBy("o_custkey")
-        .cogroup(customer.groupBy("c_custkey"))
+        ob.groupBy("bucket")
+        .cogroup(cb.groupBy("bucket"))
         .applyInPandas(
             gaps,
             "custkey bigint, c_mktsegment string, n_gaps bigint, median_gap_days double",
