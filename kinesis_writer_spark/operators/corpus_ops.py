@@ -487,3 +487,112 @@ def q162_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("source").isNull(), 0).otherwise(1)).alias("n_with_source"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@register(
+    "q164_snapshot_diff",
+    oracle="""
+    WITH prev AS (
+        SELECT doc_id, lang, md5(text) AS h FROM documents WHERE doc_id % 11 <> 0
+    ),
+    curr AS (
+        SELECT doc_id, lang,
+               md5(CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END) AS h
+        FROM documents WHERE doc_id % 13 <> 0
+    ),
+    diff AS (
+        SELECT COALESCE(c.lang, p.lang) AS lang,
+               CASE WHEN p.doc_id IS NULL THEN 'added'
+                    WHEN c.doc_id IS NULL THEN 'removed'
+                    WHEN p.h <> c.h THEN 'changed'
+                    ELSE 'unchanged' END AS change
+        FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id
+    )
+    SELECT lang, change, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM diff GROUP BY lang, change
+    """,
+)
+def q164_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the incremental-pipeline primitive: compare
+    two crawls/exports by content hash and classify every document as
+    added / removed / changed / unchanged per language (the decision input
+    for incremental re-processing: only 'added' + 'changed' re-enter the
+    pipeline). Snapshots are derived deterministically from the fixture
+    (drop different slices, revise every 7th doc) so both engines see the
+    identical pair.
+
+    Shape: ONE full-outer hash join on doc_id — at 100 TB both snapshots
+    hash-partition on the key once, and the comparison column is a 16-byte
+    digest computed in-scan, so the shuffle never carries document text.
+    With both snapshots bucketed on doc_id (q149's layout), the join
+    drops its exchanges entirely.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    prev = documents.filter(F.col("doc_id") % 11 != 0).select(
+        F.col("doc_id").alias("p_id"),
+        F.col("lang").alias("p_lang"),
+        F.md5(F.col("text").cast("binary")).alias("p_h"),
+    )
+    curr_text = F.when(
+        F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+    ).otherwise(F.col("text"))
+    curr = documents.filter(F.col("doc_id") % 13 != 0).select(
+        F.col("doc_id").alias("c_id"),
+        F.col("lang").alias("c_lang"),
+        F.md5(curr_text.cast("binary")).alias("c_h"),
+    )
+    change = (
+        F.when(F.col("p_id").isNull(), "added")
+        .when(F.col("c_id").isNull(), "removed")
+        .when(F.col("p_h") != F.col("c_h"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        prev.join(curr, F.col("p_id") == F.col("c_id"), "full_outer")
+        .select(F.coalesce(F.col("c_lang"), F.col("p_lang")).alias("lang"), change.alias("change"))
+        .groupBy("lang", "change")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "q165_hapax_tokens",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT lang, doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    df AS (
+        SELECT lang, token, COUNT(*) AS docfreq FROM tok GROUP BY lang, token
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN docfreq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST((1000000 * SUM(CASE WHEN docfreq = 1 THEN 1 ELSE 0 END))
+                // COUNT(*) AS BIGINT) AS hapax_ppm
+    FROM df GROUP BY lang
+    """,
+)
+def q165_hapax_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena mining: per language, how many vocabulary entries
+    occur in exactly ONE document — the rare-feature signal behind
+    vocabulary pruning, OOV-rate estimation, and typo/noise detection
+    (a corpus whose hapax share explodes is full of junk tokens).
+
+    Shape: explode → per-doc DISTINCT (collapses within-doc repeats before
+    the heavy shuffle) → one grouped doc-frequency count with map-side
+    combine → a rollup over the (vocabulary-sized) df table. The corpus is
+    touched once; everything after the df count is tiny.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    tok = documents.select(
+        "lang", "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+    df = tok.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("docfreq"))
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("docfreq") == 1, 1).otherwise(0)).alias("n_hapax"),
+        F.expr(
+            "(1000000 * SUM(CASE WHEN docfreq = 1 THEN 1 ELSE 0 END)) DIV COUNT(*)"
+        ).alias("hapax_ppm"),
+    )
