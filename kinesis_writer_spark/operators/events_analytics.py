@@ -746,3 +746,130 @@ def q163_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.sum(F.when(F.col("streak_len") >= 3, 1).otherwise(0)).alias("n_streaks_3plus"),
     )
+
+
+@register(
+    "q166_linear_interpolation",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM hourly),
+    grid AS (
+        SELECT t.event_type, g.hr
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS hr
+                    FROM bounds) g
+    ),
+    joined AS (
+        SELECT g.event_type, g.hr,
+               epoch_us(g.hr) // 3600000000 AS hnum,
+               CASE WHEN h.n IS NULL THEN NULL
+                    ELSE CAST(h.cents AS DOUBLE) / h.n END AS obs
+        FROM grid g LEFT JOIN hourly h
+          ON g.event_type = h.event_type AND g.hr = h.hr
+    ),
+    ctx AS (
+        SELECT event_type, hr, hnum, obs,
+               last_value(CASE WHEN obs IS NOT NULL THEN hnum END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY hr
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+               last_value(obs IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY hr
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+               first_value(CASE WHEN obs IS NOT NULL THEN hnum END IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY hr
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h,
+               first_value(obs IGNORE NULLS)
+                   OVER (PARTITION BY event_type ORDER BY hr
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v
+        FROM joined
+    )
+    SELECT event_type, hr,
+           CASE WHEN obs IS NOT NULL THEN ROUND(obs, 4)
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN
+                    ROUND(prev_v + (next_v - prev_v) * (hnum - prev_h)
+                          / (next_h - prev_h), 4)
+                ELSE ROUND(COALESCE(prev_v, next_v), 4) END AS interp_value,
+           CASE WHEN obs IS NOT NULL THEN 'observed'
+                WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN 'interpolated'
+                ELSE 'edge_filled' END AS fill_kind
+    FROM ctx
+    """,
+)
+def q166_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation on the dense hour grid — the interpolation
+    twin of q119's forward fill: missing hours take the straight line
+    between the surrounding observed hours (sensor/metric reconstruction
+    semantics); grid edges beyond the first/last observation fall back to
+    the nearest value.
+
+    Determinism: the observed value is SUM(exact cents)/count evaluated in
+    double from exact integers; the interpolation fraction divides exact
+    integer hour numbers; both engines evaluate the identical expression
+    tree, so ROUND(…, 4) agrees. Shape: q119's grid (types × hours,
+    corpus-size independent) + four IGNORE-NULLS window passes sharing ONE
+    per-type partitioning — the raw events table is scanned exactly once
+    for the hourly rollup.
+    """
+    events = tables(spark, sf_dir, "events")[0]
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bounds = hourly.agg(F.min("hr").alias("mn"), F.max("hr").alias("mx"))
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hr"),
+        )
+    )
+    joined = grid.join(F.broadcast(hourly), ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.expr("unix_micros(hr) DIV 3600000000").alias("hnum"),
+        F.when(
+            F.col("n").isNotNull(), F.col("cents").cast("double") / F.col("n")
+        ).alias("obs"),
+    )
+    w_prev = Window.partitionBy("event_type").orderBy("hr").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_next = Window.partitionBy("event_type").orderBy("hr").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    marked = F.when(F.col("obs").isNotNull(), F.col("hnum"))
+    ctx = joined.select(
+        "event_type",
+        "hr",
+        "hnum",
+        "obs",
+        F.last(marked, ignorenulls=True).over(w_prev).alias("prev_h"),
+        F.last("obs", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.first(marked, ignorenulls=True).over(w_next).alias("next_h"),
+        F.first("obs", ignorenulls=True).over(w_next).alias("next_v"),
+    )
+    both = F.col("prev_v").isNotNull() & F.col("next_v").isNotNull()
+    interp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * (
+        F.col("hnum") - F.col("prev_h")
+    ) / (F.col("next_h") - F.col("prev_h"))
+    return ctx.select(
+        "event_type",
+        "hr",
+        F.when(F.col("obs").isNotNull(), F.round(F.col("obs"), 4))
+        .when(both, F.round(interp, 4))
+        .otherwise(F.round(F.coalesce("prev_v", "next_v"), 4))
+        .alias("interp_value"),
+        F.when(F.col("obs").isNotNull(), "observed")
+        .when(both, "interpolated")
+        .otherwise("edge_filled")
+        .alias("fill_kind"),
+    )
