@@ -873,3 +873,71 @@ def q166_linear_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("edge_filled")
         .alias("fill_kind"),
     )
+
+
+_ANOM_K = 2  # flag when |x - mean| > K * stddev over the trailing frame
+_ANOM_FRAME = 24  # trailing hours (exclusive of the current hour)
+
+
+@register(
+    "q167_rolling_anomaly",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hr,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    framed AS (
+        SELECT event_type, hr, x,
+               COUNT(*) OVER w AS n,
+               CAST(SUM(x) OVER w AS BIGINT) AS s,
+               CAST(SUM(x * x) OVER w AS BIGINT) AS q
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                     ROWS BETWEEN {_ANOM_FRAME} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hr, x,
+           CASE WHEN n >= 6 AND (n * x - s) * (n * x - s)
+                    > {_ANOM_K * _ANOM_K} * (n * q - s * s)
+                THEN 1 ELSE 0 END AS is_anomaly
+    FROM framed
+    WHERE n >= 6 AND (n * x - s) * (n * x - s) > {_ANOM_K * _ANOM_K} * (n * q - s * s)
+    """,
+)
+def q167_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly detection on the hourly revenue series: an
+    hour is anomalous when it deviates from its trailing-24h mean by more
+    than {k}σ — the monitoring primitive behind alerting on metric streams.
+
+    The test |x−μ| > Kσ is evaluated ENTIRELY in integers by
+    cross-multiplication: (n·x−S)² > K²·(n·Q−S²) with S=Σx, Q=Σx² as exact
+    BIGINT frame sums — no float mean, no sqrt, no division, so the flag
+    is bit-identical across engines and partition orders (a float stddev
+    recurrence would drift at the boundary). Requires ≥6 trailing hours.
+    One grouped rollup scans the corpus; the window runs over the tiny
+    hourly series per type. At larger magnitudes the moments switch to
+    DECIMAL(38) like q147 before int64 could wrap.
+    """
+    events = tables(spark, sf_dir, "events")[0]
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-_ANOM_FRAME, -1)
+    )
+    framed = hourly.select(
+        "event_type",
+        "hr",
+        "x",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("s"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("q"),
+    )
+    dev = F.col("n") * F.col("x") - F.col("s")
+    var_n2 = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    flagged = (F.col("n") >= 6) & (dev * dev > _ANOM_K * _ANOM_K * var_n2)
+    return framed.filter(flagged).select(
+        "event_type", "hr", "x", F.lit(1).alias("is_anomaly")
+    )
