@@ -941,3 +941,144 @@ def q167_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return framed.filter(flagged).select(
         "event_type", "hr", "x", F.lit(1).alias("is_anomaly")
     )
+
+
+@register(
+    "q168_daily_percentile_bands",
+    oracle="""
+    WITH vals AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events
+    ),
+    h AS (SELECT day, cents, COUNT(*) AS c FROM vals GROUP BY day, cents),
+    cum AS (
+        SELECT day, cents,
+               SUM(c) OVER (PARTITION BY day ORDER BY cents) AS cum,
+               SUM(c) OVER (PARTITION BY day) AS cnt
+        FROM h
+    )
+    SELECT day,
+           CAST(MAX(cnt) AS BIGINT) AS n_events,
+           MIN(CASE WHEN 2 * cum >= cnt THEN cents END) AS p50_cents,
+           MIN(CASE WHEN 10 * cum >= 9 * cnt THEN cents END) AS p90_cents,
+           MIN(CASE WHEN 100 * cum >= 99 * cnt THEN cents END) AS p99_cents
+    FROM cum GROUP BY day
+    """,
+)
+def q168_daily_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily p50/p90/p99 value bands — the latency/value dashboard query —
+    computed EXACTLY via the q140 histogram-cumulative shape: group counts
+    per (day, integer cents), cumulative window over distinct values only,
+    integer rank rules (``2·cum ≥ cnt`` etc.), so thresholds are
+    bit-identical across engines and no day ever funnels through a
+    single-task sort. At 100 TB the only corpus-sized operation is the
+    grouped count with map-side combine; `approx_percentile` is the
+    documented swap-in when the value domain itself is huge.
+    """
+    events = tables(spark, sf_dir, "events")[0]
+    vals = events.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    h = vals.groupBy("day", "cents").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy("day").orderBy("cents")
+    w_all = Window.partitionBy("day")
+    cum = h.select(
+        "day",
+        "cents",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("cnt"),
+    )
+    def thresh(mult_cum: int, mult_cnt: int):
+        return F.min(
+            F.when(mult_cum * F.col("cum") >= mult_cnt * F.col("cnt"), F.col("cents"))
+        )
+    return cum.groupBy("day").agg(
+        F.max("cnt").alias("n_events"),
+        thresh(2, 1).alias("p50_cents"),
+        thresh(10, 9).alias("p90_cents"),
+        thresh(100, 99).alias("p99_cents"),
+    )
+
+
+@register(
+    "q169_dq_rules",
+    oracle="""
+    SELECT 'orders_null_custkey' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_nonpositive_price',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_orphan_custkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.5 THEN 1 ELSE 0 END)
+               AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem_date_bounds',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1990-01-01'
+                          OR l_shipdate > TIMESTAMP '2030-01-01'
+                    THEN 1 ELSE 0 END) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def q169_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality rule suite (the dbt-tests / great-expectations shape):
+    null checks, range checks, date bounds, and a referential-integrity
+    check (orders → customer), each emitting (rule, n_checked,
+    n_violations) — the audit table a pipeline gates its publishes on.
+
+    Shape: per-table rules fuse into ONE conditional-aggregation scan per
+    table (never one scan per rule); the FK check is a broadcast LEFT
+    join counted in the same pass. Runtime-metrics twin: plans/metrics.py
+    computes the same counters via ``Dataset.observe`` INSIDE a production
+    action, zero extra scans — this query is the standalone audit the
+    oracle can check.
+    """
+    orders, customer, lineitem = tables(spark, sf_dir, "orders", "customer", "lineitem")
+
+    def rule(df, name, cond):
+        return df.agg(
+            F.lit(name).alias("rule"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(cond, 1).otherwise(0)).alias("n_violations"),
+        )
+
+    orphan = orders.join(
+        F.broadcast(customer.select("c_custkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+        "left",
+    )
+    parts = [
+        rule(orders, "orders_null_custkey", F.col("o_custkey").isNull()),
+        rule(orders, "orders_nonpositive_price", F.col("o_totalprice") <= 0),
+        rule(orphan, "orders_orphan_custkey", F.col("c_custkey").isNull()),
+        rule(
+            lineitem,
+            "lineitem_discount_range",
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.5),
+        ),
+        rule(
+            lineitem,
+            "lineitem_date_bounds",
+            (F.col("l_shipdate") < F.lit("1990-01-01").cast("timestamp"))
+            | (F.col("l_shipdate") > F.lit("2030-01-01").cast("timestamp")),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
