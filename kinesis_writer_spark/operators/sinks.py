@@ -242,3 +242,77 @@ def q98_validate_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("reason")
         .agg(F.count(F.lit(1)).alias("n_records"), F.min("c_custkey").alias("first_key"))
     )
+
+
+@register(
+    "q170_shard_capacity_plan",
+    oracle="""
+    WITH sized AS (
+        SELECT length(CAST(event_id AS VARCHAR))
+               + length(CAST(user_id AS VARCHAR))
+               + length(event_type) + 27 AS rec_bytes,
+               ts
+        FROM events
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(rec_bytes) AS BIGINT) AS total_bytes,
+               CAST(epoch_us(MAX(ts)) // 1000000
+                    - epoch_us(MIN(ts)) // 1000000 AS BIGINT) AS span_s
+        FROM sized
+    )
+    SELECT n_events, total_bytes, span_s,
+           CAST((total_bytes + span_s * 1048576 - 1) // (span_s * 1048576)
+               AS BIGINT) AS mbps_shards,
+           CAST(((n_events + span_s * 1000 - 1) // (span_s * 1000))
+               AS BIGINT) AS unagg_rps_shards,
+           CAST(((total_bytes // 1048576 + 1) + span_s * 1000 - 1)
+                // (span_s * 1000) AS BIGINT) AS agg_rps_shards
+    FROM agg
+    """,
+)
+def q170_shard_capacity_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kinesis shard capacity planning from the stream's own statistics —
+    the sizing question every user of the reference's writer asks: given
+    this event stream's byte rate and record rate, how many shards do the
+    1 MiB/s-per-shard and 1000-records/s-per-shard limits each demand?
+    Emits the byte-limited shard count, the UNaggregated record-limited
+    count, and the count after KPL ~1 MiB aggregation (the reference's
+    soft cap, KinesisWriter.scala:27-35) collapses the record rate —
+    making the aggregation's raison d'être a measurable quantity.
+
+    Record overhead is the framing constant (partition-key index + varint
+    framing, AggRecord wire format) plus field delimiters; all arithmetic
+    is integer ceil-division on BIGINT sums, bit-identical across engines.
+    One aggregation pass over the corpus; a production planner would add
+    a peak-window factor over q168-style per-hour percentiles.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    rec_bytes = (
+        F.length(F.col("event_id").cast("string"))
+        + F.length(F.col("user_id").cast("string"))
+        + F.length("event_type")
+        + 27
+    )
+    agg = events.select(rec_bytes.alias("rec_bytes"), "ts").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("rec_bytes").alias("total_bytes"),
+        (
+            F.expr("unix_micros(MAX(ts)) DIV 1000000")
+            - F.expr("unix_micros(MIN(ts)) DIV 1000000")
+        ).alias("span_s"),
+    )
+    return agg.select(
+        "n_events",
+        "total_bytes",
+        "span_s",
+        F.expr(
+            "(total_bytes + span_s * 1048576 - 1) DIV (span_s * 1048576)"
+        ).alias("mbps_shards"),
+        F.expr("(n_events + span_s * 1000 - 1) DIV (span_s * 1000)").alias(
+            "unagg_rps_shards"
+        ),
+        F.expr(
+            "((total_bytes DIV 1048576 + 1) + span_s * 1000 - 1) DIV (span_s * 1000)"
+        ).alias("agg_rps_shards"),
+    )
