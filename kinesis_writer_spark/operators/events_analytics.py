@@ -1082,3 +1082,76 @@ def q169_dq_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+_ATTR_WINDOW_US = 3 * 24 * 3600 * 1_000_000  # 3-day lookback, epoch-micros
+
+
+@register(
+    "q171_last_touch_attribution",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT event_id, user_id, epoch_us(ts) AS p_us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT user_id, event_type AS channel, epoch_us(ts) AS t_us
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    attributed AS (
+        SELECT p.event_id,
+               (SELECT t.channel FROM touches t
+                WHERE t.user_id = p.user_id
+                  AND t.t_us < p.p_us
+                  AND t.t_us >= p.p_us - {_ATTR_WINDOW_US}
+                ORDER BY t.t_us DESC, t.channel ASC LIMIT 1) AS channel
+        FROM purchases p
+    )
+    SELECT COALESCE(channel, 'unattributed') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases
+    FROM attributed GROUP BY 1
+    """,
+)
+def q171_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to the
+    user's most recent click/view within a 3-day lookback (ties to the
+    channel name); purchases with no qualifying touch stay unattributed.
+
+    The as-of-join shape (q37) applied to a stream against itself: both
+    sides hash-partition on user_id, candidate (purchase, touch) rows
+    filter to the lookback band, and a per-purchase top-1 window picks the
+    latest touch — the window and the join share one user partitioning.
+    Per-purchase fan-out is bounded by the lookback window, not stream
+    length; timestamps compare as exact epoch-micros. The oracle's
+    correlated subquery is the same semantics the optimizer-friendly form
+    avoids at scale.
+    """
+    events = tables(spark, sf_dir, "events")[0]
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.expr("unix_micros(ts)").alias("p_us")
+    )
+    touches = events.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("channel"),
+        F.expr("unix_micros(ts)").alias("t_us"),
+    )
+    cand = purchases.join(
+        touches,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - _ATTR_WINDOW_US),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("t_us").desc(), F.col("channel").asc()
+    )
+    attributed = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "channel")
+    )
+    return (
+        purchases.join(attributed, "event_id", "left")
+        .select(F.coalesce(F.col("channel"), F.lit("unattributed")).alias("channel"))
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
