@@ -596,3 +596,67 @@ def q165_hapax_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(1000000 * SUM(CASE WHEN docfreq = 1 THEN 1 ELSE 0 END)) DIV COUNT(*)"
         ).alias("hapax_ppm"),
     )
+
+
+@register(
+    "q173_source_overlap_matrix",
+    oracle="""
+    WITH vocab AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM vocab GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+        FROM vocab a JOIN vocab b
+          ON a.token = b.token AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b,
+           CAST(i.n_common AS BIGINT) AS n_common,
+           CAST((1000000 * i.n_common) // (sa.n + sb.n - i.n_common) AS BIGINT)
+               AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
+)
+def q173_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources (Jaccard over distinct
+    token sets) — the dataset-similarity matrix used to spot mirrored or
+    heavily overlapping feeds before mixing weights are assigned (q141's
+    upstream sanity check).
+
+    Shape: the inverted index (token → sources) is the join medium — the
+    self-join runs on the TOKEN key, so a pair is counted once per shared
+    token and per-key fan-out is the number of sources containing that
+    token (≤ |sources|, never corpus-sized). Sizes and intersections meet
+    in a |sources|²-bounded matrix; the union size comes from
+    |A|+|B|−|A∩B| rather than a second pass.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    vocab = documents.select(
+        "source", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = vocab.select(F.col("source").alias("src_a"), "token")
+    b = vocab.select(F.col("source").alias("src_b"), F.col("token").alias("token_b"))
+    inter = (
+        a.join(b, (F.col("token") == F.col("token_b")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.expr("(1000000 * n_common) DIV (n_a + n_b - n_common)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )

@@ -1155,3 +1155,67 @@ def q171_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("channel")
         .agg(F.count(F.lit(1)).alias("n_purchases"))
     )
+
+
+@register(
+    "q172_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    purchases AS (
+        SELECT e.user_id, f.cohort_week,
+               CAST((epoch_us(date_trunc('week', e.ts))
+                     - epoch_us(f.cohort_week)) // 604800000000 AS BIGINT)
+                   AS week_offset,
+               CAST(ROUND(e.value * 100, 0) AS BIGINT) AS cents
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+    )
+    SELECT cohort_week, week_offset,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
+           CAST(SUM(cents) AS BIGINT) AS value_cents
+    FROM purchases
+    GROUP BY cohort_week, week_offset
+    """,
+)
+def q172_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: users cohorted by first-activity week, then
+    purchase value rolled up by (cohort, weeks-since-cohort) — the
+    value-weighted big sibling of q109's retention counts, and the table
+    behind every LTV curve.
+
+    Shape: first-touch is one grouped MIN on user_id; the cohort dim joins
+    back on the same user partitioning; the rollup is a grouped sum of
+    exact integer cents with a distinct-buyer count. Week offsets divide
+    exact epoch-micros by the week constant — no date arithmetic
+    ambiguity between engines.
+    """
+    events = tables(spark, sf_dir, "events")[0]
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    week_us = 7 * 24 * 3600 * 1_000_000
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                (
+                    F.expr("unix_micros(date_trunc('week', ts))")
+                    - F.expr("unix_micros(cohort_week)")
+                )
+                / week_us
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+    )
+    return purchases.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_buyers"),
+        F.sum("cents").alias("value_cents"),
+    )

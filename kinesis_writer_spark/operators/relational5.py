@@ -8,7 +8,7 @@ comparisons so Spark and DuckDB agree bit-exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -326,4 +326,88 @@ def q155_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.when(F.col("days_open") == 0, 1).otherwise(0)).alias("n_zero_day"),
         F.sum(F.coalesce(per_day, F.lit(0))).alias("total_cents_per_day"),
+    )
+
+
+@register(
+    "q174_ntile_binning",
+    oracle="""
+    WITH binned AS (
+        SELECT c_mktsegment, c_acctbal,
+               NTILE(10) OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal, c_custkey) AS decile
+        FROM customer
+    )
+    SELECT c_mktsegment, decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+               AS bal_cents
+    FROM binned GROUP BY c_mktsegment, decile
+    """,
+)
+def q174_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile binning per segment (equal-frequency feature bucketing
+    / score banding): customers split into 10 rank-balanced balance bins,
+    then per-bin rollups. NTILE's bin boundaries are pure rank arithmetic
+    — with the total order pinned by (balance, custkey), both engines
+    assign identical bins.
+
+    Scale note: NTILE needs a per-partition sort of the partition's rows;
+    with entity-keyed partitions that's fine, but a single global NTILE at
+    100 TB funnels everything through one task — the histogram shape
+    (q140/q168) is the swap-in for corpus-wide quantile binning.
+    """
+    (customer,) = tables(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    binned = customer.select(
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal_cents_row"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return binned.groupBy("c_mktsegment", "decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("bal_cents_row").alias("bal_cents"),
+    )
+
+
+@register(
+    "q175_argminmax",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           arg_max(s.s_name, lpad(CAST(CAST(ROUND(s.s_acctbal * 100, 0) AS BIGINT)
+                   + 1000000000 AS VARCHAR), 12, '0') || '#' || s.s_name)
+               AS richest_supplier,
+           arg_min(s.s_name, lpad(CAST(CAST(ROUND(s.s_acctbal * 100, 0) AS BIGINT)
+                   + 1000000000 AS VARCHAR), 12, '0') || '#' || s.s_name)
+               AS poorest_supplier
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q175_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARG_MAX / ARG_MIN (a.k.a. max_by/min_by): the supplier with the
+    highest and lowest balance per nation — the "value at the extreme"
+    surface that otherwise costs a self-join or a window pass.
+
+    Determinism: bare max_by ties arbitrarily (and balances can tie), so
+    the ordering key is a composite string with a TOTAL order that is
+    bit-identical on both engines: zero-padded offset integer cents (so
+    lexicographic == numeric, negatives included) + the supplier name as
+    tiebreak. One grouped aggregation with map-side partials; the
+    (value, key) pairs are the only shuffle payload.
+    """
+    supplier, nation = tables(spark, sf_dir, "supplier", "nation")
+    cents_off = F.round(F.col("s_acctbal") * 100, 0).cast("bigint") + 1_000_000_000
+    key = F.concat(
+        F.lpad(cents_off.cast("string"), 12, "0"), F.lit("#"), F.col("s_name")
+    )
+    return (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.max_by("s_name", key).alias("richest_supplier"),
+            F.min_by("s_name", key).alias("poorest_supplier"),
+        )
     )
