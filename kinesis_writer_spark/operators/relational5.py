@@ -411,3 +411,68 @@ def q175_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("s_name", key).alias("poorest_supplier"),
         )
     )
+
+
+@register(
+    "q176_join_cardinality_profile",
+    oracle="""
+    WITH a AS (SELECT o_orderkey AS k, COUNT(*) AS ca FROM orders GROUP BY 1),
+    b AS (SELECT l_orderkey AS k, COUNT(*) AS cb FROM lineitem GROUP BY 1),
+    prof AS (
+        SELECT a.k, a.ca * b.cb AS pairs FROM a JOIN b ON a.k = b.k
+    ),
+    h AS (SELECT pairs, COUNT(*) AS nk FROM prof GROUP BY pairs),
+    cum AS (
+        SELECT pairs, nk,
+               SUM(nk) OVER (ORDER BY pairs) AS cum,
+               SUM(nk) OVER () AS cnt
+        FROM h
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM prof) AS n_matched_keys,
+           (SELECT CAST(SUM(pairs) AS BIGINT) FROM prof) AS est_output_rows,
+           (SELECT CAST(MAX(pairs) AS BIGINT) FROM prof) AS max_key_fanout,
+           (SELECT MIN(CASE WHEN 100 * cum >= 99 * cnt THEN pairs END)
+            FROM cum) AS p99_key_fanout
+    """,
+)
+def q176_join_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join cardinality profiling BEFORE running the join — the diagnostic
+    that catches exploding joins and skewed keys at 100 TB planning time:
+    per-key counts on both sides meet on the key, per-key pair products
+    roll up to the exact output cardinality, the hottest key's fan-out,
+    and the p99 fan-out (via the q140 histogram-rank shape over the
+    distinct fan-out values).
+
+    Two grouped counts (map-side combine) + one join on the already-
+    aggregated key tables — orders of magnitude cheaper than the join it
+    profiles, since only (key, count) pairs shuffle. The p99/max split
+    tells you whether skew is broad or a single pathological key (q150's
+    salting vs AQE-splitting decision input).
+    """
+    orders, lineitem = tables(spark, sf_dir, "orders", "lineitem")
+    a = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    b = lineitem.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    prof = a.join(b, "k").select((F.col("ca") * F.col("cb")).alias("pairs"))
+    h = prof.groupBy("pairs").agg(F.count(F.lit(1)).alias("nk"))
+    w_cum = Window.orderBy("pairs").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = h.select(
+        "pairs",
+        F.sum("nk").over(w_cum).alias("cum"),
+        F.sum("nk").over(w_all).alias("cnt"),
+    )
+    totals = prof.agg(
+        F.count(F.lit(1)).alias("n_matched_keys"),
+        F.sum("pairs").alias("est_output_rows"),
+        F.max("pairs").alias("max_key_fanout"),
+    )
+    p99 = cum.agg(
+        F.min(
+            F.when(100 * F.col("cum") >= 99 * F.col("cnt"), F.col("pairs"))
+        ).alias("p99_key_fanout")
+    )
+    return totals.crossJoin(F.broadcast(p99))
