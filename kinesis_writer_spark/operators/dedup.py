@@ -1065,3 +1065,81 @@ def q161_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_recovered) DIV n_pairs").alias("recall_ppm"),
         )
     )
+
+
+@register(
+    "q177_linkage_scoring",
+    oracle="""
+    WITH dirty AS (
+        SELECT c_custkey + 5000000 AS key,
+               CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) ELSE c_name END AS name,
+               CASE WHEN c_custkey % 4 = 0 THEN ROUND(c_acctbal + 17.50, 2)
+                    ELSE c_acctbal END AS bal,
+               CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN' ELSE c_mktsegment END AS seg,
+               c_custkey AS true_match
+        FROM customer
+    ),
+    scored AS (
+        SELECT d.key, d.true_match,
+               (CASE WHEN lower(d.name) = lower(c.c_name) THEN 40 ELSE 0 END
+                + CASE WHEN abs(d.bal - c.c_acctbal) < 0.005 THEN 35 ELSE 0 END
+                + CASE WHEN d.seg = c.c_mktsegment THEN 25 ELSE 0 END) AS score
+        FROM dirty d JOIN customer c ON c.c_custkey = d.true_match
+    )
+    SELECT CASE WHEN score >= 75 THEN 'match'
+                WHEN score >= 40 THEN 'possible'
+                ELSE 'non_match' END AS verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(MIN(score) AS BIGINT) AS min_score,
+           CAST(MAX(score) AS BIGINT) AS max_score
+    FROM scored GROUP BY 1
+    """,
+)
+def q177_linkage_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage field-agreement scoring (the Fellegi–Sunter shape):
+    a deterministically dirtied copy of the customer table (case-mangled
+    names, shifted balances, wiped segments) is compared field-by-field
+    against its true counterpart; integer agreement weights (name 40,
+    balance 35, segment 25) sum to a score classified into
+    match / possible / non-match. q118 links on string distance; this is
+    the multi-field weighted-evidence linkage used for entity resolution
+    across structured feeds.
+
+    Integer weights → exact classes; the balance comparison uses a
+    half-cent tolerance rather than equality (float-safe on both
+    engines). In production the candidate pairs come from a blocking key
+    (q52/q118's machinery) instead of the known-truth join used here to
+    make the scorer itself oracle-checkable.
+    """
+    (customer,) = tables(spark, sf_dir, "customer")
+    dirty = customer.select(
+        (F.col("c_custkey") + 5_000_000).alias("key"),
+        F.when(F.col("c_custkey") % 3 == 0, F.upper("c_name"))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.when(F.col("c_custkey") % 4 == 0, F.round(F.col("c_acctbal") + 17.50, 2))
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit("UNKNOWN"))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        F.col("c_custkey").alias("true_match"),
+    )
+    score = (
+        F.when(F.lower("name") == F.lower("c_name"), 40).otherwise(0)
+        + F.when(F.abs(F.col("bal") - F.col("c_acctbal")) < 0.005, 35).otherwise(0)
+        + F.when(F.col("seg") == F.col("c_mktsegment"), 25).otherwise(0)
+    )
+    scored = dirty.join(
+        customer, F.col("c_custkey") == F.col("true_match")
+    ).select(score.alias("score"))
+    verdict = (
+        F.when(F.col("score") >= 75, "match")
+        .when(F.col("score") >= 40, "possible")
+        .otherwise("non_match")
+    )
+    return scored.groupBy(verdict.alias("verdict")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("score").alias("min_score"),
+        F.max("score").alias("max_score"),
+    )

@@ -856,3 +856,83 @@ def q160_linear_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(logit > 0, 1).otherwise(0).alias("predicted"),
     )
+
+
+@register(
+    "q178_model_lift",
+    oracle=f"""
+    WITH scored AS (
+        SELECT label,
+               list_sum(list_transform(list_zip(embedding, {list(_LM_W)}),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                   / {_LM_SCALE} + {_LM_B}.0 / {_LM_SCALE} AS logit,
+               vec_id
+        FROM embeddings
+    ),
+    binned AS (
+        SELECT CASE WHEN label = 1 THEN 1 ELSE 0 END AS positive,
+               NTILE(10) OVER (ORDER BY logit DESC, vec_id ASC) AS decile
+        FROM scored
+    ),
+    per_decile AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(positive) AS BIGINT) AS n_pos
+        FROM binned GROUP BY decile
+    )
+    SELECT decile, n, n_pos,
+           CAST((1000000 * n_pos) // n AS BIGINT) AS pos_rate_ppm,
+           CAST((1000000 * SUM(n_pos) OVER (ORDER BY decile))
+                // (SELECT SUM(n_pos) FROM per_decile) AS BIGINT)
+               AS cum_capture_ppm
+    FROM per_decile
+    """,
+)
+def q178_model_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-evaluation lift table for q160's linear scorer: rank the
+    corpus by score, split into deciles, and report each decile's
+    positive rate (label=1 as the target class) and the cumulative
+    capture curve — the table behind every lift/gains chart, closing the
+    train→score→EVALUATE loop next to q135's retrieval recall.
+
+    The decile assignment is NTILE over a pinned total order
+    (score DESC, vec_id); rates are integer-ppm. Scale note: global NTILE
+    funnels through one task — at 100 TB swap the decile boundaries for
+    the q140/q168 histogram-rank thresholds over quantized scores and
+    keep the per-decile rollup distributed; the fixture-size single sort
+    keeps this harness oracle-checkable.
+    """
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    w_lit = F.array(*[F.lit(w) for w in _LM_W])
+    dot = F.aggregate(
+        F.zip_with("embedding", w_lit, lambda x, w: x.cast("double") * w.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    logit = dot / _LM_SCALE + F.lit(float(_LM_B)) / _LM_SCALE
+    scored = embeddings.select(
+        F.when(F.col("label") == 1, 1).otherwise(0).alias("positive"),
+        logit.alias("logit"),
+        "vec_id",
+    )
+    w_rank = Window.orderBy(F.col("logit").desc(), F.col("vec_id").asc())
+    binned = scored.select("positive", F.ntile(10).over(w_rank).alias("decile"))
+    per_decile = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("positive").alias("n_pos")
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    total_pos = per_decile.agg(F.sum("n_pos").alias("tp"))
+    with_cum = per_decile.crossJoin(F.broadcast(total_pos)).select(
+        "decile",
+        "n",
+        "n_pos",
+        "tp",
+        F.sum("n_pos").over(w_cum).alias("cum_pos"),
+    )
+    return with_cum.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.expr("(1000000 * n_pos) DIV n").alias("pos_rate_ppm"),
+        F.expr("(1000000 * cum_pos) DIV tp").alias("cum_capture_ppm"),
+    )
