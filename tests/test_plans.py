@@ -68,6 +68,7 @@ class TestJoinStrategies:
             "q155_try_arithmetic",  # 1-row max-orderdate broadcast
             "q159_windowed_funnel",  # 1-row stage-count broadcasts
             "q176_join_cardinality_profile",  # 1-row totals/p99 broadcasts
+            "q178_model_lift",  # 1-row total-positives broadcast
             "q119_gapfill_ffill",  # 1-row min/max bounds broadcast under the grid
             "q166_linear_interpolation",  # same 1-row bounds broadcast as q119
             "q123_rolling_distinct",  # 1-row day-range bounds broadcast
