@@ -1219,3 +1219,91 @@ def q172_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_buyers"),
         F.sum("cents").alias("value_cents"),
     )
+
+
+@register(
+    "q179_session_paths",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id) AS prev_us
+        FROM events
+    ),
+    marked AS (
+        SELECT *,
+               CASE WHEN prev_us IS NULL OR us - prev_us > {_SESSION_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sessioned AS (
+        SELECT user_id, event_id, event_type, us,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM marked
+    ),
+    paths AS (
+        SELECT user_id, session_idx,
+               array_to_string(list(event_type ORDER BY us, event_id), '>') AS path
+        FROM sessioned
+        GROUP BY user_id, session_idx
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 10
+    """,
+)
+def q179_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: the 10 most common within-session event-type
+    sequences (the product-analytics "what do users actually do" table,
+    and the input to q157's transition matrix at path granularity).
+    Sessions come from q108's 30-minute-gap rule.
+
+    Determinism: ``collect_list`` has NO ordering guarantee, so the path
+    assembles via ``array_sort`` of (us, event_id, type) structs before
+    the types are joined — the struct sort pins the order the oracle's
+    ``list(... ORDER BY)`` declares. Top-10 is TakeOrdered with a path
+    tiebreak. Path cardinality is bounded by behavior, not corpus size;
+    the heavy operations are the session window and one grouped
+    aggregation per (user, session).
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id", "event_id", "event_type", us.alias("us"),
+        F.lag(us).over(w_order).alias("prev_us"),
+    )
+    marked = ordered.withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("us") - F.col("prev_us") > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessioned = marked.withColumn("session_idx", F.sum("is_new").over(w_run))
+    paths = sessioned.groupBy("user_id", "session_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("us", "event_id", "event_type"))
+                ),
+                lambda s: s.event_type,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(10)
+    )
