@@ -660,3 +660,153 @@ def q173_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q180_curation_pipeline_v2",
+    oracle=f"""
+    WITH h AS (
+        SELECT lang, n_chars, COUNT(*) AS c FROM documents GROUP BY lang, n_chars
+    ),
+    cum AS (
+        SELECT lang, n_chars,
+               SUM(c) OVER (PARTITION BY lang ORDER BY n_chars) AS cum,
+               SUM(c) OVER (PARTITION BY lang) AS cnt
+        FROM h
+    ),
+    thr AS (
+        SELECT lang,
+               MIN(CASE WHEN 20 * cum >= cnt THEN n_chars END) AS lo,
+               MIN(CASE WHEN 20 * cum >= 19 * cnt THEN n_chars END) AS hi
+        FROM cum GROUP BY lang
+    ),
+    banded AS (
+        SELECT d.* FROM documents d JOIN thr ON d.lang = thr.lang
+        WHERE d.n_chars BETWEEN thr.lo AND thr.hi
+    ),
+    dw AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM banded),
+    train_grams AS (
+        SELECT DISTINCT doc_id,
+               {duckdb_md5_60bit(f"array_to_string(w[i+1 : i+{_CONT_N}], ' ')", salt='cont8')} AS g
+        FROM dw, LATERAL unnest(range(0, len(w) - {_CONT_N} + 1)) t(i)
+        WHERE source <> 'src0'
+    ),
+    eval_grams AS (
+        SELECT DISTINCT
+               {duckdb_md5_60bit(f"array_to_string(w[i+1 : i+{_CONT_N}], ' ')", salt='cont8')} AS g
+        FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE source = 'src0'),
+             LATERAL unnest(range(0, len(w) - {_CONT_N} + 1)) t(i)
+    ),
+    contamination AS (
+        SELECT t.doc_id,
+               (1000000 * SUM(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END))
+                   // COUNT(*) AS hit_ppm
+        FROM train_grams t LEFT JOIN eval_grams e ON t.g = e.g
+        GROUP BY t.doc_id
+    ),
+    survivors AS (
+        SELECT b.source, len(string_split(b.text, ' ')) AS n_tok
+        FROM banded b JOIN contamination c ON c.doc_id = b.doc_id
+        WHERE c.hit_ppm < 200000
+    ),
+    per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens,
+               CAST(FLOOR(SQRT(SUM(n_tok)) * 1000) AS BIGINT) AS s
+        FROM survivors GROUP BY source
+    )
+    SELECT source, n_docs, tokens,
+           CAST((1000000 * s) // (SELECT CAST(SUM(s) AS BIGINT) FROM per_source)
+               AS BIGINT) AS weight_ppm
+    FROM per_source
+    """,
+)
+def q180_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 curation capstone — the new-operator stages composed into ONE
+    lazy plan (the q95 pattern, one generation later): per-lang p5–p95
+    length-band gate (q140's histogram thresholds) → per-doc contamination
+    score against the eval source (q142) with docs ≥ 20% gram overlap
+    dropped → temperature-scaled mixing weights over the SURVIVING
+    per-source token mass (q141). What ships is the mixing table a
+    training run would consume after cleaning.
+
+    Composability is the point: every stage is the same DataFrame-in /
+    DataFrame-out shape the standalone queries use, so Catalyst fuses the
+    whole chain — the band thresholds and eval-gram set broadcast, the
+    contamination join runs once over banded docs only (filters push
+    upstream of the gram explode), and the final weight table is
+    |sources| rows of integer-exact math.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    # stage 1: q140's histogram thresholds
+    hist = documents.groupBy("lang", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy("lang").orderBy("n_chars")
+    w_all = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "n_chars",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("cnt"),
+    )
+    thr = cum.groupBy("lang").agg(
+        F.min(F.when(20 * F.col("cum") >= F.col("cnt"), F.col("n_chars"))).alias("lo"),
+        F.min(F.when(20 * F.col("cum") >= 19 * F.col("cnt"), F.col("n_chars"))).alias("hi"),
+    )
+    banded = documents.join(F.broadcast(thr), "lang").filter(
+        F.col("n_chars").between(F.col("lo"), F.col("hi"))
+    )
+    # stage 2: q142's contamination score over banded docs
+    banded_w = banded.select("doc_id", "source", "text", F.split("text", " ").alias("w"))
+    w = F.col("w")
+    grams_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - _CONT_N),
+            lambda i: md5_60bit(F.array_join(F.slice(w, i + 1, _CONT_N), " "), salt="cont8"),
+        )
+    )
+    guarded = F.when(F.size(w) >= _CONT_N, grams_arr).otherwise(
+        F.array().cast("array<bigint>")
+    )
+    train_grams = banded_w.filter(F.col("source") != "src0").select(
+        "doc_id", F.explode(guarded).alias("g")
+    )
+    eval_docs = documents.filter(F.col("source") == "src0").select(
+        F.split("text", " ").alias("w")
+    )
+    eval_grams = (
+        eval_docs.select(F.explode(guarded).alias("g"))
+        .distinct()
+        .select("g", F.lit(1).alias("hit"))
+    )
+    contamination = (
+        train_grams.join(F.broadcast(eval_grams), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "(1000000 * SUM(COALESCE(hit, 0))) DIV COUNT(*)"
+            ).alias("hit_ppm")
+        )
+    )
+    survivors = (
+        banded_w.join(contamination, "doc_id")
+        .filter(F.col("hit_ppm") < 200_000)
+        .select("source", F.size(F.split("text", " ")).alias("n_tok"))
+    )
+    # stage 3: q141's mixing weights over survivors
+    per_source = survivors.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tokens"),
+    ).select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.floor(F.sqrt(F.col("tokens")) * 1000).cast("bigint").alias("s"),
+    )
+    total = per_source.agg(F.sum("s").alias("s_total"))
+    return per_source.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.expr("(1000000 * s) DIV s_total").alias("weight_ppm"),
+    )

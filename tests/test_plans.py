@@ -69,6 +69,7 @@ class TestJoinStrategies:
             "q159_windowed_funnel",  # 1-row stage-count broadcasts
             "q176_join_cardinality_profile",  # 1-row totals/p99 broadcasts
             "q178_model_lift",  # 1-row total-positives broadcast
+            "q180_curation_pipeline_v2",  # 1-row normalizing-total broadcast (q141)
             "q119_gapfill_ffill",  # 1-row min/max bounds broadcast under the grid
             "q166_linear_interpolation",  # same 1-row bounds broadcast as q119
             "q123_rolling_distinct",  # 1-row day-range bounds broadcast
