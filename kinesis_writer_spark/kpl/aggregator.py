@@ -16,7 +16,7 @@ property tests in tests/test_kpl.py.
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from . import protocol as P
 
