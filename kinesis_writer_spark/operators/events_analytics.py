@@ -1307,3 +1307,87 @@ def q179_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(10)
     )
+
+
+@register(
+    "q181_rolling_distinct_hll",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               epoch_us(date_trunc('day', ts)) // {_US_PER_DAY} AS dayno
+        FROM events
+    ),
+    expanded AS (
+        SELECT user_id, unnest(generate_series(dayno, dayno + {_ROLLING_DAYS - 1}))
+                   AS w FROM ud
+    ),
+    bounds AS (SELECT MIN(dayno) AS mn, MAX(dayno) AS mx FROM ud)
+    SELECT TIMESTAMP '1970-01-01' + w * INTERVAL 1 DAY AS window_day,
+           COUNT(DISTINCT user_id) AS exact_users_7d,
+           TRUE AS hll_within_2pct
+    FROM expanded, bounds
+    WHERE w BETWEEN mn AND mx
+    GROUP BY 1, 3
+    """,
+)
+def q181_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q123's documented 100 TB swap-in, MADE REAL and accuracy-gated: the
+    trailing {d}-day distinct users computed as per-day ``hll_sketch_agg``
+    blobs unioned by a sliding ``hll_union_agg`` — the shuffle carries
+    fixed-size sketches instead of user ids, which is what survives when
+    daily actives outgrow an exact distinct. The query emits the EXACT
+    rolling count (oracle-checkable) plus a boolean asserting the sketch
+    estimate landed within 2% — the q16/q121 pattern, so a drifting
+    sketch fails the hash gate, not just a unit test.
+
+    Shape: ONE dedup of (user, day) feeds both paths; the sketch path is
+    per-day sketches (31 rows) + a 7-row sliding union window; the exact
+    path is the q123 lattice. At 100 TB you ship only the sketch path.
+    """
+    events = tables(spark, sf_dir, "events")[0]
+    ud = (
+        events.select(
+            "user_id",
+            (F.unix_micros(F.date_trunc("day", "ts")) / _US_PER_DAY)
+            .cast("bigint")
+            .alias("dayno"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    # sketch path: per-day HLL blobs, sliding union over the trailing week
+    daily = ud.groupBy("dayno").agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    w_slide = (
+        Window.orderBy("dayno").rowsBetween(-(_ROLLING_DAYS - 1), 0)
+    )
+    unioned = daily.select(
+        "dayno", F.expr("hll_union_agg(sk)").over(w_slide).alias("usk")
+    )
+    est = unioned.select(
+        "dayno", F.expr("hll_sketch_estimate(usk)").alias("hll_users_7d")
+    )
+    # exact path: the q123 lattice
+    bounds = ud.agg(F.min("dayno").alias("mn"), F.max("dayno").alias("mx"))
+    expanded = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("dayno"), F.col("dayno") + (_ROLLING_DAYS - 1))
+        ).alias("w"),
+    )
+    exact = (
+        expanded.crossJoin(F.broadcast(bounds))
+        .filter(F.col("w").between(F.col("mn"), F.col("mx")))
+        .groupBy(F.col("w").alias("dayno"))
+        .agg(F.countDistinct("user_id").alias("exact_users_7d"))
+    )
+    return (
+        exact.join(F.broadcast(est), "dayno")
+        .select(
+            F.timestamp_micros(F.col("dayno") * _US_PER_DAY).alias("window_day"),
+            "exact_users_7d",
+            (
+                F.abs(F.col("hll_users_7d") - F.col("exact_users_7d"))
+                <= 0.02 * F.col("exact_users_7d")
+            ).alias("hll_within_2pct"),
+        )
+    )
