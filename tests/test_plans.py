@@ -73,6 +73,7 @@ class TestJoinStrategies:
             "q119_gapfill_ffill",  # 1-row min/max bounds broadcast under the grid
             "q166_linear_interpolation",  # same 1-row bounds broadcast as q119
             "q123_rolling_distinct",  # 1-row day-range bounds broadcast
+            "q181_rolling_distinct_hll",  # same bounds broadcast as q123
         }
         for name, p in plans.items():
             if "CartesianProduct" in p:
