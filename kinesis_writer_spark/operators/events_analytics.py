@@ -1391,3 +1391,124 @@ def q181_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_within_2pct"),
         )
     )
+
+
+@register(
+    "q182_scd2_validity_audit",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ),
+    versions AS (
+        SELECT user_id, ts AS valid_from, event_id,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM changes
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    corrupted AS (
+        SELECT user_id,
+               valid_from,
+               CASE WHEN rn % 7 = 3 THEN valid_to + INTERVAL 1 HOUR
+                    ELSE valid_to END AS valid_to
+        FROM versions WHERE rn % 5 <> 0
+    ),
+    audit_clean AS (
+        SELECT 'clean' AS dataset, user_id, valid_from, valid_to,
+               LAG(valid_to) OVER (PARTITION BY user_id ORDER BY valid_from)
+                   AS prev_to
+        FROM versions
+    ),
+    audit_corrupted AS (
+        SELECT 'corrupted' AS dataset, user_id, valid_from, valid_to,
+               LAG(valid_to) OVER (PARTITION BY user_id ORDER BY valid_from)
+                   AS prev_to
+        FROM corrupted
+    ),
+    audits AS (SELECT * FROM audit_clean UNION ALL SELECT * FROM audit_corrupted)
+    SELECT dataset,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(SUM(CASE WHEN prev_to IS NOT NULL AND prev_to > valid_from
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+           CAST(SUM(CASE WHEN prev_to IS NOT NULL AND prev_to < valid_from
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+    FROM audits
+    GROUP BY dataset
+    """,
+)
+def q182_scd2_validity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity auditing — the structural checks a dimension table
+    must pass before anyone trusts AS-OF queries against it: within each
+    key, consecutive versions must neither overlap (prev valid_to >
+    valid_from) nor gap (prev valid_to < valid_from). The audit runs over
+    the CLEAN q116-style version table (expected: zero violations — the
+    tiling proof) AND a deliberately corrupted copy (every 5th version
+    dropped → gaps; every 7th surviving valid_to stretched 1h → overlaps),
+    proving the checker detects both defect classes rather than trivially
+    passing.
+
+    One (key)-partitioned sort serves version assembly and the audit lag;
+    per-dataset rollups are conditional counts in one pass. This is the
+    dimension-table counterpart of q169's fact-table rule suite.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = events.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    versions = (
+        changes.filter(
+            F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            "event_id",
+            F.lead("ts").over(w).alias("valid_to"),
+            F.row_number().over(w).alias("rn"),
+        )
+    )
+    corrupted = versions.filter(F.col("rn") % 5 != 0).select(
+        "user_id",
+        "valid_from",
+        F.when(
+            F.col("rn") % 7 == 3, F.col("valid_to") + F.expr("INTERVAL 1 HOUR")
+        )
+        .otherwise(F.col("valid_to"))
+        .alias("valid_to"),
+    )
+
+    def audit(df: DataFrame, name: str) -> DataFrame:
+        w_a = Window.partitionBy("user_id").orderBy("valid_from")
+        a = df.select(
+            F.lit(name).alias("dataset"),
+            "valid_from",
+            "valid_to",
+            F.lag("valid_to").over(w_a).alias("prev_to"),
+        )
+        return a.groupBy("dataset").agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum(
+                F.when(
+                    F.col("prev_to").isNotNull()
+                    & (F.col("prev_to") > F.col("valid_from")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_overlaps"),
+            F.sum(
+                F.when(
+                    F.col("prev_to").isNotNull()
+                    & (F.col("prev_to") < F.col("valid_from")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_gaps"),
+        )
+
+    return audit(
+        versions.select("user_id", "valid_from", "valid_to"), "clean"
+    ).unionByName(audit(corrupted, "corrupted"))
