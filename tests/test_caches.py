@@ -1,0 +1,60 @@
+"""Memoization safety: the per-dataset caches (IVF/PQ codebooks, near-dup
+pair table and components) must return results identical to a fresh
+computation — a stale or mis-keyed cache would silently corrupt every
+downstream query that rides it (q96/q102/q134/q135/q143/q144/q148).
+"""
+
+from __future__ import annotations
+
+from kinesis_writer_spark import io as kio
+from tests.conftest import SF_DIR
+
+
+def test_codebook_cache_hits_and_matches(spark):
+    from kinesis_writer_spark.operators.similarity import (
+        _CODEBOOK_CACHE,
+        ivf_train_centroids,
+    )
+
+    emb = kio.load(spark, SF_DIR, "embeddings")
+    fresh = ivf_train_centroids(emb)  # no cache key: always trains
+    key = "test-cache-key"
+    c1 = ivf_train_centroids(emb, cache_key=key)
+    c2 = ivf_train_centroids(emb, cache_key=key)
+    assert c1 == fresh  # cached content identical to a fresh training run
+    assert c2 is c1  # second call is a pure cache hit
+    assert (key, 2) in _CODEBOOK_CACHE
+
+
+def test_neardup_caches_match_fresh_computation(spark):
+    from kinesis_writer_spark.operators.dedup import (
+        _neardup_components,
+        _neardup_pairs,
+        connected_components,
+        q54_simhash_neardup,
+    )
+
+    cached_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in _neardup_pairs(spark, SF_DIR).collect()
+    }
+    fresh_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in q54_simhash_neardup(spark, SF_DIR)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    assert cached_pairs == fresh_pairs
+
+    cached_comps = {
+        r.node: r.comp for r in _neardup_components(spark, SF_DIR).collect()
+    }
+    fresh_comps = {
+        r.node: r.comp
+        for r in connected_components(
+            q54_simhash_neardup(spark, SF_DIR).select("doc_a", "doc_b"),
+            src="doc_a",
+            dst="doc_b",
+        ).collect()
+    }
+    assert cached_comps == fresh_comps
