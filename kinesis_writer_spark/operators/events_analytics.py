@@ -1512,3 +1512,87 @@ def q182_scd2_validity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit(
         versions.select("user_id", "valid_from", "valid_to"), "clean"
     ).unionByName(audit(corrupted, "corrupted"))
+
+
+@register(
+    "q183_point_in_time_lookup",
+    oracle=f"""
+    WITH changes AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_type
+        FROM events
+    ),
+    versions AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to
+        FROM changes
+        WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    bounds AS (SELECT MIN(ts) AS mn, MAX(ts) AS mx FROM events),
+    probes AS (
+        SELECT u.user_id, g.t
+        FROM (SELECT DISTINCT user_id FROM events WHERE user_id % 50 = 0) u
+        CROSS JOIN (SELECT unnest(generate_series(mn, mx, INTERVAL 6 HOUR)) AS t
+                    FROM bounds) g
+    )
+    SELECT v.event_type AS state,
+           CAST(COUNT(*) AS BIGINT) AS n_probe_hits
+    FROM probes p JOIN versions v
+      ON v.user_id = p.user_id
+     AND v.valid_from <= p.t
+     AND (v.valid_to IS NULL OR p.t < v.valid_to)
+    GROUP BY v.event_type
+    """,
+)
+def q183_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against the SCD2 table — THE query
+    pattern SCD2 exists for: sample every 50th user's state at 6-hour
+    probe times and count probes per state (the "what fraction of users
+    were in state X at time T" dashboard series). A probe matches the
+    version whose [valid_from, valid_to) interval contains it; open
+    intervals catch probes after the last change.
+
+    Shape: the q12 range-join rule — the join keys on the USER equality
+    predicate (hash join); interval containment is a post-filter, never a
+    nested loop. The probe grid is (sampled users × hours), built from a
+    1-row bounds aggregate like q119's grid. Exactly-one-match semantics
+    come from q182's audited tiling (no overlaps, no gaps), which is what
+    makes per-probe counts trustworthy.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = events.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    versions = changes.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    ).select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    bounds = events.agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+    probes = (
+        events.filter(F.col("user_id") % 50 == 0)
+        .select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(mn, mx, interval 6 hours)")).alias("t"),
+        )
+    )
+    return (
+        probes.join(
+            versions,
+            (F.col("v_user") == F.col("user_id"))
+            & (F.col("valid_from") <= F.col("t"))
+            & (F.col("valid_to").isNull() | (F.col("t") < F.col("valid_to"))),
+        )
+        .groupBy("state")
+        .agg(F.count(F.lit(1)).alias("n_probe_hits"))
+    )

@@ -74,6 +74,7 @@ class TestJoinStrategies:
             "q166_linear_interpolation",  # same 1-row bounds broadcast as q119
             "q123_rolling_distinct",  # 1-row day-range bounds broadcast
             "q181_rolling_distinct_hll",  # same bounds broadcast as q123
+            "q183_point_in_time_lookup",  # 1-row probe-grid bounds broadcast
         }
         for name, p in plans.items():
             if "CartesianProduct" in p:
