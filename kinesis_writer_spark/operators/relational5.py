@@ -476,3 +476,92 @@ def q176_join_cardinality_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         ).alias("p99_key_fanout")
     )
     return totals.crossJoin(F.broadcast(p99))
+
+
+@register(
+    "q184_cdc_compacted_apply",
+    oracle="""
+    WITH raw_changes AS (
+        SELECT c_custkey AS key, 1 AS seq, 'U' AS op,
+               ROUND(c_acctbal + 10, 2) AS bal, c_mktsegment AS seg
+        FROM customer WHERE c_custkey % 4 = 1
+        UNION ALL
+        SELECT c_custkey, 2, 'U', ROUND(c_acctbal + 20, 2), c_mktsegment
+        FROM customer WHERE c_custkey % 8 = 1
+        UNION ALL
+        SELECT c_custkey, 3, 'D', NULL, NULL
+        FROM customer WHERE c_custkey % 16 = 1
+    ),
+    latest AS (
+        SELECT key, op, bal, seg FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+            FROM raw_changes
+        ) WHERE rn = 1
+    ),
+    merged AS (
+        SELECT COALESCE(l.seg, s.c_mktsegment) AS seg,
+               COALESCE(l.bal, s.c_acctbal) AS bal
+        FROM customer s LEFT JOIN latest l ON s.c_custkey = l.key
+        WHERE COALESCE(l.op, '') <> 'D'
+    )
+    SELECT seg,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(bal * 100, 0) AS BIGINT)) AS BIGINT) AS total_bal_cents
+    FROM merged GROUP BY seg
+    """,
+)
+def q184_cdc_compacted_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply with change-log COMPACTION — the realistic extension of
+    q145: a change batch carries MULTIPLE entries per key (two updates and
+    possibly a delete, ordered by a sequence number), so the apply first
+    collapses to the latest change per key (q36's dedup-latest shape) and
+    only then merges into the snapshot. Applying un-compacted changes
+    through a plain join would double-count keys; latest-wins is the
+    contract every CDC consumer (and the reference's own
+    at-least-once replay) must implement.
+
+    Shape: one per-key window over the (small) change batch, one LEFT
+    join against the snapshot on the key, one rollup. At 100 TB the
+    change batch is the small side — broadcast; the snapshot streams.
+    """
+    (customer,) = tables(spark, sf_dir, "customer")
+
+    def chg(mod: int, seq: int, op: str, delta):
+        base = customer.filter(F.col("c_custkey") % mod == 1)
+        if op == "D":
+            return base.select(
+                F.col("c_custkey").alias("key"),
+                F.lit(seq).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("double").alias("bal"),
+                F.lit(None).cast("string").alias("seg"),
+            )
+        return base.select(
+            F.col("c_custkey").alias("key"),
+            F.lit(seq).alias("seq"),
+            F.lit("U").alias("op"),
+            F.round(F.col("c_acctbal") + delta, 2).alias("bal"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+
+    raw_changes = chg(4, 1, "U", 10).unionByName(chg(8, 2, "U", 20)).unionByName(
+        chg(16, 3, "D", None)
+    )
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    latest = (
+        raw_changes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "op", "bal", "seg")
+    )
+    merged = (
+        customer.join(F.broadcast(latest), F.col("c_custkey") == F.col("key"), "left")
+        .filter(F.coalesce(F.col("op"), F.lit("")) != "D")
+        .select(
+            F.coalesce(F.col("seg"), F.col("c_mktsegment")).alias("seg"),
+            F.coalesce(F.col("bal"), F.col("c_acctbal")).alias("bal"),
+        )
+    )
+    return merged.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.round(F.col("bal") * 100, 0).cast("bigint")).alias("total_bal_cents"),
+    )
