@@ -810,3 +810,52 @@ def q180_curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens",
         F.expr("(1000000 * s) DIV s_total").alias("weight_ppm"),
     )
+
+
+@register(
+    "q185_weighted_median_length",
+    oracle="""
+    WITH w AS (
+        SELECT lang, n_chars,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_w
+        FROM documents GROUP BY lang, n_chars
+    ),
+    cum AS (
+        SELECT lang, n_chars, tok_w,
+               SUM(tok_w) OVER (PARTITION BY lang ORDER BY n_chars) AS cw,
+               SUM(tok_w) OVER (PARTITION BY lang) AS tw
+        FROM w
+    )
+    SELECT lang,
+           CAST(MAX(tw) AS BIGINT) AS total_tokens,
+           MIN(CASE WHEN 2 * cw >= tw THEN n_chars END) AS weighted_median_chars
+    FROM cum GROUP BY lang
+    """,
+)
+def q185_weighted_median_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-weighted median document length per language: the length under
+    which half the language's token mass sits — what "typical document"
+    means when training consumes tokens, not documents (an unweighted
+    median over-represents short docs). Same histogram-cumulative rank
+    rule as q140, with token weights instead of row counts: grouped
+    weight sums with map-side combine, cumulative window over distinct
+    lengths only, integer-only threshold — no per-doc sort, engine-exact.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    w = documents.groupBy("lang", "n_chars").agg(
+        F.sum(F.size(F.split("text", " "))).alias("tok_w")
+    )
+    w_cum = Window.partitionBy("lang").orderBy("n_chars")
+    w_all = Window.partitionBy("lang")
+    cum = w.select(
+        "lang",
+        "n_chars",
+        F.sum("tok_w").over(w_cum).alias("cw"),
+        F.sum("tok_w").over(w_all).alias("tw"),
+    )
+    return cum.groupBy("lang").agg(
+        F.max("tw").alias("total_tokens"),
+        F.min(
+            F.when(2 * F.col("cw") >= F.col("tw"), F.col("n_chars"))
+        ).alias("weighted_median_chars"),
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_60bit
 from ..registry import register
 from ._util import tables
 
@@ -564,4 +565,88 @@ def q184_cdc_compacted_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("seg").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(F.round(F.col("bal") * 100, 0).cast("bigint")).alias("total_bal_cents"),
+    )
+
+
+@register(
+    "q187_nested_document_assembly",
+    oracle=f"""
+    WITH item_rows AS (
+        SELECT l_orderkey,
+               {{h}} AS item_hash
+        FROM lineitem
+    ),
+    assembled AS (
+        SELECT l_orderkey AS order_id,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(item_hash % 1000000007) AS BIGINT) AS items_checksum
+        FROM item_rows GROUP BY l_orderkey
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(a.n_items) AS BIGINT) AS total_items,
+           CAST(SUM(a.items_checksum % 1000000007) AS BIGINT) AS checksum
+    FROM assembled a JOIN orders o ON o.o_orderkey = a.order_id
+    GROUP BY o.o_orderpriority
+    """.format(
+        h="CAST(('0x' || substr(md5("
+        "CAST(l_linenumber AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR)"
+        " || '|' || CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+        "), 1, 15)) AS BIGINT)"
+    ),
+)
+def q187_nested_document_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-document assembly (the search-index / API-export shape): each
+    order's line items collapse into an ordered array of item structs —
+    on the Spark side literally ``array_sort(collect_list(struct(...)))``
+    — and the assembly is verified by hashing every item's canonical
+    field string and summing (order-independent mod-checksum), rolled up
+    per order priority. Any dropped, duplicated, or corrupted item in the
+    nested build breaks the checksum against the oracle's flat
+    computation.
+
+    One shuffle groups items to their order (the nested build), one
+    broadcast-joinable rollup after. At 100 TB this is the standard fan-in
+    materialization before JSONL export (the actual struct column rides
+    along; the checksum is how the gate sees it without comparing
+    engine-specific JSON text formats).
+    """
+    lineitem, orders = tables(spark, sf_dir, "lineitem", "orders")
+    item = F.struct(
+        "l_linenumber",
+        "l_partkey",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("price_cents"),
+    )
+    assembled = (
+        lineitem.groupBy(F.col("l_orderkey").alias("order_id"))
+        .agg(F.array_sort(F.collect_list(item)).alias("items"))
+        .select(
+            "order_id",
+            F.size("items").alias("n_items"),
+            F.aggregate(
+                F.transform(
+                    "items",
+                    lambda it: md5_60bit(
+                        F.concat_ws(
+                            "|",
+                            it["l_linenumber"].cast("string"),
+                            it["l_partkey"].cast("string"),
+                            it["price_cents"].cast("string"),
+                        )
+                    )
+                    % 1000000007,
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).alias("items_checksum"),
+        )
+    )
+    return (
+        assembled.join(orders, F.col("order_id") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n_items").alias("total_items"),
+            F.sum(F.col("items_checksum") % 1000000007).alias("checksum"),
+        )
     )

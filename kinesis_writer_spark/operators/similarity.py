@@ -936,3 +936,72 @@ def q178_model_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(1000000 * n_pos) DIV n").alias("pos_rate_ppm"),
         F.expr("(1000000 * cum_pos) DIV tp").alias("cum_capture_ppm"),
     )
+
+
+@register(
+    "q186_embedding_drift_profile",
+    oracle="""
+    WITH expl AS (
+        SELECT label,
+               unnest(range(1, len(embedding) + 1)) AS dim,
+               unnest(list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS v_1e3
+        FROM embeddings
+    ),
+    h AS (SELECT dim, v_1e3, COUNT(*) AS c FROM expl WHERE dim <= 8 GROUP BY dim, v_1e3),
+    cum AS (
+        SELECT dim, v_1e3,
+               SUM(c) OVER (PARTITION BY dim ORDER BY v_1e3) AS cum,
+               SUM(c) OVER (PARTITION BY dim) AS cnt
+        FROM h
+    )
+    SELECT dim,
+           MIN(CASE WHEN 20 * cum >= cnt THEN v_1e3 END) AS p05_1e3,
+           MIN(CASE WHEN 2 * cum >= cnt THEN v_1e3 END) AS p50_1e3,
+           MIN(CASE WHEN 20 * cum >= 19 * cnt THEN v_1e3 END) AS p95_1e3
+    FROM cum GROUP BY dim
+    """,
+)
+def q186_embedding_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution profile (p5/p50/p95 of the
+    first 8 dimensions, 1e-3-quantized) — the feature-drift monitoring
+    table: compare this profile between corpus snapshots or train/serve
+    time and alert when a dimension's band shifts (the embedding-space
+    twin of q151's categorical drift test).
+
+    Shape: posexplode to (dim, quantized value) — quantization BEFORE the
+    histogram bounds distinct values per dim — then the q140
+    histogram-cumulative exact percentiles: the heavy shuffle is a grouped
+    count with map-side combine; no per-dim sort of raw vectors. The
+    dim <= 8 projection keeps the fixture output small; the plan is
+    dimension-count-agnostic.
+    """
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    expl = embeddings.select(
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1000).cast("bigint"),
+            )
+        ).alias("dim0", "v_1e3")
+    ).select((F.col("dim0") + 1).alias("dim"), "v_1e3")
+    h = expl.filter(F.col("dim") <= 8).groupBy("dim", "v_1e3").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = Window.partitionBy("dim").orderBy("v_1e3")
+    w_all = Window.partitionBy("dim")
+    cum = h.select(
+        "dim",
+        "v_1e3",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("cnt"),
+    )
+
+    def pct(mc, mn):
+        return F.min(F.when(mc * F.col("cum") >= mn * F.col("cnt"), F.col("v_1e3")))
+
+    return cum.groupBy("dim").agg(
+        pct(20, 1).alias("p05_1e3"),
+        pct(2, 1).alias("p50_1e3"),
+        pct(20, 19).alias("p95_1e3"),
+    )
