@@ -859,3 +859,77 @@ def q185_weighted_median_length(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(2 * F.col("cw") >= F.col("tw"), F.col("n_chars"))
         ).alias("weighted_median_chars"),
     )
+
+
+@register(
+    "q189_vocab_growth_curve",
+    oracle=f"""
+    WITH d AS (
+        SELECT {duckdb_md5_60bit("CAST(doc_id AS VARCHAR)", salt='vg')} % 10 AS bucket,
+               string_split(text, ' ') AS w
+        FROM documents
+    ),
+    tok AS (
+        SELECT bucket,
+               unnest(list_distinct(list_transform(range(1, len(w) - 1),
+                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS token
+        FROM d
+    ),
+    first_seen AS (
+        SELECT token, CAST(MIN(bucket) AS BIGINT) AS first_bucket
+        FROM tok GROUP BY token
+    ),
+    by_bucket AS (
+        SELECT first_bucket, COUNT(*) AS new_tokens
+        FROM first_seen GROUP BY first_bucket
+    )
+    SELECT first_bucket + 1 AS tenths_of_corpus,
+           CAST(new_tokens AS BIGINT) AS new_tokens,
+           CAST(SUM(new_tokens) OVER (ORDER BY first_bucket) AS BIGINT)
+               AS vocab_size
+    FROM by_bucket
+    """,
+)
+def q189_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (the Heaps'-law diagnostic): distinct
+    vocabulary size after each tenth of the corpus, with corpus order
+    defined by the deterministic doc hash (the q65 sampling family, so
+    the curve is reproducible and incremental-backfill stable). A curve
+    that keeps climbing steeply says more data still buys vocabulary; a
+    flattening one says the corpus is saturating — the collect-more-data
+    decision input.
+
+    Computed WITHOUT re-scanning per fraction: each token's FIRST bucket
+    (min over the 10 hash buckets containing it) is one grouped MIN over
+    exploded per-doc-distinct tokens; the cumulative curve is a window
+    over ten rows. At 100 TB that's one shuffle keyed by token — the
+    naive per-fraction distinct would scan the corpus ten times.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    # trigram vocabulary: the fixture's word vocabulary saturates in the
+    # first bucket (tiny word list), so the growth signal lives in n-grams
+    # — which is also the BPE-ish vocab a tokenizer actually mines. Words
+    # bound to a projected column (q132 anti-pattern note).
+    docs_w = documents.select(
+        (md5_60bit(F.col("doc_id").cast("string"), salt="vg") % 10).alias("bucket"),
+        F.split("text", " ").alias("w"),
+    )
+    w = F.col("w")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 3),
+            lambda i: F.array_join(F.slice(w, i + 1, 3), " "),
+        )
+    )
+    guarded = F.when(F.size(w) >= 3, grams).otherwise(F.array().cast("array<string>"))
+    tok = docs_w.select("bucket", F.explode(guarded).alias("token"))
+    first_seen = tok.groupBy("token").agg(F.min("bucket").alias("first_bucket"))
+    by_bucket = first_seen.groupBy("first_bucket").agg(
+        F.count(F.lit(1)).alias("new_tokens")
+    )
+    w_cum = Window.orderBy("first_bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return by_bucket.select(
+        (F.col("first_bucket") + 1).alias("tenths_of_corpus"),
+        "new_tokens",
+        F.sum("new_tokens").over(w_cum).alias("vocab_size"),
+    )

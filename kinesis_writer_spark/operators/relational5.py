@@ -650,3 +650,65 @@ def q187_nested_document_assembly(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum(F.col("items_checksum") % 1000000007).alias("checksum"),
         )
     )
+
+
+@register(
+    "q188_hierarchy_share",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                    AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation, cents,
+           CAST((1000000 * cents) // SUM(cents) OVER (PARTITION BY region)
+               AS BIGINT) AS share_of_region_ppm,
+           CAST((1000000 * SUM(cents) OVER (PARTITION BY region))
+                // SUM(cents) OVER () AS BIGINT) AS region_share_ppm
+    FROM rev
+    """,
+)
+def q188_hierarchy_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent hierarchy reporting: each nation's revenue share
+    within its region AND the region's share of the grand total, in one
+    result — the drill-down ratio table every BI hierarchy renders.
+
+    One star-join rollup to (region, nation) — exact cents, dims
+    broadcast — then BOTH ratio levels come from windows over the
+    25-row aggregate (never re-scanning facts); integer-ppm division
+    keeps every share engine-exact.
+    """
+    lineitem, supplier, nation, region = tables(
+        spark, sf_dir, "lineitem", "supplier", "nation", "region"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("bigint")
+    rev = (
+        lineitem.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    with_sums = rev.select(
+        "region",
+        "nation",
+        "cents",
+        F.sum("cents").over(w_region).alias("region_cents"),
+        F.sum("cents").over(w_all).alias("total_cents"),
+    )
+    return with_sums.select(
+        "region",
+        "nation",
+        "cents",
+        F.expr("(1000000 * cents) DIV region_cents").alias("share_of_region_ppm"),
+        F.expr("(1000000 * region_cents) DIV total_cents").alias("region_share_ppm"),
+    )
