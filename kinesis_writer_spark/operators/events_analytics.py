@@ -1596,3 +1596,129 @@ def q183_point_in_time_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("state")
         .agg(F.count(F.lit(1)).alias("n_probe_hits"))
     )
+
+
+@register(
+    "q190_session_pmi",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id) AS prev_us
+        FROM events
+    ),
+    sessioned AS (
+        SELECT user_id, event_type,
+               SUM(CASE WHEN prev_us IS NULL OR us - prev_us > {_SESSION_GAP_US}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY us, event_id
+                         ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM ordered
+    ),
+    membership AS (
+        SELECT DISTINCT user_id, session_idx, event_type FROM sessioned
+    ),
+    n_sessions AS (
+        SELECT COUNT(*) AS ns FROM (SELECT DISTINCT user_id, session_idx FROM membership)
+    ),
+    singles AS (
+        SELECT event_type, COUNT(*) AS c FROM membership GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS cab
+        FROM membership a JOIN membership b
+          ON a.user_id = b.user_id AND a.session_idx = b.session_idx
+         AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.cab AS BIGINT) AS n_cooccur,
+           CAST(FLOOR(10000 * LN((CAST(p.cab AS DOUBLE) * ns.ns)
+                / (CAST(sa.c AS DOUBLE) * sb.c))) AS BIGINT) AS pmi_1e4
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    CROSS JOIN n_sessions ns
+    """,
+)
+def q190_session_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring in the
+    same session — which behaviors genuinely travel together vs merely
+    being common (raw co-occurrence counts conflate the two; PMI
+    normalizes by marginal session frequency). The association-mining
+    primitive behind "users who X also Y".
+
+    Shape: q108's sessionization → DISTINCT (session, type) membership —
+    the only corpus-sized reduction — then the pair space is a
+    membership self-join on the session key with per-key fan-out ≤
+    |types|, and singles/total are tiny aggregates joined back broadcast.
+    PMI evaluates in double from exact integer counts and floors at 1e4
+    (coarse enough that a last-ulp LN difference cannot flip it).
+    """
+    events = tables(spark, sf_dir, "events")[0]
+    us = F.unix_micros("ts")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id", "event_id", "event_type", us.alias("us"),
+        F.lag(us).over(w_order).alias("prev_us"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessioned = ordered.select(
+        "user_id",
+        "event_type",
+        F.sum(
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("us") - F.col("prev_us") > _SESSION_GAP_US),
+                1,
+            ).otherwise(0)
+        )
+        .over(w_run)
+        .alias("session_idx"),
+    )
+    membership = sessioned.select("user_id", "session_idx", "event_type").distinct()
+    n_sessions = (
+        membership.select("user_id", "session_idx")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("ns"))
+    )
+    singles = membership.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    b = membership.select(
+        F.col("user_id").alias("b_user"),
+        F.col("session_idx").alias("b_session"),
+        F.col("event_type").alias("type_b"),
+    )
+    pairs = (
+        membership.join(
+            b,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("session_idx") == F.col("b_session"))
+            & (F.col("event_type") < F.col("type_b")),
+        )
+        .groupBy(F.col("event_type").alias("type_a"), F.col("type_b"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("c").alias("ca"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("c").alias("cb"))
+    pmi = F.floor(
+        10000
+        * F.log(
+            (F.col("cab").cast("double") * F.col("ns"))
+            / (F.col("ca").cast("double") * F.col("cb"))
+        )
+    ).cast("bigint")
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            "type_a",
+            "type_b",
+            F.col("cab").alias("n_cooccur"),
+            pmi.alias("pmi_1e4"),
+        )
+    )

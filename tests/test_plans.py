@@ -75,6 +75,7 @@ class TestJoinStrategies:
             "q123_rolling_distinct",  # 1-row day-range bounds broadcast
             "q181_rolling_distinct_hll",  # same bounds broadcast as q123
             "q183_point_in_time_lookup",  # 1-row probe-grid bounds broadcast
+            "q190_session_pmi",  # 1-row session-total broadcast
         }
         for name, p in plans.items():
             if "CartesianProduct" in p:
