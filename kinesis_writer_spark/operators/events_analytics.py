@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import duckdb_md5_60bit, md5_60bit
 from ..registry import register
 from ._util import tables
 
@@ -1721,4 +1722,66 @@ def q190_session_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cab").alias("n_cooccur"),
             pmi.alias("pmi_1e4"),
         )
+    )
+
+
+@register(
+    "q191_ab_experiment_readout",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT DISTINCT user_id,
+               CASE WHEN {duckdb_md5_60bit("CAST(user_id AS VARCHAR)", salt='exp1')}
+                         % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm
+        FROM events
+    ),
+    converted AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    per_user AS (
+        SELECT a.arm, CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS conv
+        FROM assigned a LEFT JOIN converted c ON c.user_id = a.user_id
+    )
+    SELECT arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(conv) AS BIGINT) AS n_converted,
+           CAST((1000000 * SUM(conv)) // COUNT(*) AS BIGINT) AS conv_ppm
+    FROM per_user GROUP BY arm
+    """,
+)
+def q191_ab_experiment_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users deterministically hash-assigned to
+    control/treatment (the q65/q66 consistent-bucketing family — the
+    SAME user lands in the SAME arm across runs, sessions, and backfills,
+    which is what makes an experiment analyzable at all), conversion =
+    any purchase event; per arm: users, converters, conversion ppm. The
+    two-proportion significance test runs downstream on these exact
+    integer counts (q151's chi-square machinery applied to the 2×2
+    table).
+
+    Shape: one distinct pass for assignment, one for converters, a LEFT
+    join on user_id, and a 2-row rollup — every number integer-exact.
+    """
+    events = tables(spark, sf_dir, "events")[0]
+    assigned = events.select(
+        "user_id",
+        F.when(
+            md5_60bit(F.col("user_id").cast("string"), salt="exp1") % 2 == 0,
+            "control",
+        )
+        .otherwise("treatment")
+        .alias("arm"),
+    ).distinct()
+    converted = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("c_user"))
+        .distinct()
+        .withColumn("conv", F.lit(1))
+    )
+    per_user = assigned.join(
+        converted, F.col("user_id") == F.col("c_user"), "left"
+    ).select("arm", F.coalesce(F.col("conv"), F.lit(0)).alias("conv"))
+    return per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("conv").alias("n_converted"),
+        F.expr("(1000000 * SUM(conv)) DIV COUNT(*)").alias("conv_ppm"),
     )
