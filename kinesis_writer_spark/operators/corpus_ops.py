@@ -933,3 +933,67 @@ def q189_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_tokens",
         F.sum("new_tokens").over(w_cum).alias("vocab_size"),
     )
+
+
+@register(
+    "q192_source_kl_divergence",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    per_src AS (
+        SELECT source, token, COUNT(*) AS cst FROM tok GROUP BY source, token
+    ),
+    src_tot AS (SELECT source, SUM(cst) AS cs FROM per_src GROUP BY source),
+    gtab AS (SELECT token, SUM(cst) AS ct FROM per_src GROUP BY token),
+    gtot AS (SELECT SUM(cst) AS c FROM per_src),
+    terms AS (
+        SELECT p.source,
+               CAST(FLOOR(1000000.0 * (CAST(p.cst AS DOUBLE) / st.cs)
+                    * LN((CAST(p.cst AS DOUBLE) / st.cs)
+                         / (CAST(g.ct AS DOUBLE) / gt.c))) AS BIGINT) AS term_1e6
+        FROM per_src p
+        JOIN src_tot st ON st.source = p.source
+        JOIN gtab g ON g.token = p.token
+        CROSS JOIN gtot gt
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(term_1e6) AS BIGINT) AS kl_1e6
+    FROM terms GROUP BY source
+    """,
+)
+def q192_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's token distribution from the corpus
+    distribution — the slice-drift detector that ranks which feeds are
+    UNLIKE the rest (an outlier source is a mislabeled crawl, a spam
+    feed, or a different language waiting to contaminate the mix).
+    Complements q151 (categorical independence test), q173 (set overlap)
+    and q186 (embedding drift) as the distributional lens.
+
+    Float discipline: each per-token term floors to a 1e-6-scaled BIGINT
+    BEFORE summation (ratios of exact counts evaluated in double, same
+    expression both engines), so the rollup is partition-order exact.
+    Shape: one token-count shuffle, marginals joined back (global token
+    table on the token key, source totals broadcast), and a final
+    per-source sum of integers.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    tok = documents.select("source", F.explode(F.split("text", " ")).alias("token"))
+    per_src = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("cst"))
+    src_tot = per_src.groupBy("source").agg(F.sum("cst").alias("cs"))
+    glob = per_src.groupBy("token").agg(F.sum("cst").alias("ct"))
+    glob_tot = per_src.agg(F.sum("cst").alias("c"))
+    p_s = F.col("cst").cast("double") / F.col("cs")
+    p_g = F.col("ct").cast("double") / F.col("c")
+    term = F.floor(1_000_000.0 * p_s * F.log(p_s / p_g)).cast("bigint")
+    terms = (
+        per_src.join(F.broadcast(src_tot), "source")
+        .join(glob, "token")
+        .crossJoin(F.broadcast(glob_tot))
+        .select("source", term.alias("term_1e6"))
+    )
+    return terms.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("term_1e6").alias("kl_1e6"),
+    )

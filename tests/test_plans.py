@@ -76,6 +76,7 @@ class TestJoinStrategies:
             "q181_rolling_distinct_hll",  # same bounds broadcast as q123
             "q183_point_in_time_lookup",  # 1-row probe-grid bounds broadcast
             "q190_session_pmi",  # 1-row session-total broadcast
+            "q192_source_kl_divergence",  # 1-row corpus-total broadcast
         }
         for name, p in plans.items():
             if "CartesianProduct" in p:
