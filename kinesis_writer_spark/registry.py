@@ -81,6 +81,7 @@ def _ensure_loaded() -> None:
         retrieval,
         sampling,
         scalar_funcs,
+        scale_ops,
         similarity,
         sinks,
         skew,

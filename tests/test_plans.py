@@ -77,6 +77,7 @@ class TestJoinStrategies:
             "q183_point_in_time_lookup",  # 1-row probe-grid bounds broadcast
             "q190_session_pmi",  # 1-row session-total broadcast
             "q192_source_kl_divergence",  # 1-row corpus-total broadcast
+            "q198_welch_ttest",  # 1-row grand-total moment broadcast
         }
         for name, p in plans.items():
             if "CartesianProduct" in p:
@@ -261,3 +262,34 @@ class TestScaleHardening:
         p = plans["q150_salted_skew_join"]
         assert "SortMergeJoin" in p
         assert "salt" in p
+
+
+class TestScaleOpsShapes:
+    def test_q193_candidate_join_is_equi_on_shingle_hash(self, plans):
+        # PPJoin candidates come from an EQUI-join on rare prefix shingle
+        # hashes — never a cartesian/theta pairing of documents
+        p = plans["q193_prefix_filter_join"]
+        assert "CartesianProduct" not in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "tok" in p
+
+    def test_q195_merge_reaggregates_partials(self, plans):
+        # incremental maintenance merges pre-aggregated partials: both legs
+        # carry partial_sum/partial_count before the union's final aggregate
+        p = plans["q195_incremental_agg_maintenance"]
+        assert "Union" in p
+        assert "partial_sum" in p
+
+    def test_q197_orders_preaggregated_before_join(self, plans):
+        # the fact table never reaches the customer join at row grain: the
+        # per-customer spend aggregate sits below the join
+        p = plans["q197_groupwise_regression"]
+        assert "partial_sum" in p
+        assert "Join" in p
+
+    def test_q199_support_filter_below_wedge_join(self, plans):
+        # the weight>=2 support threshold prunes edges BEFORE the wedge
+        # join, and the triangle closure is a LEFT SEMI probe
+        p = plans["q199_triangle_count"]
+        assert "LeftSemi" in p
+        assert "(w#" in p or "w >= 2" in p or ">= 2)" in p
