@@ -155,18 +155,26 @@ def q56_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT c_custkey,
                CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS seg_or_null
         FROM customer
-    )
-    SELECT a.seg_or_null AS segment,
-           COUNT(*) AS n_pairs
-    FROM flagged a JOIN flagged b
-      ON a.seg_or_null IS NOT DISTINCT FROM b.seg_or_null
-     AND a.c_custkey < b.c_custkey
-    GROUP BY a.seg_or_null
+    ),
+    segs AS (SELECT DISTINCT seg_or_null FROM flagged)
+    SELECT s.seg_or_null AS segment, COUNT(*) AS n_customers
+    FROM flagged c JOIN segs s
+      ON c.seg_or_null IS NOT DISTINCT FROM s.seg_or_null
+    GROUP BY s.seg_or_null
     """,
 )
 def q57_nullsafe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL matches
-    NULL, so the null-segment rows pair with each other.
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): customers
+    join their segment row in a distinct-segment dimension that includes a
+    NULL entry — with a plain ``=`` the NULL-segment customers would drop
+    out; null-safe equality keeps them matched to the NULL dim row.
+
+    Shape: the dim side is segment-cardinality (tiny) and broadcasts, so
+    the null-safe join is one narrow pass over customer. An earlier
+    formulation demonstrated the same predicate as a within-segment
+    self-join counting pairs — quadratic per segment value (19M
+    intermediate rows at sf0.1 for 6 output counts), exactly the shape the
+    100x rule forbids when a linear join shows the same semantics.
     """
     (customer,) = tables(spark, sf_dir, "customer")
     flagged = customer.select(
@@ -175,12 +183,11 @@ def q57_nullsafe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seg_or_null"
         ),
     )
-    a = flagged.select(F.col("c_custkey").alias("k_a"), F.col("seg_or_null").alias("segment"))
-    b = flagged.select(F.col("c_custkey").alias("k_b"), F.col("seg_or_null").alias("seg_b"))
+    segs = flagged.select(F.col("seg_or_null").alias("segment")).distinct()
     return (
-        a.join(b, F.col("segment").eqNullSafe(F.col("seg_b")) & (F.col("k_a") < F.col("k_b")))
+        flagged.join(F.broadcast(segs), F.col("seg_or_null").eqNullSafe(F.col("segment")))
         .groupBy("segment")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
     )
 
 

@@ -54,7 +54,6 @@ class TestJoinStrategies:
             "q62_ivf_ann",
             "q72_lang_id",
             "q12_range_join",
-            "q38_asof_join_banded",
             "q84_market_share",
             "q97_kmeans",  # k=4 centroid broadcast
             "q134_ivf_trained",  # same k=4 centroid broadcast as q97
