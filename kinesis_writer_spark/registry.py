@@ -67,6 +67,7 @@ def _ensure_loaded() -> None:
         aggregates,
         asof,
         corpus_ops,
+        curation_ops,
         dedup,
         events_analytics,
         features,
