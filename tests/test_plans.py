@@ -77,6 +77,7 @@ class TestJoinStrategies:
             "q190_session_pmi",  # 1-row session-total broadcast
             "q192_source_kl_divergence",  # 1-row corpus-total broadcast
             "q198_welch_ttest",  # 1-row grand-total moment broadcast
+            "q200_token_budget_allocation",  # 1-row normalizing-total broadcast
         }
         for name, p in plans.items():
             if "CartesianProduct" in p:
