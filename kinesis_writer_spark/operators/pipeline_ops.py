@@ -1,0 +1,894 @@
+"""Corpus-maintenance operators (round 3, batch 4): the jobs a training-data
+pipeline runs BETWEEN full rebuilds — boilerplate detection, incremental
+(batch-vs-corpus) dedup, peak-concurrency capacity profiling, semi-structured
+schema profiling, and robust (winsorized) statistics.
+
+House rules as everywhere in the registry: cross-engine MD5-60bit hashes for
+any value that feeds a join or a comparison, integer-only thresholds and
+ratios (ppm / cents), and `(ts, id)` tie-breaks so no window is
+order-ambiguous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_60bit
+from ..registry import register
+from ._util import tables
+
+# ---------------------------------------------------------------------------
+# q205: boilerplate n-gram profile (cross-document repeated 5-grams)
+# ---------------------------------------------------------------------------
+
+_BP_W = 5  # shingle width (words)
+_BP_DF = 2  # a shingle present in >= this many docs is boilerplate
+
+#: DuckDB: distinct 5-gram shingles per doc, hashed to 60-bit ints.
+#: generate_series(1, n) is empty for n < 1, so short docs yield no rows.
+_BP_SHINGLES_DUCK = f"""
+    w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS ws
+          FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, lang, source,
+               CAST(('0x' || substr(md5(tok5), 1, 15)) AS BIGINT) AS tok
+        FROM (
+            SELECT doc_id, lang, source,
+                   unnest(list_transform(
+                       generate_series(1, len(ws) - {_BP_W - 1}),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                            || ' ' || ws[i+3] || ' ' || ws[i+4])) AS tok5
+            FROM w
+        )
+    )
+"""
+
+
+@register(
+    "q205_boilerplate_ngrams",
+    oracle=f"""
+    WITH {_BP_SHINGLES_DUCK},
+    dfq AS (SELECT tok, count(*) AS df FROM sh GROUP BY tok),
+    boiler AS (SELECT tok FROM dfq WHERE df >= {_BP_DF}),
+    per_doc AS (
+        SELECT doc_id, lang, source, count(*) AS n_sh
+        FROM sh GROUP BY doc_id, lang, source
+    ),
+    bpd AS (
+        SELECT doc_id, count(*) AS n_boiler
+        FROM sh JOIN boiler USING (tok) GROUP BY doc_id
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(SUM(CASE WHEN coalesce(n_boiler, 0) > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_docs_affected,
+           CAST(SUM(n_sh) AS BIGINT) AS n_shingles,
+           CAST(SUM(coalesce(n_boiler, 0)) AS BIGINT) AS n_boiler,
+           CAST(SUM(coalesce(n_boiler, 0)) * 1000000 // SUM(n_sh) AS BIGINT)
+               AS boiler_ppm
+    FROM per_doc LEFT JOIN bpd USING (doc_id)
+    GROUP BY lang, source
+    """,
+)
+def q205_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate profile: 5-word shingles that recur across >= 2 distinct
+    documents (headers, footers, licence blocks, templated intros) and each
+    (lang, source) slice's boilerplate fraction — the CCNet-style signal
+    for "this source needs a boilerplate strip before training".
+
+    Scale shape: shingles are hashed to 60-bit ints before any shuffle
+    (8-byte keys); the document-frequency aggregate is map-side combined;
+    the boilerplate set is bounded by *duplicate density*, not corpus size
+    (a shingle enters it only if two documents share it), and the join
+    back to per-doc counts is an equi-join on the hash. Nothing here is
+    all-pairs; the expensive row count is the shingle explosion, which is
+    O(total tokens) — the same cost every shingling operator in the
+    registry (q52/q55/q193) already pays once.
+
+    The empty-array guard on short docs (size(ws) >= 5) mirrors DuckDB's
+    empty generate_series — without it Spark's sequence(0, n) would
+    produce a DESCENDING range for n < 0 and element_at would throw (the
+    q132 lesson).
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    docs = documents.withColumn("ws", F.split("text", " "))
+    sh5 = F.expr(
+        f"""
+        CASE WHEN size(ws) >= {_BP_W} THEN
+            array_distinct(transform(sequence(0, size(ws) - {_BP_W}),
+                i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])))
+        ELSE array() END
+        """
+    )
+    tok = docs.select(
+        "doc_id", "lang", "source", F.explode(sh5).alias("tok5")
+    ).select("doc_id", "lang", "source", md5_60bit(F.col("tok5")).alias("tok"))
+    dfq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    boiler = dfq.filter(F.col("df") >= _BP_DF).select("tok")
+    per_doc = tok.groupBy("doc_id", "lang", "source").agg(
+        F.count(F.lit(1)).alias("n_sh")
+    )
+    bpd = tok.join(boiler, "tok").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_boiler")
+    )
+    joined = per_doc.join(bpd, "doc_id", "left").withColumn(
+        "n_boiler", F.coalesce("n_boiler", F.lit(0))
+    )
+    return joined.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("n_boiler") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_affected"),
+        F.sum("n_sh").cast("bigint").alias("n_shingles"),
+        F.sum("n_boiler").cast("bigint").alias("n_boiler"),
+        F.expr("CAST(SUM(n_boiler) * 1000000 DIV SUM(n_sh) AS BIGINT)").alias(
+            "boiler_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q206: incremental dedup — new batch vs existing corpus
+# ---------------------------------------------------------------------------
+
+_INC_MOD = 7  # doc_id % 7 == 0 plays the "incoming batch" role
+_INC_J_NUM, _INC_J_DEN = 4, 5  # near-dup verify: word-set Jaccard >= 0.8
+
+
+def _q206_oracle() -> str:
+    from .dedup import _band_exprs_sql, _minhash_sig_sql, _WORD_HASHES_SQL, _WORDS_SQL
+
+    return f"""
+    WITH base AS (
+        SELECT doc_id, lang, md5(text) AS h, {_WORDS_SQL} AS words
+        FROM documents
+    ),
+    incoming AS (SELECT * FROM base WHERE doc_id % {_INC_MOD} = 0),
+    corpus AS (SELECT * FROM base WHERE doc_id % {_INC_MOD} <> 0),
+    exact AS (
+        SELECT DISTINCT i.doc_id
+        FROM incoming i JOIN corpus c ON i.h = c.h
+    ),
+    inc_sigs AS (
+        SELECT doc_id,
+               [{", ".join(_minhash_sig_sql())}] AS signature
+        FROM (SELECT doc_id, {_WORD_HASHES_SQL} AS hashes
+              FROM (SELECT doc_id, words FROM incoming))
+    ),
+    corp_sigs AS (
+        SELECT doc_id AS corp_id,
+               [{", ".join(_minhash_sig_sql())}] AS signature
+        FROM (SELECT doc_id, {_WORD_HASHES_SQL} AS hashes
+              FROM (SELECT doc_id, words FROM corpus))
+    ),
+    inc_bands AS (
+        SELECT doc_id, unnest([{", ".join(_band_exprs_sql())}]) AS band_key
+        FROM inc_sigs
+    ),
+    corp_bands AS (
+        SELECT corp_id, unnest([{", ".join(_band_exprs_sql())}]) AS band_key
+        FROM corp_sigs
+    ),
+    cand AS (
+        SELECT DISTINCT i.doc_id, c.corp_id
+        FROM inc_bands i JOIN corp_bands c USING (band_key)
+    ),
+    near AS (
+        SELECT DISTINCT cd.doc_id
+        FROM cand cd
+        JOIN incoming a ON a.doc_id = cd.doc_id
+        JOIN corpus b ON b.doc_id = cd.corp_id
+        WHERE len(list_intersect(a.words, b.words)) * {_INC_J_DEN}
+              >= (len(a.words) + len(b.words)
+                  - len(list_intersect(a.words, b.words))) * {_INC_J_NUM}
+    )
+    SELECT i.lang,
+           count(*) AS n_incoming,
+           CAST(SUM(CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact,
+           CAST(SUM(CASE WHEN e.doc_id IS NULL AND n.doc_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_near,
+           CAST(SUM(CASE WHEN e.doc_id IS NULL AND n.doc_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM incoming i
+    LEFT JOIN exact e ON i.doc_id = e.doc_id
+    LEFT JOIN near n ON i.doc_id = n.doc_id
+    GROUP BY i.lang
+    """
+
+
+@register("q206_incremental_dedup", oracle=_q206_oracle())
+def q206_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: an incoming batch (doc_id % 7 == 0) is checked
+    against the EXISTING corpus (the rest) — exact content-hash match
+    first, then MinHash-LSH band candidates verified by word-set Jaccard
+    >= 0.8 — and every incoming doc gets a verdict (exact_dup / near_dup /
+    kept), rolled up per lang.
+
+    This is the shape that makes dedup affordable at 100 TB: the corpus is
+    deduped ONCE, and each new batch costs O(|batch|) — never a corpus x
+    corpus rescan. Physically: the incoming side (hashes and band keys) is
+    small enough to BROADCAST, so the corpus is streamed exactly twice
+    (once past the digest broadcast, once past the band-key broadcast) with
+    no corpus-side shuffle at all; in production the corpus digest/band
+    tables are a persisted index, making incremental dedup a pure
+    batch-side computation plus two broadcast probes.
+
+    Verification joins corpus word-sets only for candidate corp_ids —
+    bounded by candidate count, not corpus size.
+    """
+    from .dedup import (
+        _band_exprs_spark,
+        _minhash_sig_spark,
+        _word_hashes_spark,
+        _WORDS_SPARK,
+    )
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    base = documents.select(
+        "doc_id",
+        "lang",
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        _WORDS_SPARK().alias("words"),
+    )
+    incoming = base.filter(F.col("doc_id") % _INC_MOD == 0)
+    corpus = base.filter(F.col("doc_id") % _INC_MOD != 0)
+
+    # --- exact: stream the corpus past a broadcast of incoming digests ---
+    inc_digests = incoming.select("doc_id", "h")
+    exact = (
+        corpus.select("h")
+        .join(F.broadcast(inc_digests), "h")
+        .select("doc_id")
+        .distinct()
+    )
+
+    # --- near: corpus band keys probe a broadcast of incoming band keys ---
+    def bands_of(df: DataFrame, id_col: str) -> DataFrame:
+        hs = df.select(
+            F.col("doc_id").alias(id_col),
+            _word_hashes_spark(F.col("words")).alias("hashes"),
+        )
+        sigs = hs.select(
+            id_col, F.array(*_minhash_sig_spark(F.col("hashes"))).alias("signature")
+        )
+        return sigs.select(
+            id_col, F.explode(F.array(*_band_exprs_spark())).alias("band_key")
+        )
+
+    inc_bands = bands_of(incoming, "doc_id")
+    corp_bands = bands_of(corpus, "corp_id")
+    cand = (
+        corp_bands.join(F.broadcast(inc_bands), "band_key")
+        .select("doc_id", "corp_id")
+        .distinct()
+    )
+    wa = incoming.select("doc_id", F.col("words").alias("words_a"))
+    wb = corpus.select(F.col("doc_id").alias("corp_id"), F.col("words").alias("words_b"))
+    inter = F.size(F.array_intersect("words_a", "words_b"))
+    uni = F.size("words_a") + F.size("words_b") - inter
+    near = (
+        cand.join(F.broadcast(wa), "doc_id")
+        .join(wb, "corp_id")
+        .filter(inter * _INC_J_DEN >= uni * _INC_J_NUM)
+        .select("doc_id")
+        .distinct()
+    )
+
+    verdict = (
+        incoming.select("doc_id", "lang")
+        .join(exact.withColumn("is_exact", F.lit(1)), "doc_id", "left")
+        .join(near.withColumn("is_near", F.lit(1)), "doc_id", "left")
+        .select(
+            "lang",
+            F.when(F.col("is_exact") == 1, F.lit("exact_dup"))
+            .when(F.col("is_near") == 1, F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+    )
+    return verdict.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        F.sum(F.when(F.col("verdict") == "exact_dup", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_exact"),
+        F.sum(F.when(F.col("verdict") == "near_dup", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_near"),
+        F.sum(F.when(F.col("verdict") == "kept", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q207: peak session concurrency per hour (two-level sweep line)
+# ---------------------------------------------------------------------------
+
+_GAP_US = 30 * 60 * 1_000_000
+_HOUR_US = 3_600 * 1_000_000
+
+
+@register(
+    "q207_concurrency_peak",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_us,
+               event_id
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, us, event_id,
+               CASE WHEN prev_us IS NULL OR us - prev_us > {_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sessioned AS (
+        SELECT user_id, us,
+               CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS session_idx
+        FROM marked
+    ),
+    sessions AS (
+        SELECT user_id, session_idx, MIN(us) AS start_us, MAX(us) AS end_us
+        FROM sessioned GROUP BY user_id, session_idx
+    ),
+    deltas AS (
+        SELECT start_us AS us, 1 AS delta FROM sessions
+        UNION ALL
+        SELECT end_us AS us, -1 AS delta FROM sessions
+    ),
+    running AS (
+        SELECT us // {_HOUR_US} AS hour_idx, delta,
+               CAST(SUM(delta) OVER (ORDER BY us, delta
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS live
+        FROM deltas
+    )
+    SELECT hour_idx,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+           CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends,
+           MAX(live) AS peak_concurrency
+    FROM running
+    GROUP BY hour_idx
+    """,
+)
+def q207_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour — the capacity-planning twin of
+    q108: sessionize (30-min gap), emit +1/-1 at session start/end
+    (half-open: a session ending at instant t closes before one starting
+    at t opens — the ORDER BY (us, delta) tie rule, delta=-1 first), and
+    take the max of the running live-session count within each hour.
+
+    The oracle computes the running sum with ONE global window; the Spark
+    plan must not (a no-partition window is a single-task bottleneck at
+    100 TB). Instead the classic two-level prefix sum: (1) running sum
+    WITHIN each hour partition, (2) per-hour delta totals — an
+    hours-cardinality METADATA table — cumulated exclusively and added
+    back as each hour's offset. Identical result, and the only
+    unpartitioned window runs over ~hours rows, not events.
+
+    Per-hour max is deterministic despite equal-(us, delta) tie freedom:
+    within such a run the prefix values are s+d, s+2d, ..., s+kd in every
+    permutation, so their max is permutation-invariant.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.select(
+        "user_id", "event_id", us.alias("us"), F.lag(us).over(w_order).alias("prev_us")
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") > _GAP_US), 1
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = (
+        marked.withColumn("session_idx", F.sum("is_new").over(w_run))
+        .groupBy("user_id", "session_idx")
+        .agg(F.min("us").alias("start_us"), F.max("us").alias("end_us"))
+    )
+    # explode, not UNION ALL: a union of two selects over `sessions` would
+    # execute the whole sessionize pipeline twice (measured in the plan —
+    # two full Window+Exchange branches); one 2-struct explode keeps it to
+    # a single pass.
+    deltas = sessions.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("start_us").alias("us"), F.lit(1).alias("delta")),
+                F.struct(F.col("end_us").alias("us"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e")
+    ).select("e.us", "e.delta")
+    deltas = deltas.withColumn("hour_idx", F.expr(f"us DIV {_HOUR_US}"))
+
+    # level 1: running sum within each hour partition
+    w_hour = (
+        Window.partitionBy("hour_idx")
+        .orderBy("us", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = deltas.withColumn("run_in_hour", F.sum("delta").over(w_hour))
+    per_hour = within.groupBy("hour_idx").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_starts"),
+        F.sum(F.when(F.col("delta") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ends"),
+        F.max("run_in_hour").cast("bigint").alias("max_in_hour"),
+        F.sum("delta").cast("bigint").alias("hour_total"),
+    )
+    # level 2: exclusive prefix of hour totals over the tiny hour table
+    w_hours = (
+        Window.orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = per_hour.withColumn(
+        "offset", F.coalesce(F.sum("hour_total").over(w_hours), F.lit(0))
+    )
+    return offs.select(
+        "hour_idx",
+        "n_starts",
+        "n_ends",
+        (F.col("offset") + F.col("max_in_hour")).cast("bigint").alias(
+            "peak_concurrency"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q208: semi-structured schema profile of the props JSON column
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q208_json_schema_profile",
+    oracle="""
+    WITH kv AS (
+        SELECT event_type,
+               unnest(json_keys(props)) AS key,
+               props
+        FROM events
+    ),
+    vals AS (
+        SELECT event_type, key,
+               TRY_CAST(json_extract_string(props, '$.' || key) AS BIGINT) AS num
+        FROM kv
+    ),
+    totals AS (SELECT event_type, count(*) AS n_rows FROM events GROUP BY event_type)
+    SELECT v.event_type, v.key,
+           count(*) AS n_present,
+           CAST(count(*) * 1000000 // t.n_rows AS BIGINT) AS present_ppm,
+           CAST(count(num) AS BIGINT) AS n_numeric,
+           MIN(num) AS min_num, MAX(num) AS max_num,
+           CAST(SUM(num) AS BIGINT) AS sum_num
+    FROM vals v JOIN totals t USING (event_type)
+    GROUP BY v.event_type, v.key, t.n_rows
+    """,
+)
+def q208_json_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema profile of a semi-structured JSON column: per (event_type,
+    json key) — presence rate, how many values parse as integers, and
+    integer min/max/sum. This is the "what's actually in props?" audit
+    that precedes promoting a JSON key to a typed column (the VARIANT
+    workflow q112 consumes).
+
+    Spark side parses each row ONCE into a map<string,string> and explodes
+    it (JVM from_json, no per-key re-parse, no Python); the per-type
+    totals table is type-cardinality and broadcasts back for the ppm. At
+    100 TB this is one explode + one map-side-combined aggregate — the
+    same cost envelope as a token count.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    kv = events.select(
+        "event_type",
+        F.explode(F.from_json("props", "map<string,string>")).alias("key", "val"),
+    ).withColumn("num", F.expr("TRY_CAST(val AS BIGINT)"))
+    totals = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
+    prof = kv.groupBy("event_type", "key").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.count("num").cast("bigint").alias("n_numeric"),
+        F.min("num").alias("min_num"),
+        F.max("num").alias("max_num"),
+        F.sum("num").cast("bigint").alias("sum_num"),
+    )
+    return prof.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "key",
+        "n_present",
+        F.expr("CAST(n_present * 1000000 DIV n_rows AS BIGINT)").alias("present_ppm"),
+        "n_numeric",
+        "min_num",
+        "max_num",
+        "sum_num",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q209: winsorized statistics per group (robust mean via exact p10/p90 clips)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q209_winsorized_stats",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderpriority AS priority, o_orderkey,
+               CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c
+        FROM orders
+    ),
+    ranked AS (
+        SELECT priority, c,
+               row_number() OVER (PARTITION BY priority ORDER BY c, o_orderkey)
+                   AS rn,
+               count(*) OVER (PARTITION BY priority) AS n
+        FROM cents
+    ),
+    cuts AS (
+        SELECT priority,
+               MAX(CASE WHEN rn = (n + 9) // 10 THEN c END) AS lo,
+               MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN c END) AS hi
+        FROM ranked GROUP BY priority
+    )
+    SELECT r.priority,
+           CAST(MAX(r.n) AS BIGINT) AS n_orders,
+           MAX(k.lo) AS p10_cents,
+           MAX(k.hi) AS p90_cents,
+           CAST(SUM(CASE WHEN r.c < k.lo THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_low,
+           CAST(SUM(CASE WHEN r.c > k.hi THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_clipped_high,
+           CAST(SUM(GREATEST(k.lo, LEAST(k.hi, r.c))) // MAX(r.n) AS BIGINT)
+               AS winsor_mean_cents,
+           CAST(SUM(r.c) // MAX(r.n) AS BIGINT) AS raw_mean_cents
+    FROM ranked r JOIN cuts k USING (priority)
+    GROUP BY r.priority
+    """,
+)
+def q209_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per order priority: clip each order's total to the
+    group's exact [p10, p90] (rank arithmetic — value at row_number
+    ceil(n/10) / ceil(9n/10) on the (cents, orderkey) total order) and
+    compare the robust mean against the raw mean — the outlier-resistant
+    summary a metrics pipeline publishes when a few whale rows would
+    otherwise move the average.
+
+    Exactness: money is integer cents before any sum; cut ranks are
+    integer ceils; the clip is GREATEST/LEAST on integers; both means are
+    integer-floored — no float crosses a row boundary, so engines agree
+    bit-for-bit regardless of partitioning.
+
+    Scale shape: one per-group sort window for ranks (single shuffle on
+    the group key), a group-cardinality cuts table joined back on the same
+    key (no second shuffle — the partitioning is reused), and one final
+    rollup. At truly global scale the exact ranks swap for
+    approx_percentile the way q136 gates it; the clip/rollup stays as-is.
+    """
+    (orders,) = tables(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("c"),
+    )
+    w = Window.partitionBy("priority").orderBy("c", "o_orderkey")
+    ranked = cents.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("priority"))
+    )
+    cuts = ranked.groupBy("priority").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 9) DIV 10"), F.col("c"))).alias("lo"),
+        F.max(F.when(F.col("rn") == F.expr("(9 * n + 9) DIV 10"), F.col("c"))).alias(
+            "hi"
+        ),
+    )
+    # join the RAW cents back to the broadcast cuts — joining `ranked` would
+    # execute the sort window a second time (measured: two Window+Exchange
+    # branches in the plan); the final rollup recomputes n as count(*).
+    return (
+        cents.join(F.broadcast(cuts), "priority")
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.max("lo").alias("p10_cents"),
+            F.max("hi").alias("p90_cents"),
+            F.sum(F.when(F.col("c") < F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("c") > F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            F.expr(
+                "CAST(SUM(GREATEST(lo, LEAST(hi, c))) DIV COUNT(*) AS BIGINT)"
+            ).alias("winsor_mean_cents"),
+            F.expr("CAST(SUM(c) DIV COUNT(*) AS BIGINT)").alias("raw_mean_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q210: daily activity coverage (merged-interval sweep, day-partitioned)
+# ---------------------------------------------------------------------------
+
+_DAY_US = 24 * _HOUR_US
+
+
+@register(
+    "q210_daily_coverage",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_us
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, us, event_id,
+               CASE WHEN prev_us IS NULL OR us - prev_us > {_GAP_US}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    ),
+    sessions AS (
+        SELECT user_id, session_idx, MIN(us) AS start_us, MAX(us) AS end_us
+        FROM (
+            SELECT user_id, us,
+                   CAST(SUM(is_new) OVER (PARTITION BY user_id
+                        ORDER BY us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session_idx
+            FROM marked
+        )
+        GROUP BY user_id, session_idx
+    ),
+    clipped AS (
+        SELECT dayno,
+               GREATEST(start_us, dayno * {_DAY_US}) AS s,
+               LEAST(end_us, (dayno + 1) * {_DAY_US}) AS e
+        FROM (
+            SELECT start_us, end_us,
+                   unnest(generate_series(start_us // {_DAY_US},
+                                          end_us // {_DAY_US})) AS dayno
+            FROM sessions
+        )
+    ),
+    deltas AS (
+        SELECT dayno, s AS us, 1 AS delta FROM clipped
+        UNION ALL
+        SELECT dayno, e AS us, -1 AS delta FROM clipped
+    ),
+    swept AS (
+        SELECT dayno, us, delta,
+               CAST(SUM(delta) OVER (PARTITION BY dayno ORDER BY us, delta
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS live,
+               LEAD(us) OVER (PARTITION BY dayno ORDER BY us, delta) AS next_us
+        FROM deltas
+    )
+    SELECT dayno,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_intervals,
+           CAST(SUM(CASE WHEN live > 0 AND next_us IS NOT NULL
+                         THEN next_us - us ELSE 0 END) AS BIGINT) AS covered_us,
+           CAST(SUM(CASE WHEN live > 0 AND next_us IS NOT NULL
+                         THEN next_us - us ELSE 0 END) * 1000000 // {_DAY_US}
+               AS BIGINT) AS coverage_ppm
+    FROM swept
+    GROUP BY dayno
+    """,
+)
+def q210_daily_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily activity coverage: the fraction of each day during which AT
+    LEAST ONE session (any user) was live — the union length of
+    overlapping intervals, the metric behind "was the platform ever idle?"
+    and SLA-style uptime reporting.
+
+    Scale design: instead of one global sweep line (an unpartitionable
+    total order over every interval endpoint), sessions are CLIPPED to the
+    days they span first — sessions are gap-bounded, so the explode factor
+    is tiny — and then each day runs its own independent sweep (running
+    live-count + LEAD gap, two functions over ONE window spec). The sweep
+    partitions by day, so parallelism grows with the time range; no
+    single-task window anywhere — unlike q207 this needs no second-level
+    offset pass at all, because coverage resets at day boundaries by
+    construction.
+
+    Tie discipline: ORDER BY (us, delta) closes intervals before opening
+    new ones at the same instant (half-open semantics); equal-(us, delta)
+    runs contribute zero-length gaps, so the covered sum is
+    permutation-invariant and the oracle hash matches bit-for-bit.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = events.select(
+        "user_id", "event_id", us.alias("us"), F.lag(us).over(w_order).alias("prev_us")
+    ).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_us").isNull() | (F.col("us") - F.col("prev_us") > _GAP_US), 1
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = (
+        marked.withColumn("session_idx", F.sum("is_new").over(w_run))
+        .groupBy("user_id", "session_idx")
+        .agg(F.min("us").alias("start_us"), F.max("us").alias("end_us"))
+    )
+    clipped = sessions.select(
+        F.explode(
+            F.sequence(
+                F.expr(f"start_us DIV {_DAY_US}"), F.expr(f"end_us DIV {_DAY_US}")
+            )
+        ).alias("dayno"),
+        "start_us",
+        "end_us",
+    ).select(
+        "dayno",
+        F.greatest("start_us", F.expr(f"dayno * {_DAY_US}")).alias("s"),
+        F.least("end_us", F.expr(f"(dayno + 1) * {_DAY_US}")).alias("e"),
+    )
+    deltas = clipped.select(
+        "dayno",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("us"), F.lit(1).alias("delta")),
+                F.struct(F.col("e").alias("us"), F.lit(-1).alias("delta")),
+            )
+        ).alias("ev"),
+    ).select("dayno", "ev.us", "ev.delta")
+    w_day = Window.partitionBy("dayno").orderBy("us", "delta")
+    swept = deltas.select(
+        "dayno",
+        "us",
+        "delta",
+        F.sum("delta")
+        .over(w_day.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("live"),
+        F.lead("us").over(w_day).alias("next_us"),
+    )
+    gap = F.when(
+        (F.col("live") > 0) & F.col("next_us").isNotNull(),
+        F.col("next_us") - F.col("us"),
+    ).otherwise(0)
+    return swept.groupBy("dayno").agg(
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_intervals"),
+        F.sum(gap).cast("bigint").alias("covered_us"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN live > 0 AND next_us IS NOT NULL "
+            f"THEN next_us - us ELSE 0 END) * 1000000 DIV {_DAY_US} AS BIGINT)"
+        ).alias("coverage_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q211: containment (excerpt) detection — directional near-dup
+# ---------------------------------------------------------------------------
+
+_CT_W = 5  # shingle width
+_CT_DF_CAP = 8  # candidate shingles must appear in <= this many docs
+_CT_NUM, _CT_DEN = 9, 10  # containment >= 0.9 of the smaller set
+
+
+@register(
+    "q211_containment_pairs",
+    oracle=f"""
+    WITH {_BP_SHINGLES_DUCK},
+    docs AS (SELECT doc_id, list(tok ORDER BY tok) AS toks
+             FROM sh GROUP BY doc_id),
+    dfq AS (SELECT tok, count(*) AS df FROM sh GROUP BY tok),
+    rare AS (SELECT tok FROM dfq WHERE df BETWEEN 2 AND {_CT_DF_CAP}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM (SELECT doc_id, tok FROM sh JOIN rare USING (tok)) a
+        JOIN (SELECT doc_id, tok FROM sh JOIN rare USING (tok)) b
+          ON a.tok = b.tok AND a.doc_id < b.doc_id
+    ),
+    verify AS (
+        SELECT c.id_a, c.id_b,
+               len(list_intersect(da.toks, db.toks)) AS inter,
+               len(da.toks) AS na, len(db.toks) AS nb
+        FROM cand c
+        JOIN docs da ON c.id_a = da.doc_id
+        JOIN docs db ON c.id_b = db.doc_id
+    )
+    SELECT CASE WHEN na <= nb THEN id_a ELSE id_b END AS contained_id,
+           CASE WHEN na <= nb THEN id_b ELSE id_a END AS container_id,
+           CAST(inter * 1000000 // LEAST(na, nb) AS BIGINT) AS containment_ppm
+    FROM verify
+    WHERE inter * {_CT_DEN} >= LEAST(na, nb) * {_CT_NUM}
+    """,
+)
+def q211_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment (excerpt) detection: pairs where >= 90% of
+    the SMALLER document's 5-gram shingles appear in the larger one — the
+    quote/excerpt/superset duplication that symmetric Jaccard misses (a
+    page embedded in a longer page has high containment but low Jaccard).
+
+    Candidates are pairs sharing a RARE shingle (2 <= df <= {_CT_DF_CAP}):
+    the df floor excludes unique shingles (no pair), the cap bounds
+    per-shingle fan-out to df^2 <= {_CT_DF_CAP}^2 so candidate volume is
+    duplicate-density-bounded, never corpus^2. Recall caveat (documented,
+    same class as q52's banding): a pair whose every shared shingle is
+    more common than the cap is missed — for excerpt detection rare
+    shingles are precisely the informative ones, so this is the standard
+    trade.
+
+    Shape at 100 TB: shingle hashes are 8-byte ints before any shuffle;
+    df aggregate is map-side combined; the verify joins the per-doc sorted
+    shingle arrays only for candidate ids.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    docs = documents.withColumn("ws", F.split("text", " "))
+    sh5 = F.expr(
+        f"""
+        CASE WHEN size(ws) >= {_CT_W} THEN
+            array_distinct(transform(sequence(0, size(ws) - {_CT_W}),
+                i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])))
+        ELSE array() END
+        """
+    )
+    tok = docs.select("doc_id", F.explode(sh5).alias("tok5")).select(
+        "doc_id", md5_60bit(F.col("tok5")).alias("tok")
+    )
+    arrs = tok.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("tok")).alias("toks")
+    )
+    dfq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    rare = dfq.filter((F.col("df") >= 2) & (F.col("df") <= _CT_DF_CAP)).select("tok")
+    rare_tok = tok.join(rare, "tok")
+    cand = (
+        rare_tok.alias("a")
+        .join(
+            rare_tok.select(
+                F.col("doc_id").alias("id_b"), F.col("tok").alias("tok_b")
+            ),
+            (F.col("tok") == F.col("tok_b")) & (F.col("doc_id") < F.col("id_b")),
+        )
+        .select(F.col("doc_id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    verify = (
+        cand.join(
+            arrs.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a")),
+            "id_a",
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("toks_a", "toks_b")).alias("inter"),
+            F.size("toks_a").alias("na"),
+            F.size("toks_b").alias("nb"),
+        )
+    )
+    return verify.filter(
+        F.col("inter") * _CT_DEN >= F.least("na", "nb") * _CT_NUM
+    ).select(
+        F.when(F.col("na") <= F.col("nb"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("contained_id"),
+        F.when(F.col("na") <= F.col("nb"), F.col("id_b"))
+        .otherwise(F.col("id_a"))
+        .alias("container_id"),
+        F.expr("CAST(inter * 1000000 DIV LEAST(na, nb) AS BIGINT)").alias(
+            "containment_ppm"
+        ),
+    )

@@ -74,6 +74,7 @@ def _ensure_loaded() -> None:
         joins,
         multimodal,
         pipeline,
+        pipeline_ops,
         relational,
         relational2,
         relational3,

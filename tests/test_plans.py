@@ -293,3 +293,28 @@ class TestScaleOpsShapes:
         p = plans["q199_triangle_count"]
         assert "LeftSemi" in p
         assert "(w#" in p or "w >= 2" in p or ">= 2)" in p
+
+
+class TestPipelineOpsShapes:
+    def test_q206_incoming_side_broadcasts(self, plans):
+        # incremental dedup streams the CORPUS past broadcasts of the small
+        # incoming batch (digests + band keys) — a corpus-side shuffle here
+        # would re-pay the full-rebuild cost the operator exists to avoid
+        p = plans["q206_incremental_dedup"]
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+
+    def test_q207_sessionize_single_pass(self, plans):
+        # deltas come from ONE explode over sessions, not a UNION that would
+        # run the sessionize windows twice: exactly 4 Window nodes (lag,
+        # per-user running idx, per-hour running sum, tiny hour prefix)
+        p = plans["q207_concurrency_peak"]
+        assert p.count(") Window") == 4
+        assert "Union" not in p
+
+    def test_q209_rank_window_runs_once(self, plans):
+        # raw cents join back to the broadcast cuts table; joining `ranked`
+        # would execute the per-group sort window twice
+        p = plans["q209_winsorized_stats"]
+        assert p.count(") Window") == 2  # row_number + count share one sort
+        assert "BroadcastHashJoin" in p
