@@ -892,3 +892,325 @@ def q211_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q212: effective sample size of the temperature-reweighted mixture
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q212_effective_sample_size",
+    oracle="""
+    WITH slices AS (
+        SELECT lang, source,
+               count(*) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY lang, source
+    ),
+    scaled AS (
+        SELECT lang, source, n_docs, n_tokens,
+               CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+                   AS s_micros,
+               CAST(SUM(n_tokens) OVER (PARTITION BY lang) AS BIGINT)
+                   AS lang_tokens,
+               CAST(SUM(CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000)
+                             AS BIGINT)) OVER (PARTITION BY lang) AS BIGINT)
+                   AS lang_micros
+        FROM slices
+    ),
+    weighted AS (
+        SELECT lang, n_docs,
+               (s_micros * 1000000 // lang_micros) * 1000
+                   // (n_tokens * 1000000 // lang_tokens) AS w_permille
+        FROM scaled
+    )
+    SELECT lang,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(FLOOR(
+               CAST(SUM(n_docs * w_permille) AS DOUBLE)
+               * CAST(SUM(n_docs * w_permille) AS DOUBLE)
+               / CAST(SUM(n_docs * w_permille * w_permille) AS DOUBLE)
+               * 1000) AS BIGINT) AS ess_milli,
+           CAST(FLOOR(
+               CAST(SUM(n_docs * w_permille) AS DOUBLE)
+               * CAST(SUM(n_docs * w_permille) AS DOUBLE)
+               / CAST(SUM(n_docs * w_permille * w_permille) AS DOUBLE)
+               / SUM(n_docs) * 1000000) AS BIGINT) AS ess_ratio_ppm
+    FROM weighted
+    GROUP BY lang
+    """,
+)
+def q212_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the temperature-reweighted mixture (q200's
+    tau = 0.5 rule applied within each language): when a slice is sampled
+    at weight w relative to its natural share, the Kish ESS
+    (Σw)² / Σw² says how many *equivalent uniform* documents the
+    reweighted corpus is worth — ESS/n near 1 means reweighting is mild,
+    near 0 means a few slices dominate and training will effectively see
+    far less data than the row count suggests.
+
+    Everything computes on the SLICE table (one map-side-combined
+    aggregate over documents, then arithmetic on ~|lang×source| rows):
+    per-doc weights are constant within a slice, so Σw over docs is
+    Σ n_s·w_s over slices — the data-scale pass never carries a weight.
+    The two final divisions run in DOUBLE on exact integer inputs
+    (exactly-rounded IEEE, identical cross-engine); every SUM is integer.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    slices = documents.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    w_lang = Window.partitionBy("lang")
+    scaled = (
+        slices.withColumn(
+            "s_micros",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000).cast(
+                "bigint"
+            ),
+        )
+        .withColumn("lang_tokens", F.sum("n_tokens").over(w_lang).cast("bigint"))
+        .withColumn("lang_micros", F.sum("s_micros").over(w_lang).cast("bigint"))
+    )
+    weighted = scaled.select(
+        "lang",
+        "n_docs",
+        F.expr(
+            "(s_micros * 1000000 DIV lang_micros) * 1000"
+            " DIV (n_tokens * 1000000 DIV lang_tokens)"
+        ).alias("w_permille"),
+    )
+    ess = (
+        "CAST(SUM(n_docs * w_permille) AS DOUBLE)"
+        " * CAST(SUM(n_docs * w_permille) AS DOUBLE)"
+        " / CAST(SUM(n_docs * w_permille * w_permille) AS DOUBLE)"
+    )
+    return weighted.groupBy("lang").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.expr(f"CAST(FLOOR({ess} * 1000) AS BIGINT)").alias("ess_milli"),
+        F.expr(f"CAST(FLOOR({ess} / SUM(n_docs) * 1000000) AS BIGINT)").alias(
+            "ess_ratio_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q213: adaptive rare-bigram quality gate (per-slice p90 threshold)
+# ---------------------------------------------------------------------------
+
+_RARITY_SCALE = 1_000_000_000
+
+
+@register(
+    "q213_rare_bigram_gate",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS ws
+               FROM documents),
+    bg AS (
+        SELECT doc_id, lang, source,
+               unnest(list_transform(generate_series(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1])) AS b
+        FROM w
+    ),
+    counted AS (
+        SELECT doc_id, lang, source, b,
+               count(*) OVER (PARTITION BY lang, b) AS cb
+        FROM bg
+    ),
+    scored AS (
+        SELECT doc_id, lang, source,
+               CAST(SUM({_RARITY_SCALE} // cb) // count(*) AS BIGINT) AS rarity
+        FROM counted
+        GROUP BY doc_id, lang, source
+    ),
+    ranked AS (
+        SELECT lang, source, doc_id, rarity,
+               row_number() OVER (PARTITION BY lang, source
+                                  ORDER BY rarity, doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang, source) AS n
+        FROM scored
+    ),
+    cuts AS (
+        SELECT lang, source,
+               MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN rarity END) AS p90
+        FROM ranked GROUP BY lang, source
+    )
+    SELECT s.lang, s.source,
+           count(*) AS n_docs,
+           MAX(k.p90) AS p90_rarity,
+           CAST(SUM(CASE WHEN s.rarity > k.p90 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flagged
+    FROM scored s JOIN cuts k ON s.lang = k.lang AND s.source = k.source
+    GROUP BY s.lang, s.source
+    """,
+)
+def q213_rare_bigram_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality gate: score each document by mean harmonic bigram
+    rarity (Σ 1e9/c(bigram) / n — rare word sequences score high, the
+    integer-exact stand-in for the perplexity filters q79 models with
+    floats), then flag documents above their OWN (lang, source) slice's
+    p90 — adaptive thresholds, because a fixed global cutoff would flag
+    whole low-resource slices wholesale.
+
+    Exactness: the score is built from integer corpus counts only
+    (integer division per bigram, integer mean), so ranking it for the
+    percentile cut can never be flipped by a float ulp — the q209 percentile
+    machinery requires an integer-exact score to be hash-stable.
+
+    Shape at 100 TB: one exploded-bigram lineage feeds the per-(lang,
+    bigram) count window (vocabulary-sized keys, the q79 single-lineage
+    lesson), one per-doc rollup, one per-slice sort window for the cut,
+    and a slice-cardinality cuts table joined back on the slice key.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    pairs = F.zip_with(
+        F.slice(ws, 1, F.size(ws) - 1),
+        F.slice(ws, 2, F.size(ws) - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = documents.select(
+        "doc_id", "lang", "source", F.explode(pairs).alias("b")
+    )
+    counted = bg.withColumn(
+        "cb", F.count(F.lit(1)).over(Window.partitionBy("lang", "b"))
+    )
+    scored = counted.groupBy("doc_id", "lang", "source").agg(
+        F.expr(f"CAST(SUM({_RARITY_SCALE} DIV cb) DIV COUNT(*) AS BIGINT)").alias(
+            "rarity"
+        )
+    )
+    # attach the p90 cut with a THIRD window over the same slice
+    # partitioning instead of a cuts-table join-back: a join would execute
+    # the whole explode+count-window lineage twice (measured: two Generate
+    # nodes in the plan); window-chaining keeps it single-pass and all four
+    # window functions share one Exchange on the slice key
+    w_slice = Window.partitionBy("lang", "source").orderBy("rarity", "doc_id")
+    w_flat = Window.partitionBy("lang", "source")
+    ranked = (
+        scored.withColumn("rn", F.row_number().over(w_slice))
+        .withColumn("n", F.count(F.lit(1)).over(w_flat))
+        .withColumn(
+            "p90",
+            F.max(
+                F.when(F.col("rn") == F.expr("(9 * n + 9) DIV 10"), F.col("rarity"))
+            ).over(w_flat),
+        )
+    )
+    return ranked.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("p90").alias("p90_rarity"),
+        F.sum(F.when(F.col("rarity") > F.col("p90"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q214: pairwise cosine-distance histogram (threshold calibration)
+# ---------------------------------------------------------------------------
+
+_DH_SCALE = 1_000  # embeddings quantize to 1e-3-scaled BIGINTs
+
+
+def _cos_bucket_sql() -> str:
+    """Bucket index floor(cos*10) in [-10, 9] as a sum of 19 integer-only
+    threshold indicators (cos >= t/10 decided by sign analysis plus one
+    cross-multiplied square comparison — no sqrt, no float), minus 10.
+    Engine-neutral SQL: only *, >=, AND/OR/CASE.
+    """
+    terms = []
+    for t in range(-9, 10):
+        t2 = t * t
+        if t >= 0:
+            cond = f"(dot >= 0 AND dot * dot * 100 >= {t2} * na * nb)"
+        else:
+            cond = f"(dot >= 0 OR dot * dot * 100 <= {t2} * na * nb)"
+        terms.append(f"CASE WHEN {cond} THEN 1 ELSE 0 END")
+    return "(" + " + ".join(terms) + ") - 10"
+
+
+@register(
+    "q214_distance_histogram",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * {_DH_SCALE}) AS BIGINT))
+                   AS qv
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id // 2 AS pair_id, a.qv AS qa, b.qv AS qb
+        FROM q a JOIN q b ON b.vec_id = a.vec_id + 1
+        WHERE a.vec_id % 2 = 0
+    ),
+    dotted AS (
+        SELECT pair_id,
+               CAST(list_sum(list_transform(generate_series(1, len(qa)),
+                    i -> qa[i] * qb[i])) AS BIGINT) AS dot,
+               CAST(list_sum(list_transform(qa, x -> x * x)) AS BIGINT) AS na,
+               CAST(list_sum(list_transform(qb, x -> x * x)) AS BIGINT) AS nb
+        FROM pairs
+    )
+    SELECT {_cos_bucket_sql()} AS bucket,
+           count(*) AS n_pairs
+    FROM dotted
+    WHERE na > 0 AND nb > 0
+    GROUP BY bucket
+    """,
+)
+def q214_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine-similarity histogram over a deterministic 1-in-2
+    pairing (vec 2k vs 2k+1): the similarity-distribution calibration that
+    picks LSH thresholds (q202's S-curves need to know where the corpus
+    actually lives on the similarity axis) and sanity-checks embedding
+    models after retraining.
+
+    Float-free: vectors are floor-quantized to 1e-3-scaled BIGINTs (the
+    established _KM_SCALE pattern), the dot product and norms are integer,
+    and the bucket floor(cos*10) is decided by 19 cross-multiplied integer
+    comparisons (dot² vs t²·‖a‖²·‖b‖²) — no sqrt ever happens, so the
+    histogram is bit-identical across engines. Scale bound: |q| <= 1000
+    over 64 dims keeps dot² * 100 < 2^63.
+
+    Shape at 100 TB: the pairing is an equi-join on pair id (narrow,
+    shuffle on an 8-byte key), the rest is per-row arithmetic + one
+    map-side-combined 20-bucket aggregate. Swap the id-pairing for a
+    hash-bucketed random pairing at production scale; the plan is
+    unchanged.
+    """
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    q = embeddings.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _DH_SCALE).cast("bigint"),
+        ).alias("qv"),
+    )
+    a = q.filter(F.col("vec_id") % 2 == 0).select(
+        F.expr("vec_id DIV 2").alias("pair_id"), F.col("qv").alias("qa")
+    )
+    b = q.filter(F.col("vec_id") % 2 == 1).select(
+        F.expr("(vec_id - 1) DIV 2").alias("pair_id"), F.col("qv").alias("qb")
+    )
+    zero = F.lit(0).cast("bigint")
+    dotted = a.join(b, "pair_id").select(
+        "pair_id",
+        F.aggregate(
+            F.zip_with("qa", "qb", lambda x, y: x * y), zero, lambda acc, v: acc + v
+        ).alias("dot"),
+        F.aggregate(
+            F.transform("qa", lambda x: x * x), zero, lambda acc, v: acc + v
+        ).alias("na"),
+        F.aggregate(
+            F.transform("qb", lambda x: x * x), zero, lambda acc, v: acc + v
+        ).alias("nb"),
+    )
+    return (
+        dotted.filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(F.expr(_cos_bucket_sql()).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -318,3 +318,22 @@ class TestPipelineOpsShapes:
         p = plans["q209_winsorized_stats"]
         assert p.count(") Window") == 2  # row_number + count share one sort
         assert "BroadcastHashJoin" in p
+
+    def test_q210_sweep_is_day_partitioned(self, plans):
+        # the sweep windows partition by dayno — no global-total-order
+        # (empty partition spec) window anywhere in the coverage plan
+        p = plans["q210_daily_coverage"]
+        assert "windowspecdefinition(dayno" in p
+
+    def test_q213_single_bigram_lineage(self, plans):
+        # the bigram explode happens ONCE; counts/score/cut all hang off the
+        # same Generate via window chaining (a cuts-table join-back would
+        # re-run the whole explode lineage — two Generate nodes)
+        p = plans["q213_rare_bigram_gate"]
+        assert p.count(") Generate") == 1
+
+    def test_q214_no_float_functions(self, plans):
+        # the histogram must stay integer end-to-end: no sqrt/pow/cos in
+        # the plan (quantize + cross-multiplied compares only)
+        p = plans["q214_distance_histogram"]
+        assert "SQRT" not in p and "POWER" not in p
