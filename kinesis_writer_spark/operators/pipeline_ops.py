@@ -1214,3 +1214,233 @@ def q214_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q215: exact ROC-AUC via grouped rank sums (Mann-Whitney U)
+# ---------------------------------------------------------------------------
+
+
+def _q215_oracle() -> str:
+    from .similarity import _LM_W
+
+    return f"""
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT vec_id,
+               CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos,
+               CAST(list_sum(list_transform(list_zip(qv, {list(_LM_W)}),
+                    p -> p[1] * p[2])) AS BIGINT) AS score
+        FROM q
+    ),
+    grouped AS (
+        SELECT score, count(*) AS c, CAST(SUM(pos) AS BIGINT) AS p
+        FROM scored GROUP BY score
+    ),
+    cum AS (
+        SELECT score, c, p,
+               CAST(COALESCE(SUM(c) OVER (ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS cum_before
+        FROM grouped
+    ),
+    agg AS (
+        SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+               CAST(SUM(c - p) AS BIGINT) AS n_neg,
+               CAST(SUM(p * (2 * cum_before + c + 1)) AS BIGINT) AS two_ranksum
+        FROM cum
+    )
+    SELECT n_pos, n_neg,
+           CAST((two_ranksum - n_pos * (n_pos + 1)) * 1000000
+                // (2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+    FROM agg
+    """
+
+
+@register("q215_auc_rank", oracle=_q215_oracle())
+def q215_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the q160 linear model (positive class: odd label)
+    computed as the tie-corrected Mann-Whitney rank sum — the model-eval
+    primitive a training pipeline runs on every scored eval table.
+
+    Scores are INTEGER (1e-3-quantized embedding · integer weight vector,
+    the q214 discipline), so ranking can't be flipped by a float ulp.
+    Tie handling is exact: for a score group of size c with p positives
+    and C rows below it, twice the average-rank sum of its positives is
+    p·(2C + c + 1) — summing that over groups gives the textbook
+    tie-averaged U without ever materializing per-row ranks.
+
+    Scale shape: one map-side-combined GROUP BY score collapses the
+    corpus to the distinct-score table before any ordering happens; the
+    cumulative window then runs over that table, not the corpus. Scores
+    here are already coarse integers; at 100 TB you bucket them (fixed-
+    width score bins) so the ordered table is bounded-size metadata —
+    binned AUC is the standard production trade and the plan is identical.
+    """
+    from .similarity import _LM_W
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+    )
+    w_arr = F.array(*[F.lit(w).cast("bigint") for w in _LM_W])
+    zero = F.lit(0).cast("bigint")
+    scored = embeddings.select(
+        F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("pos"),
+        F.aggregate(
+            F.zip_with(qv, w_arr, lambda x, w: x * w), zero, lambda a, v: a + v
+        ).alias("score"),
+    )
+    grouped = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("pos").cast("bigint").alias("p")
+    )
+    w_cum = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    cum = grouped.withColumn(
+        "cum_before", F.coalesce(F.sum("c").over(w_cum), F.lit(0)).cast("bigint")
+    )
+    agg = cum.agg(
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum(F.col("c") - F.col("p")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("p") * (2 * F.col("cum_before") + F.col("c") + 1))
+        .cast("bigint")
+        .alias("two_ranksum"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.expr(
+            "CAST((two_ranksum - n_pos * (n_pos + 1)) * 1000000"
+            " DIV (2 * n_pos * n_neg) AS BIGINT)"
+        ).alias("auc_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q216: leakage-aware train/test split (group-level assignment)
+# ---------------------------------------------------------------------------
+
+_SPLIT_SALT = "split"
+_SPLIT_TRAIN_BUCKETS = 8  # hash % 10 < 8 -> train (80/20)
+
+
+def _q216_oracle() -> str:
+    from ..functions.hashing import duckdb_md5_60bit
+    from .dedup import _DOUBLED_SQL
+
+    ghash = duckdb_md5_60bit("g.grp", salt=_SPLIT_SALT)
+    dhash = duckdb_md5_60bit("CAST(g.doc_id AS VARCHAR)", salt=_SPLIT_SALT)
+    return f"""
+    WITH corpus AS ({_DOUBLED_SQL}),
+    g AS (SELECT doc_id, lang, md5(text) AS grp FROM corpus),
+    sides AS (
+        SELECT doc_id, lang, grp,
+               CASE WHEN {ghash} % 10 < {_SPLIT_TRAIN_BUCKETS}
+                    THEN 1 ELSE 0 END AS grp_train,
+               CASE WHEN {dhash} % 10 < {_SPLIT_TRAIN_BUCKETS}
+                    THEN 1 ELSE 0 END AS naive_train
+        FROM g
+    ),
+    pairs AS (
+        SELECT a.lang,
+               a.grp_train AS ga, b.grp_train AS gb,
+               a.naive_train AS na, b.naive_train AS nb
+        FROM sides a JOIN sides b
+          ON a.grp = b.grp AND a.doc_id < b.doc_id
+    ),
+    viol AS (
+        SELECT lang,
+               CAST(SUM(CASE WHEN ga <> gb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS viol_group,
+               CAST(SUM(CASE WHEN na <> nb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS viol_naive
+        FROM pairs GROUP BY lang
+    ),
+    counts AS (
+        SELECT lang,
+               CAST(SUM(grp_train) AS BIGINT) AS n_train,
+               CAST(SUM(1 - grp_train) AS BIGINT) AS n_test
+        FROM sides GROUP BY lang
+    )
+    SELECT c.lang, c.n_train, c.n_test,
+           COALESCE(v.viol_group, 0) AS viol_group,
+           COALESCE(v.viol_naive, 0) AS viol_naive
+    FROM counts c LEFT JOIN viol v ON c.lang = v.lang
+    """
+
+
+@register("q216_group_split", oracle=_q216_oracle())
+def q216_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-aware train/test split: assign each DUPLICATE GROUP (content
+    digest on the doubled corpus, where every doc has an exact twin) to a
+    side by hashing the group key — and prove the point by counting
+    same-group pairs that land on different sides under (a) the group
+    split — structurally zero — vs (b) a naive per-doc hash split, which
+    leaks ~2·0.8·0.2 of duplicate pairs across the boundary. Train/test
+    contamination through duplicates is the classic eval-inflation bug in
+    LLM pipelines; splitting on the dedup-group key is the fix.
+
+    The group key here is the exact digest; a production pipeline swaps in
+    q96's connected-component id (near-dup clusters) — same split logic,
+    same plan shape. Scale: one digest shuffle for groups, the salted-hash
+    sides are narrow projections, and the violation count joins pairs
+    WITHIN groups only (bounded by duplicate density, never corpus²).
+    """
+    from ..functions.hashing import md5_60bit
+    from .dedup import _doubled_docs
+
+    corpus = _doubled_docs(spark, sf_dir)
+    g = corpus.select(
+        "doc_id", "lang", F.md5(F.col("text").cast("binary")).alias("grp")
+    )
+    sides = g.select(
+        "doc_id",
+        "lang",
+        "grp",
+        F.when(md5_60bit(F.col("grp"), salt=_SPLIT_SALT) % 10 < _SPLIT_TRAIN_BUCKETS, 1)
+        .otherwise(0)
+        .alias("grp_train"),
+        F.when(
+            md5_60bit(F.col("doc_id").cast("string"), salt=_SPLIT_SALT) % 10
+            < _SPLIT_TRAIN_BUCKETS,
+            1,
+        )
+        .otherwise(0)
+        .alias("naive_train"),
+    )
+    pairs = (
+        sides.alias("a")
+        .join(
+            sides.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("grp").alias("grp_b"),
+                F.col("grp_train").alias("gb"),
+                F.col("naive_train").alias("nb"),
+            ),
+            (F.col("grp") == F.col("grp_b")) & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(
+            "lang",
+            (F.col("grp_train") != F.col("gb")).cast("int").alias("vg"),
+            (F.col("naive_train") != F.col("nb")).cast("int").alias("vn"),
+        )
+    )
+    viol = pairs.groupBy("lang").agg(
+        F.sum("vg").cast("bigint").alias("viol_group"),
+        F.sum("vn").cast("bigint").alias("viol_naive"),
+    )
+    counts = sides.groupBy("lang").agg(
+        F.sum("grp_train").cast("bigint").alias("n_train"),
+        F.sum(1 - F.col("grp_train")).cast("bigint").alias("n_test"),
+    )
+    return counts.join(viol, "lang", "left").select(
+        "lang",
+        "n_train",
+        "n_test",
+        F.coalesce("viol_group", F.lit(0)).alias("viol_group"),
+        F.coalesce("viol_naive", F.lit(0)).alias("viol_naive"),
+    )
