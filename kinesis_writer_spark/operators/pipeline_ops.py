@@ -104,16 +104,15 @@ def q205_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "lang", "source", F.explode(sh5).alias("tok5")
     ).select("doc_id", "lang", "source", md5_60bit(F.col("tok5")).alias("tok"))
-    dfq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    boiler = dfq.filter(F.col("df") >= _BP_DF).select("tok")
-    per_doc = tok.groupBy("doc_id", "lang", "source").agg(
-        F.count(F.lit(1)).alias("n_sh")
-    )
-    bpd = tok.join(boiler, "tok").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_boiler")
-    )
-    joined = per_doc.join(bpd, "doc_id", "left").withColumn(
-        "n_boiler", F.coalesce("n_boiler", F.lit(0))
+    # attach each shingle's document frequency with a WINDOW over the tok
+    # key instead of a df-aggregate + join-back: the join form re-executes
+    # the explode lineage once per consumer (measured 3 Generate branches);
+    # the window form is ONE explode, one shuffle on the 8-byte hash, then
+    # a straight per-doc rollup
+    tok_df = tok.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
+    joined = tok_df.groupBy("doc_id", "lang", "source").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.sum(F.when(F.col("df") >= _BP_DF, 1).otherwise(0)).alias("n_boiler"),
     )
     return joined.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -133,16 +132,22 @@ def q205_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _INC_MOD = 7  # doc_id % 7 == 0 plays the "incoming batch" role
-_INC_J_NUM, _INC_J_DEN = 4, 5  # near-dup verify: word-set Jaccard >= 0.8
+_INC_J_NUM, _INC_J_DEN = 4, 5  # near-dup verify: 3-gram shingle Jaccard >= 0.8
 
 
 def _q206_oracle() -> str:
-    from .dedup import _band_exprs_sql, _minhash_sig_sql, _WORD_HASHES_SQL, _WORDS_SQL
+    from .dedup import _band_exprs_sql, _minhash_sig_sql, _MINHASH_MASK
+    from ..functions.hashing import duckdb_md5_60bit
 
+    tok3 = duckdb_md5_60bit("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")
     return f"""
-    WITH base AS (
-        SELECT doc_id, lang, md5(text) AS h, {_WORDS_SQL} AS words
-        FROM documents
+    WITH w AS (SELECT doc_id, lang, text, string_split(text, ' ') AS ws
+               FROM documents),
+    base AS (
+        SELECT doc_id, lang, md5(text) AS h,
+               list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                   i -> {tok3})) AS toks
+        FROM w
     ),
     incoming AS (SELECT * FROM base WHERE doc_id % {_INC_MOD} = 0),
     corpus AS (SELECT * FROM base WHERE doc_id % {_INC_MOD} <> 0),
@@ -153,14 +158,16 @@ def _q206_oracle() -> str:
     inc_sigs AS (
         SELECT doc_id,
                [{", ".join(_minhash_sig_sql())}] AS signature
-        FROM (SELECT doc_id, {_WORD_HASHES_SQL} AS hashes
-              FROM (SELECT doc_id, words FROM incoming))
+        FROM (SELECT doc_id,
+                     list_transform(toks, t -> t & {_MINHASH_MASK}) AS hashes
+              FROM incoming WHERE len(toks) > 0)
     ),
     corp_sigs AS (
         SELECT doc_id AS corp_id,
                [{", ".join(_minhash_sig_sql())}] AS signature
-        FROM (SELECT doc_id, {_WORD_HASHES_SQL} AS hashes
-              FROM (SELECT doc_id, words FROM corpus))
+        FROM (SELECT doc_id,
+                     list_transform(toks, t -> t & {_MINHASH_MASK}) AS hashes
+              FROM corpus WHERE len(toks) > 0)
     ),
     inc_bands AS (
         SELECT doc_id, unnest([{", ".join(_band_exprs_sql())}]) AS band_key
@@ -179,9 +186,9 @@ def _q206_oracle() -> str:
         FROM cand cd
         JOIN incoming a ON a.doc_id = cd.doc_id
         JOIN corpus b ON b.doc_id = cd.corp_id
-        WHERE len(list_intersect(a.words, b.words)) * {_INC_J_DEN}
-              >= (len(a.words) + len(b.words)
-                  - len(list_intersect(a.words, b.words))) * {_INC_J_NUM}
+        WHERE len(list_intersect(a.toks, b.toks)) * {_INC_J_DEN}
+              >= (len(a.toks) + len(b.toks)
+                  - len(list_intersect(a.toks, b.toks))) * {_INC_J_NUM}
     )
     SELECT i.lang,
            count(*) AS n_incoming,
@@ -202,9 +209,9 @@ def _q206_oracle() -> str:
 def q206_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: an incoming batch (doc_id % 7 == 0) is checked
     against the EXISTING corpus (the rest) — exact content-hash match
-    first, then MinHash-LSH band candidates verified by word-set Jaccard
-    >= 0.8 — and every incoming doc gets a verdict (exact_dup / near_dup /
-    kept), rolled up per lang.
+    first, then shingle-MinHash band candidates verified by 3-gram
+    shingle-set Jaccard >= 0.8 — and every incoming doc gets a verdict
+    (exact_dup / near_dup / kept), rolled up per lang.
 
     This is the shape that makes dedup affordable at 100 TB: the corpus is
     deduped ONCE, and each new batch costs O(|batch|) — never a corpus x
@@ -218,75 +225,11 @@ def q206_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verification joins corpus word-sets only for candidate corp_ids —
     bounded by candidate count, not corpus size.
     """
-    from .dedup import (
-        _band_exprs_spark,
-        _minhash_sig_spark,
-        _word_hashes_spark,
-        _WORDS_SPARK,
-    )
-
     (documents,) = tables(spark, sf_dir, "documents")
-    base = documents.select(
-        "doc_id",
-        "lang",
-        F.md5(F.col("text").cast("binary")).alias("h"),
-        _WORDS_SPARK().alias("words"),
-    )
-    incoming = base.filter(F.col("doc_id") % _INC_MOD == 0)
-    corpus = base.filter(F.col("doc_id") % _INC_MOD != 0)
-
-    # --- exact: stream the corpus past a broadcast of incoming digests ---
-    inc_digests = incoming.select("doc_id", "h")
-    exact = (
-        corpus.select("h")
-        .join(F.broadcast(inc_digests), "h")
-        .select("doc_id")
-        .distinct()
-    )
-
-    # --- near: corpus band keys probe a broadcast of incoming band keys ---
-    def bands_of(df: DataFrame, id_col: str) -> DataFrame:
-        hs = df.select(
-            F.col("doc_id").alias(id_col),
-            _word_hashes_spark(F.col("words")).alias("hashes"),
-        )
-        sigs = hs.select(
-            id_col, F.array(*_minhash_sig_spark(F.col("hashes"))).alias("signature")
-        )
-        return sigs.select(
-            id_col, F.explode(F.array(*_band_exprs_spark())).alias("band_key")
-        )
-
-    inc_bands = bands_of(incoming, "doc_id")
-    corp_bands = bands_of(corpus, "corp_id")
-    cand = (
-        corp_bands.join(F.broadcast(inc_bands), "band_key")
-        .select("doc_id", "corp_id")
-        .distinct()
-    )
-    wa = incoming.select("doc_id", F.col("words").alias("words_a"))
-    wb = corpus.select(F.col("doc_id").alias("corp_id"), F.col("words").alias("words_b"))
-    inter = F.size(F.array_intersect("words_a", "words_b"))
-    uni = F.size("words_a") + F.size("words_b") - inter
-    near = (
-        cand.join(F.broadcast(wa), "doc_id")
-        .join(wb, "corp_id")
-        .filter(inter * _INC_J_DEN >= uni * _INC_J_NUM)
-        .select("doc_id")
-        .distinct()
-    )
-
-    verdict = (
-        incoming.select("doc_id", "lang")
-        .join(exact.withColumn("is_exact", F.lit(1)), "doc_id", "left")
-        .join(near.withColumn("is_near", F.lit(1)), "doc_id", "left")
-        .select(
-            "lang",
-            F.when(F.col("is_exact") == 1, F.lit("exact_dup"))
-            .when(F.col("is_near") == 1, F.lit("near_dup"))
-            .otherwise(F.lit("kept"))
-            .alias("verdict"),
-        )
+    incoming_docs = documents.filter(F.col("doc_id") % _INC_MOD == 0)
+    corpus_docs = documents.filter(F.col("doc_id") % _INC_MOD != 0)
+    verdict = incremental_verdicts(incoming_docs, corpus_docs).select(
+        "lang", "verdict"
     )
     return verdict.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_incoming"),
@@ -299,6 +242,122 @@ def q206_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("verdict") == "kept", 1).otherwise(0))
         .cast("bigint")
         .alias("n_kept"),
+    )
+
+
+def incremental_verdicts(incoming_docs: DataFrame, corpus_docs: DataFrame) -> DataFrame:
+    """Per-doc dedup verdicts for an incoming batch against a corpus: both
+    inputs need (doc_id, text, lang); returns (doc_id, lang, verdict) with
+    verdict in {exact_dup, near_dup, kept}. The incoming side is assumed
+    SMALL (a batch/micro-batch): its digests, band keys, and shingle
+    arrays broadcast, so the corpus is only streamed, never shuffled.
+    Reused by q206 (batch) and streaming.incremental (foreachBatch).
+
+    The similarity unit is the 3-GRAM SHINGLE set (60-bit hashed), both
+    for the MinHash bands and the Jaccard verify — the q193 lesson
+    measured directly here: word-set bands on this small-vocabulary corpus
+    put nearly every doc in some shared bucket (493k candidates for 519
+    true matches at sf0.1, 4.8 s mostly spent verifying junk); shingle
+    bands cut candidates to roughly the true near-dups.
+    """
+    from .dedup import (
+        _band_exprs_spark,
+        _minhash_sig_spark,
+        _MINHASH_MASK,
+    )
+    from ..functions.hashing import md5_60bit
+
+    def prep(df: DataFrame) -> DataFrame:
+        ws = F.split("text", " ")
+        inner = F.zip_with(
+            F.slice(ws, 2, F.size(ws) - 2),
+            F.slice(ws, 3, F.size(ws) - 2),
+            lambda b, c: F.concat_ws(" ", b, c),
+        )
+        sh3 = F.zip_with(
+            F.slice(ws, 1, F.size(ws) - 2), inner, lambda a, bc: F.concat_ws(" ", a, bc)
+        )
+        toks = F.when(
+            F.size(ws) >= 3,
+            F.array_distinct(F.transform(sh3, lambda s: md5_60bit(s))),
+        ).otherwise(F.array().cast("array<bigint>"))
+        return df.select(
+            "doc_id",
+            "lang",
+            F.md5(F.col("text").cast("binary")).alias("h"),
+            toks.alias("toks"),
+        )
+
+    # the batch side feeds four consumers (digest broadcast, band
+    # broadcast, verify arrays, final verdict join) — persist it so the
+    # md5+shingle prep runs once; it's micro-batch-sized by contract
+    from pyspark import StorageLevel
+
+    incoming = prep(incoming_docs).persist(StorageLevel.MEMORY_AND_DISK)
+    corpus = prep(corpus_docs)
+
+    # --- exact: stream the corpus past a broadcast of incoming digests ---
+    inc_digests = incoming.select("doc_id", "h")
+    exact = (
+        corpus.select("h")
+        .join(F.broadcast(inc_digests), "h")
+        .select("doc_id")
+        .distinct()
+    )
+
+    # --- near: corpus band keys probe a broadcast of incoming band keys ---
+    def bands_of(df: DataFrame, id_col: str, carry_toks: bool) -> DataFrame:
+        hs = df.filter(F.size("toks") > 0).select(
+            F.col("doc_id").alias(id_col),
+            "toks",
+            F.transform(
+                "toks", lambda t: t.bitwiseAND(F.lit(_MINHASH_MASK))
+            ).alias("hashes"),
+        )
+        sigs = hs.select(
+            id_col,
+            "toks",
+            F.array(*_minhash_sig_spark(F.col("hashes"))).alias("signature"),
+        )
+        cols = [id_col, F.explode(F.array(*_band_exprs_spark())).alias("band_key")]
+        if carry_toks:
+            cols.insert(1, F.col("toks"))
+        return sigs.select(*cols)
+
+    # the corpus side CARRIES its shingle arrays through the band probe:
+    # the probe is a broadcast hash join (no corpus shuffle), so the extra
+    # column rides along and removes what would be a second full corpus
+    # pass just to fetch verify arrays for candidate ids
+    inc_bands = bands_of(incoming, "doc_id", carry_toks=False)
+    corp_bands = bands_of(corpus, "corp_id", carry_toks=True)
+    cand = (
+        corp_bands.withColumnRenamed("toks", "toks_b")
+        .join(F.broadcast(inc_bands), "band_key")
+        .select("doc_id", "corp_id", "toks_b")
+        .dropDuplicates(["doc_id", "corp_id"])
+    )
+    wa = incoming.select("doc_id", F.col("toks").alias("toks_a"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    uni = F.size("toks_a") + F.size("toks_b") - inter
+    near = (
+        cand.join(F.broadcast(wa), "doc_id")
+        .filter(inter * _INC_J_DEN >= uni * _INC_J_NUM)
+        .select("doc_id")
+        .distinct()
+    )
+
+    return (
+        incoming.select("doc_id", "lang")
+        .join(exact.withColumn("is_exact", F.lit(1)), "doc_id", "left")
+        .join(near.withColumn("is_near", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.when(F.col("is_exact") == 1, F.lit("exact_dup"))
+            .when(F.col("is_near") == 1, F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
     )
 
 
@@ -845,12 +904,29 @@ def q211_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(sh5).alias("tok5")).select(
         "doc_id", md5_60bit(F.col("tok5")).alias("tok")
     )
-    arrs = tok.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("tok")).alias("toks")
+    # one lineage: per-shingle df via window (no df-agg + join-back, which
+    # would re-run the explode), then ONE per-doc groupBy collects BOTH the
+    # full sorted array and the rare subset; the compact per-doc table is
+    # persisted because three downstream consumers (both self-join sides
+    # and the verify) would otherwise re-execute the whole shingle lineage
+    from pyspark import StorageLevel
+
+    tok_df = tok.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
+    arrs = (
+        tok_df.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("tok")).alias("toks"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        (F.col("df") >= 2) & (F.col("df") <= _CT_DF_CAP), F.col("tok")
+                    )
+                )
+            ).alias("rares"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    dfq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    rare = dfq.filter((F.col("df") >= 2) & (F.col("df") <= _CT_DF_CAP)).select("tok")
-    rare_tok = tok.join(rare, "tok")
+    rare_tok = arrs.select("doc_id", F.explode("rares").alias("tok"))
     cand = (
         rare_tok.alias("a")
         .join(

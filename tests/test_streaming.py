@@ -204,3 +204,49 @@ class TestStreamStreamJoin:
         ).collect()
         assert len(got) == len(expected)
         assert _sorted(got) == _sorted(expected)
+
+
+class TestIncrementalDedupStream:
+    def test_stream_verdicts_equal_batch(self, spark, tmp_path):
+        """Streamed micro-batches of 'new' docs produce exactly the batch
+        operator's per-doc verdicts against the same static corpus."""
+        from kinesis_writer_spark.operators.pipeline_ops import (
+            _INC_MOD,
+            incremental_verdicts,
+        )
+        from kinesis_writer_spark.streaming.incremental import (
+            dedup_stream_against_corpus,
+        )
+
+        docs = kio.load(spark, SF_DIR, "documents").select("doc_id", "text", "lang")
+        incoming = docs.filter(F.col("doc_id") % _INC_MOD == 0)
+        corpus = docs.filter(F.col("doc_id") % _INC_MOD != 0)
+
+        # batch reference
+        expected = _sorted(incremental_verdicts(incoming, corpus).collect())
+        assert expected, "fixture must produce incoming docs"
+
+        # replay the incoming batch as a 3-file stream
+        replay = str(tmp_path / "incoming")
+        incoming.repartition(3).write.mode("overwrite").parquet(replay)
+        stream = (
+            spark.readStream.schema(incoming.schema).parquet(replay)
+        )
+        collected: list = []
+        n_batches: list = []
+
+        def sink(verdicts, batch_id):
+            collected.extend(verdicts.collect())
+            n_batches.append(batch_id)
+
+        q = (
+            dedup_stream_against_corpus(stream, corpus, sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        assert _sorted(collected) == expected
+        # verdicts include every class the fixture is known to contain
+        kinds = {row["verdict"] for row in collected}
+        assert "kept" in kinds
