@@ -1520,3 +1520,229 @@ def q216_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("viol_group", F.lit(0)).alias("viol_group"),
         F.coalesce("viol_naive", F.lit(0)).alias("viol_naive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q218: U-shaped (position-based) multi-touch attribution
+# ---------------------------------------------------------------------------
+
+_MT_WINDOW_US = 3 * 24 * 3_600 * 1_000_000  # 3-day lookback
+# U-shaped credit in basis points: 40% first, 40% last, 20% split across
+# middles (integer DIV — the dropped remainder is documented, not hidden)
+_MT_FIRST_BP, _MT_LAST_BP, _MT_MID_POOL_BP = 4000, 4000, 2000
+
+_MT_CREDIT_CASE = f"""
+    CASE WHEN k = 1 THEN 10000
+         WHEN k = 2 THEN 5000
+         WHEN rn = 1 THEN {_MT_FIRST_BP}
+         WHEN rn = k THEN {_MT_LAST_BP}
+         ELSE {_MT_MID_POOL_BP} DIV (k - 2) END
+"""
+
+
+@register(
+    "q218_position_attribution",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT event_id, user_id, epoch_us(ts) AS p_us,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT event_id AS t_id, user_id, event_type AS channel,
+               epoch_us(ts) AS t_us
+        FROM events WHERE event_type IN ('click', 'view')
+    ),
+    banded AS (
+        SELECT p.event_id, p.cents, t.channel, t.t_us, t.t_id
+        FROM purchases p JOIN touches t
+          ON p.user_id = t.user_id
+         AND t.t_us < p.p_us
+         AND t.t_us >= p.p_us - {_MT_WINDOW_US}
+    ),
+    positioned AS (
+        SELECT event_id, cents, channel,
+               row_number() OVER (PARTITION BY event_id
+                                  ORDER BY t_us, t_id) AS rn,
+               count(*) OVER (PARTITION BY event_id) AS k
+        FROM banded
+    ),
+    credited AS (
+        SELECT channel, cents,
+               {_MT_CREDIT_CASE.replace("DIV", "//")} AS bp
+        FROM positioned
+    )
+    SELECT channel,
+           count(*) AS n_credited_touches,
+           CAST(SUM(bp) AS BIGINT) AS credit_bp_total,
+           CAST(SUM(cents * bp) AS BIGINT) AS revenue_credit_cbp
+    FROM credited GROUP BY channel
+    """,
+)
+def q218_position_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution — the multi-touch
+    counterpart of q171's last-touch: every click/view in the purchase's
+    3-day lookback gets credit, 40% to the first touch, 40% to the last,
+    20% split evenly over the middles (single-touch journeys take 100%,
+    two-touch 50/50). Revenue credit is cents x basis points, all integer;
+    the middle split's integer-division remainder is dropped by both
+    engines identically rather than floated.
+
+    Shape: the q171 banded user-key join (purchase x its own lookback
+    window, fan-out bounded by window length) feeds TWO window functions
+    over the same per-purchase partitioning (position + journey length),
+    then one channel rollup. At 100 TB: same partitioning discipline as
+    the as-of family — join and windows share the user/purchase hash, the
+    rollup is map-side combined.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    touches = events.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("channel"),
+        F.unix_micros("ts").alias("t_us"),
+    )
+    banded = purchases.join(
+        touches,
+        (F.col("user_id") == F.col("t_user"))
+        & (F.col("t_us") < F.col("p_us"))
+        & (F.col("t_us") >= F.col("p_us") - _MT_WINDOW_US),
+    ).select("event_id", "cents", "channel", "t_us", "t_id")
+    w_pos = Window.partitionBy("event_id").orderBy("t_us", "t_id")
+    positioned = banded.withColumn("rn", F.row_number().over(w_pos)).withColumn(
+        "k", F.count(F.lit(1)).over(Window.partitionBy("event_id"))
+    )
+    credited = positioned.select(
+        "channel", "cents", F.expr(_MT_CREDIT_CASE).alias("bp")
+    )
+    return credited.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_credited_touches"),
+        F.sum("bp").cast("bigint").alias("credit_bp_total"),
+        F.sum(F.col("cents") * F.col("bp")).cast("bigint").alias("revenue_credit_cbp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q219: deterministic random walks over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_WALK_STEPS = 3
+_WALK_SUPPORT = 2  # reuse q199's support threshold
+
+
+def _q219_oracle() -> str:
+    from ..functions.hashing import duckdb_md5_60bit
+
+    step_ctes = []
+    prev = "starts"
+    prev_col = "v0"
+    for s in range(1, _WALK_STEPS + 1):
+        h = duckdb_md5_60bit(
+            "CAST(src AS VARCHAR) || '#' || CAST(dst AS VARCHAR)", salt=f"walk{s}"
+        )
+        step_ctes.append(
+            f"""
+    choice{s} AS (
+        SELECT src, arg_min(dst, {h}) AS nxt FROM edges GROUP BY src
+    ),
+    walk{s} AS (
+        SELECT w.*, c.nxt AS v{s}
+        FROM {prev} w LEFT JOIN choice{s} c ON w.{prev_col} = c.src
+    )"""
+        )
+        prev = f"walk{s}"
+        prev_col = f"v{s}"
+    return f"""
+    WITH pl AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    copurchase AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS w
+        FROM pl a JOIN pl b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING count(*) >= {_WALK_SUPPORT}
+    ),
+    edges AS (
+        SELECT pa AS src, pb AS dst FROM copurchase
+        UNION ALL
+        SELECT pb AS src, pa AS dst FROM copurchase
+    ),
+    starts AS (SELECT DISTINCT src AS v0 FROM edges),
+    {", ".join(step_ctes)}
+    SELECT v0, v1, v2, v3,
+           CAST(CASE WHEN v3 IS NOT NULL THEN 3
+                     WHEN v2 IS NOT NULL THEN 2
+                     WHEN v1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS walk_len
+    FROM walk{_WALK_STEPS}
+    """
+
+
+@register("q219_random_walks", oracle=_q219_oracle())
+def q219_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'random' walks (length 3) from every node of the
+    co-purchase graph — the DeepWalk/node2vec sampling primitive that
+    turns a graph into training sequences, made reproducible by replacing
+    the RNG with a salted-hash choice: step s from node v follows the
+    neighbor minimizing md5_60bit('walk{{s}}#' || v || '#' || n). Same
+    graph, same walks, on every engine and every rerun — the property a
+    training pipeline needs for cacheable, diffable walk corpora.
+
+    Shape at 100 TB: each step is ONE min_by aggregate over the edge table
+    (building a src -> next choice table, vocabulary-sized) plus one
+    equi-join extending the walk frontier — never a per-walk loop, and the
+    walk table stays one row per start node. The edge table feeds all
+    three step aggregates, so it is persisted once (this round's lineage
+    rule). Dead ends LEFT-join to NULL and the walk simply stops.
+    """
+    from pyspark import StorageLevel
+
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    pl = lineitem.select("l_orderkey", "l_partkey").distinct()
+    cop = (
+        pl.alias("a")
+        .join(
+            pl.select(
+                F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("pb")
+            ),
+            (F.col("l_orderkey") == F.col("ok_b"))
+            & (F.col("l_partkey") < F.col("pb")),
+        )
+        .groupBy(F.col("l_partkey").alias("pa"), "pb")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _WALK_SUPPORT)
+        .select("pa", "pb")
+    )
+    edges = (
+        cop.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(cop.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    walk = edges.select(F.col("src").alias("v0")).distinct()
+    prev_col = "v0"
+    for s in range(1, _WALK_STEPS + 1):
+        h = md5_60bit(
+            F.concat_ws("#", F.col("src").cast("string"), F.col("dst").cast("string")),
+            salt=f"walk{s}",
+        )
+        choice = edges.groupBy("src").agg(F.min_by("dst", h).alias(f"v{s}"))
+        walk = walk.join(
+            choice.withColumnRenamed("src", prev_col), prev_col, "left"
+        )
+        prev_col = f"v{s}"
+    return walk.select(
+        "v0",
+        "v1",
+        "v2",
+        "v3",
+        F.expr(
+            "CAST(CASE WHEN v3 IS NOT NULL THEN 3 WHEN v2 IS NOT NULL THEN 2 "
+            "WHEN v1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("walk_len"),
+    )
