@@ -1746,3 +1746,87 @@ def q219_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "WHEN v1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("walk_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q217: token rank drift between corpus snapshots ("trending tokens")
+# ---------------------------------------------------------------------------
+
+_DRIFT_MIN_COUNT = 5
+_DRIFT_TOP_K = 20
+
+
+@register(
+    "q217_token_rank_drift",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id % 2 AS half,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    counted AS (
+        SELECT half, token, count(*) AS c
+        FROM tok GROUP BY half, token
+        HAVING count(*) >= {_DRIFT_MIN_COUNT}
+    ),
+    ranked AS (
+        SELECT half, token, c,
+               row_number() OVER (PARTITION BY half
+                                  ORDER BY c DESC, token) AS rnk
+        FROM counted
+    )
+    SELECT a.token,
+           a.rnk AS rank_old, b.rnk AS rank_new,
+           CAST(a.rnk - b.rnk AS BIGINT) AS rank_climb,
+           a.c AS count_old, b.c AS count_new
+    FROM ranked a JOIN ranked b ON a.token = b.token
+    WHERE a.half = 0 AND b.half = 1
+    ORDER BY a.rnk - b.rnk DESC, a.token
+    LIMIT {_DRIFT_TOP_K}
+    """,
+)
+def q217_token_rank_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending tokens: rank every token by frequency in two corpus
+    snapshots (even/odd doc ids standing in for consecutive crawls) and
+    report the top climbers — the drift signal that flags new entities /
+    topics between snapshot ingests, complementing q192 (KL divergence:
+    HOW MUCH drift) with WHAT is drifting.
+
+    Rank ties break on the token text so both engines produce the same
+    total order; the min-count floor keeps one-off tokens from dominating
+    climb deltas. Shape: one map-side-combined (half, token) count, one
+    rank window per half over the VOCABULARY-sized count table (data
+    collapses before any ordering — the q215 rule), a self-join on the
+    token key, and a TakeOrdered top-k instead of a global sort.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    tok = documents.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    counted = (
+        tok.groupBy("half", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _DRIFT_MIN_COUNT)
+    )
+    w = Window.partitionBy("half").orderBy(F.col("c").desc(), "token")
+    ranked = counted.withColumn("rnk", F.row_number().over(w))
+    a = ranked.filter(F.col("half") == 0).select(
+        "token", F.col("rnk").alias("rank_old"), F.col("c").alias("count_old")
+    )
+    b = ranked.filter(F.col("half") == 1).select(
+        "token", F.col("rnk").alias("rank_new"), F.col("c").alias("count_new")
+    )
+    return (
+        a.join(b, "token")
+        .select(
+            "token",
+            "rank_old",
+            "rank_new",
+            (F.col("rank_old") - F.col("rank_new")).cast("bigint").alias("rank_climb"),
+            "count_old",
+            "count_new",
+        )
+        .orderBy(F.col("rank_climb").desc(), "token")
+        .limit(_DRIFT_TOP_K)
+    )
