@@ -67,6 +67,14 @@ HEADLINE = [
     "q132_vocab_topk_bigrams",
     "q61_lsh_cosine_neardup",
     "q134_ivf_trained",
+    # round-3 operator families
+    "q193_prefix_filter_join",
+    "q199_triangle_count",
+    "q206_incremental_dedup",
+    "q210_daily_coverage",
+    "q213_rare_bigram_gate",
+    "q215_auc_rank",
+    "q219_random_walks",
 ]
 
 

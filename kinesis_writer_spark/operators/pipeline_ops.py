@@ -1830,3 +1830,138 @@ def q217_token_rank_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_climb").desc(), "token")
         .limit(_DRIFT_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q220: LSH dedup quality eval — band recall/precision vs exact ground truth
+# ---------------------------------------------------------------------------
+
+
+def _q220_oracle() -> str:
+    from .dedup import _band_exprs_sql, _minhash_sig_sql, _MINHASH_MASK
+    from ..functions.hashing import duckdb_md5_60bit
+    from ..registry import get
+
+    truth_sql = get("q193_prefix_filter_join").oracle
+    tok3 = duckdb_md5_60bit("ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]")
+    return f"""
+    WITH truth AS ({truth_sql}),
+    w2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    toksrc AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(ws) - 2),
+                   i -> {tok3})) AS toks
+        FROM w2
+    ),
+    sigs AS (
+        SELECT doc_id, [{", ".join(_minhash_sig_sql())}] AS signature
+        FROM (SELECT doc_id,
+                     list_transform(toks, t -> t & {_MINHASH_MASK}) AS hashes
+              FROM toksrc WHERE len(toks) > 0)
+    ),
+    bands AS (
+        SELECT doc_id, unnest([{", ".join(_band_exprs_sql())}]) AS band_key
+        FROM sigs
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    hit AS (
+        SELECT count(*) AS n_hit
+        FROM cands c JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(count(*) AS BIGINT) FROM cands) AS n_candidates,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_hit * 1000000 // (SELECT count(*) FROM truth) AS BIGINT)
+               AS recall_ppm,
+           CAST(n_hit * 1000000 // (SELECT count(*) FROM cands) AS BIGINT)
+               AS precision_ppm
+    FROM hit
+    """
+
+
+@register("q220_lsh_recall_eval", oracle=_q220_oracle())
+def q220_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical LSH quality evaluation: how many of the EXACT Jaccard>=0.8
+    shingle pairs (ground truth = q193's prefix-filter join, which has no
+    false negatives) does the 16-perm / 2x8-band shingle-MinHash scheme
+    actually surface as candidates — measured recall and precision, the
+    numbers q202's S-curve predicts analytically. A dedup pipeline should
+    publish this eval on every corpus whose token distribution shifts;
+    banding parameters tuned on one corpus silently lose recall on another.
+
+    Shape: ground truth comes from the registered exact operator (reused
+    function, reused plan); the candidate side is one signature pass +
+    band self-join (same machinery q206 probes with); the comparison is
+    two tiny COUNT aggregates and an equi-join on the pair key. Nothing
+    here is all-pairs; the expensive inputs are both already
+    linear-in-corpus.
+    """
+    from .dedup import _band_exprs_spark, _minhash_sig_spark, _MINHASH_MASK
+    from .scale_ops import q193_prefix_filter_join
+
+    truth = q193_prefix_filter_join(spark, sf_dir).select("doc_a", "doc_b")
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    inner = F.zip_with(
+        F.slice(ws, 2, F.size(ws) - 2),
+        F.slice(ws, 3, F.size(ws) - 2),
+        lambda b, c: F.concat_ws(" ", b, c),
+    )
+    sh3 = F.zip_with(
+        F.slice(ws, 1, F.size(ws) - 2), inner, lambda a, bc: F.concat_ws(" ", a, bc)
+    )
+    toks = F.when(
+        F.size(ws) >= 3, F.array_distinct(F.transform(sh3, lambda s: md5_60bit(s)))
+    ).otherwise(F.array().cast("array<bigint>"))
+    toksrc = documents.select("doc_id", toks.alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    hs = toksrc.select(
+        "doc_id",
+        F.transform("toks", lambda t: t.bitwiseAND(F.lit(_MINHASH_MASK))).alias(
+            "hashes"
+        ),
+    )
+    sigs = hs.select(
+        "doc_id", F.array(*_minhash_sig_spark(F.col("hashes"))).alias("signature")
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*_band_exprs_spark())).alias("band_key")
+    )
+    cands = (
+        bands.alias("a")
+        .join(
+            bands.select(
+                F.col("doc_id").alias("doc_b"), F.col("band_key").alias("bk")
+            ),
+            (F.col("band_key") == F.col("bk")) & (F.col("doc_id") < F.col("doc_b")),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    # three 1-row aggregates cross-joined — fully lazy, no driver action;
+    # the sanctioned 1-row-broadcast BNL pattern (see test_plans allowlist)
+    t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    c = cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    h = (
+        cands.join(truth, ["doc_a", "doc_b"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    )
+    return (
+        h.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(c))
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hit",
+            F.expr("CAST(n_hit * 1000000 DIV n_truth AS BIGINT)").alias("recall_ppm"),
+            F.expr("CAST(n_hit * 1000000 DIV n_candidates AS BIGINT)").alias(
+                "precision_ppm"
+            ),
+        )
+    )

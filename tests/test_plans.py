@@ -78,6 +78,7 @@ class TestJoinStrategies:
             "q192_source_kl_divergence",  # 1-row corpus-total broadcast
             "q198_welch_ttest",  # 1-row grand-total moment broadcast
             "q200_token_budget_allocation",  # 1-row normalizing-total broadcast
+            "q220_lsh_recall_eval",  # three 1-row count-aggregate broadcasts
         }
         for name, p in plans.items():
             if "CartesianProduct" in p:
