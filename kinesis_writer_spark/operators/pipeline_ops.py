@@ -1965,3 +1965,93 @@ def q220_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q221: per-column table statistics (ANALYZE TABLE / CBO stats collection)
+# ---------------------------------------------------------------------------
+
+#: (stat row name, integer-valued SQL expression over lineitem)
+_STATS_COLS = [
+    ("l_orderkey", "l_orderkey"),
+    ("l_partkey", "l_partkey"),
+    ("l_suppkey", "l_suppkey"),
+    ("l_quantity", "CAST(l_quantity AS BIGINT)"),
+    ("l_extendedprice_cents", "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"),
+]
+
+
+@register(
+    "q221_table_stats",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count({expr}) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT {expr}) AS BIGINT) AS ndv_exact,
+           TRUE AS ndv_within_5pct,
+           CAST(MIN({expr}) AS BIGINT) AS min_val,
+           CAST(MAX({expr}) AS BIGINT) AS max_val
+    FROM lineitem"""
+        for name, expr in _STATS_COLS
+    ),
+)
+def q221_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE-style statistics collection: one row per column with
+    row count, null count, distinct count, and min/max — the inputs a
+    cost-based optimizer (and every capacity-planning spreadsheet) needs.
+    NDV is gathered the production way (HLL approx, single pass, constant
+    memory) and gated against exact within 5% via the q16 boolean
+    pattern, so a drifting sketch fails the hash gate.
+
+    Shape: ONE fact-table pass computes count/nulls/min/max/approx-NDV
+    for every column simultaneously (plain aggregates — no Expand), plus
+    one exact-NDV pass for the gate (COUNT DISTINCT x5 plans an Expand x5;
+    that pass is the TEST apparatus, dropped at 100 TB where the approx
+    value IS the stat). The per-column layout is a stack() unpivot of the
+    two 1-row aggregates joined by cross — metadata-scale from there on.
+    """
+    (lineitem,) = tables(spark, sf_dir, "lineitem")
+    one_pass = lineitem.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        *[
+            c
+            for name, expr in _STATS_COLS
+            for c in (
+                F.count(F.expr(expr)).cast("bigint").alias(f"cnt_{name}"),
+                F.approx_count_distinct(F.expr(expr), 0.02)
+                .cast("bigint")
+                .alias(f"andv_{name}"),
+                F.min(F.expr(expr)).cast("bigint").alias(f"min_{name}"),
+                F.max(F.expr(expr)).cast("bigint").alias(f"max_{name}"),
+            )
+        ],
+    )
+    exact_pass = lineitem.agg(
+        *[
+            F.countDistinct(F.expr(expr)).cast("bigint").alias(f"ndv_{name}")
+            for name, expr in _STATS_COLS
+        ]
+    )
+    joined = one_pass.crossJoin(F.broadcast(exact_pass))
+    stack_args = ", ".join(
+        f"'{name}', n_rows - cnt_{name}, ndv_{name}, "
+        f"(andv_{name} * 100 <= ndv_{name} * 105 AND "
+        f" andv_{name} * 100 >= ndv_{name} * 95), min_{name}, max_{name}"
+        for name, _ in _STATS_COLS
+    )
+    return joined.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_STATS_COLS)}, {stack_args}) AS "
+            "(column_name, n_nulls, ndv_exact, ndv_within_5pct, min_val, max_val)"
+        ),
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        "ndv_exact",
+        "ndv_within_5pct",
+        "min_val",
+        "max_val",
+    )
