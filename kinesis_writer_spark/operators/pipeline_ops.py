@@ -1694,15 +1694,13 @@ def q219_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph, same walks, on every engine and every rerun — the property a
     training pipeline needs for cacheable, diffable walk corpora.
 
-    Shape at 100 TB: each step is ONE min_by aggregate over the edge table
-    (building a src -> next choice table, vocabulary-sized) plus one
-    equi-join extending the walk frontier — never a per-walk loop, and the
-    walk table stays one row per start node. The edge table feeds all
-    three step aggregates, so it is persisted once (this round's lineage
-    rule). Dead ends LEFT-join to NULL and the walk simply stops.
+    Shape at 100 TB: ALL step choices come out of ONE min_by aggregate
+    over the edge table (three salted argmins in the same groupBy — one
+    shuffle, not one per step), producing a vocabulary-sized choice table
+    that broadcast-joins the walk frontier forward three times. Never a
+    per-walk loop; the walk table stays one row per start node. Dead ends
+    LEFT-join to NULL and the walk simply stops.
     """
-    from pyspark import StorageLevel
-
     (lineitem,) = tables(spark, sf_dir, "lineitem")
     pl = lineitem.select("l_orderkey", "l_partkey").distinct()
     cop = (
@@ -1719,22 +1717,37 @@ def q219_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w") >= _WALK_SUPPORT)
         .select("pa", "pb")
     )
-    edges = (
-        cop.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionByName(cop.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    edges = cop.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
+        cop.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
-    walk = edges.select(F.col("src").alias("v0")).distinct()
-    prev_col = "v0"
-    for s in range(1, _WALK_STEPS + 1):
-        h = md5_60bit(
+
+    def h(s: int):
+        return md5_60bit(
             F.concat_ws("#", F.col("src").cast("string"), F.col("dst").cast("string")),
             salt=f"walk{s}",
         )
-        choice = edges.groupBy("src").agg(F.min_by("dst", h).alias(f"v{s}"))
-        walk = walk.join(
-            choice.withColumnRenamed("src", prev_col), prev_col, "left"
+
+    # the choice table feeds the walk base plus one broadcast per step —
+    # persist it or the co-purchase self-join lineage re-runs per consumer
+    from pyspark import StorageLevel
+
+    choice = (
+        edges.groupBy("src")
+        .agg(
+            *[
+                F.min_by("dst", h(s)).alias(f"nxt{s}")
+                for s in range(1, _WALK_STEPS + 1)
+            ]
         )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    walk = choice.select(F.col("src").alias("v0"))
+    prev_col = "v0"
+    for s in range(1, _WALK_STEPS + 1):
+        step = choice.select(
+            F.col("src").alias(prev_col), F.col(f"nxt{s}").alias(f"v{s}")
+        )
+        walk = walk.join(F.broadcast(step), prev_col, "left")
         prev_col = f"v{s}"
     return walk.select(
         "v0",
