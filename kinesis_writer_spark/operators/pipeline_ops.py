@@ -2068,3 +2068,158 @@ def q221_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_val",
         "max_val",
     )
+
+
+# ---------------------------------------------------------------------------
+# q222: distributed batch-perceptron training (2 unrolled epochs)
+# ---------------------------------------------------------------------------
+
+_PCT_EPOCHS = 2
+_PCT_DIM = 64
+
+#: (sf_dir) -> (per-epoch error counts, per-epoch weight vectors)
+_PCT_CACHE: dict = {}
+
+
+def _pct_train(spark: SparkSession, sf_dir: str):
+    """Driver loop of the batch perceptron: per epoch, ONE distributed
+    aggregate computes the misclassified-row count and the 64 gradient
+    sums; the 64-int weight vector is collected and inlined as literals
+    for the next epoch (the q97/q134 tiny-model pattern). Memoized per
+    dataset."""
+    if sf_dir in _PCT_CACHE:
+        return _PCT_CACHE[sf_dir]
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    q = embeddings.select(
+        F.when(F.col("label") % 2 == 1, 1).otherwise(-1).alias("y"),
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+        ).alias("qv"),
+    )
+    w = [0] * _PCT_DIM
+    zero = F.lit(0).cast("bigint")
+    counts, weights = [], []
+    for _epoch in range(_PCT_EPOCHS):
+        w_arr = F.array(*[F.lit(int(v)).cast("bigint") for v in w])
+        margin = F.col("y") * F.aggregate(
+            F.zip_with("qv", w_arr, lambda x, wv: x * wv), zero, lambda a, v: a + v
+        )
+        miss = q.withColumn("margin", margin).filter(F.col("margin") <= 0)
+        row = miss.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.col("y") * F.element_at("qv", d + 1))
+                .cast("bigint")
+                .alias(f"g{d}")
+                for d in range(_PCT_DIM)
+            ],
+        ).collect()[0]
+        counts.append(int(row["n"]))
+        w = [w[d] + int(row[f"g{d}"] or 0) for d in range(_PCT_DIM)]
+        weights.append(list(w))
+    _PCT_CACHE[sf_dir] = (counts, weights)
+    return _PCT_CACHE[sf_dir]
+
+
+def _q222_oracle() -> str:
+    flat = f"""
+    q AS (
+        SELECT vec_id,
+               CASE WHEN label % 2 = 1 THEN 1 ELSE -1 END AS y,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    flat AS (
+        SELECT vec_id, y, i + 1 AS d, qv[i + 1] AS v
+        FROM q, LATERAL unnest(range(0, {_PCT_DIM})) t(i)
+    ),
+    g1 AS (SELECT d, CAST(SUM(y * v) AS BIGINT) AS w FROM flat GROUP BY d),
+    w1 AS (SELECT list(w ORDER BY d) AS wv,
+                  CAST(SUM(d * w) AS BIGINT) AS cks FROM g1),
+    m2 AS (
+        SELECT q.vec_id, q.y,
+               q.y * CAST(list_sum(list_transform(range(1, {_PCT_DIM} + 1),
+                     i -> qv[i] * wv[i])) AS BIGINT) AS margin
+        FROM q, w1
+    ),
+    e2 AS (SELECT CAST(count(*) FILTER (WHERE margin <= 0) AS BIGINT) AS n FROM m2),
+    g2 AS (
+        SELECT f.d, CAST(SUM(f.y * f.v) AS BIGINT) AS gw
+        FROM flat f JOIN m2 ON f.vec_id = m2.vec_id
+        WHERE m2.margin <= 0 GROUP BY f.d
+    ),
+    w2 AS (
+        SELECT list(g1.w + COALESCE(g2.gw, 0) ORDER BY g1.d) AS wv,
+               CAST(SUM(g1.d * (g1.w + COALESCE(g2.gw, 0))) AS BIGINT) AS cks
+        FROM g1 LEFT JOIN g2 ON g1.d = g2.d
+    ),
+    m3 AS (
+        SELECT q.y * CAST(list_sum(list_transform(range(1, {_PCT_DIM} + 1),
+                     i -> qv[i] * wv[i])) AS BIGINT) AS margin
+        FROM q, (SELECT wv FROM w2) w
+    ),
+    e3 AS (SELECT CAST(count(*) FILTER (WHERE margin <= 0) AS BIGINT) AS n FROM m3)
+    """
+    return f"""
+    WITH {flat}
+    SELECT 1 AS epoch, (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_errors,
+           CAST(0 AS BIGINT) AS w_checksum
+    UNION ALL
+    SELECT 2, e2.n, w1.cks FROM e2, w1
+    UNION ALL
+    SELECT 3, e3.n, w2.cks FROM e3, w2
+    """
+
+
+@register("q222_perceptron_train", oracle=_q222_oracle())
+def q222_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed batch-perceptron training over the embeddings (positive
+    class: odd label) — the simplest real TRAINING loop, run the way a
+    100 TB pipeline must: per epoch ONE map-side-combined aggregate
+    produces the misclassified count and all 64 gradient components, the
+    65-number model is collected driver-side and inlined as literals for
+    the next epoch (the q97/q134 tiny-model pattern — the data never
+    shuffles, the model never exceeds a broadcast). Two epochs unrolled;
+    each output row reports the error count measured with the PREVIOUS
+    epoch's weights plus that weight vector's checksum, so the oracle
+    verifies the whole training trajectory bit-for-bit.
+
+    Everything is integer: 1e-3-quantized features, ±1 labels, integer
+    weight sums — no learning-rate float, because the perceptron update
+    rule is scale-free. A row with margin exactly 0 counts as an error
+    (w0 = 0 makes epoch 1's error count = n, a deliberate fixed point
+    the gate checks).
+    """
+    counts, weights = _pct_train(spark, sf_dir)
+
+    def cks(w):
+        return sum((d + 1) * v for d, v in enumerate(w))
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    q = embeddings.select(
+        F.when(F.col("label") % 2 == 1, 1).otherwise(-1).alias("y"),
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+        ).alias("qv"),
+    )
+    zero = F.lit(0).cast("bigint")
+    w_final = F.array(*[F.lit(int(v)).cast("bigint") for v in weights[-1]])
+    margin = F.col("y") * F.aggregate(
+        F.zip_with("qv", w_final, lambda x, wv: x * wv), zero, lambda a, v: a + v
+    )
+    final_row = q.select(margin.alias("margin")).agg(
+        F.lit(_PCT_EPOCHS + 1).alias("epoch"),
+        F.sum(F.when(F.col("margin") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+        F.lit(cks(weights[-1])).cast("bigint").alias("w_checksum"),
+    )
+    hist = spark.createDataFrame(
+        [
+            (e + 1, counts[e], cks(weights[e - 1]) if e > 0 else 0)
+            for e in range(_PCT_EPOCHS)
+        ],
+        "epoch int, n_errors bigint, w_checksum bigint",
+    )
+    return hist.unionByName(final_row)
