@@ -2223,3 +2223,198 @@ def q222_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "epoch int, n_errors bigint, w_checksum bigint",
     )
     return hist.unionByName(final_row)
+
+
+# ---------------------------------------------------------------------------
+# q223: k-anonymity audit over a generalization ladder
+# ---------------------------------------------------------------------------
+
+_KA_K = 5  # groups smaller than this are re-identification risks
+_KA_BUCKET = 1000  # acctbal band width (coarsest quasi-identifier)
+
+
+@register(
+    "q223_k_anonymity",
+    oracle=f"""
+    WITH quasi AS (
+        SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+               CAST(FLOOR(c.c_acctbal / {_KA_BUCKET}) AS BIGINT) AS bal_band
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    groups AS (
+        SELECT CASE WHEN GROUPING(bal_band) = 0 THEN 0
+                    WHEN GROUPING(segment) = 0 THEN 1
+                    ELSE 2 END AS level,
+               count(*) AS grp_n
+        FROM quasi
+        GROUP BY GROUPING SETS ((nation, segment, bal_band),
+                                (nation, segment), (nation))
+    )
+    SELECT level,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN grp_n < {_KA_K} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_small_groups,
+           CAST(SUM(CASE WHEN grp_n < {_KA_K} THEN grp_n ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk,
+           CAST(SUM(CASE WHEN grp_n < {_KA_K} THEN grp_n ELSE 0 END) * 1000000
+                // SUM(grp_n) AS BIGINT) AS risk_ppm
+    FROM groups GROUP BY level
+    """,
+)
+def q223_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: how many quasi-identifier groups (nation,
+    market segment, account-balance band) contain fewer than k={_KA_K}
+    customers — the re-identification risk check a pipeline runs before
+    releasing "anonymized" training data — evaluated over the whole
+    GENERALIZATION LADDER at once: level 0 = all three attributes,
+    level 1 drops the balance band, level 2 keeps only nation. The level
+    where risk_ppm reaches an acceptable floor is the generalization the
+    release needs.
+
+    Shape: ONE pass with GROUPING SETS computes every ladder level (a
+    single Expand ×3 instead of three scans); grouping() flags identify
+    the level; the risk rollup then runs on the group-cardinality table.
+    The nation dim broadcasts into the quasi-identifier projection.
+    """
+    (customer, nation) = tables(spark, sf_dir, "customer", "nation")
+    quasi = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / _KA_BUCKET).cast("bigint").alias("bal_band"),
+    )
+    groups = (
+        quasi.groupingSets(
+            [["nation", "segment", "bal_band"], ["nation", "segment"], ["nation"]],
+            "nation",
+            "segment",
+            "bal_band",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("grp_n"),
+            F.expr(
+                "CASE WHEN GROUPING(bal_band) = 0 THEN 0 "
+                "WHEN GROUPING(segment) = 0 THEN 1 ELSE 2 END"
+            ).alias("level"),
+        )
+        .select("level", "grp_n")
+    )
+    return groups.groupBy("level").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("grp_n") < _KA_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_small_groups"),
+        F.sum(F.when(F.col("grp_n") < _KA_K, F.col("grp_n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN grp_n < {_KA_K} THEN grp_n ELSE 0 END) * 1000000"
+            " DIV SUM(grp_n) AS BIGINT)"
+        ).alias("risk_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q224: exact two-sample Kolmogorov-Smirnov statistic
+# ---------------------------------------------------------------------------
+
+_KS_A, _KS_B = "click", "view"
+
+
+@register(
+    "q224_ks_statistic",
+    oracle=f"""
+    WITH vals AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')
+    ),
+    grouped AS (
+        SELECT c,
+               CAST(SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS na_here,
+               CAST(SUM(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nb_here
+        FROM vals GROUP BY c
+    ),
+    cum AS (
+        SELECT c,
+               CAST(SUM(na_here) OVER (ORDER BY c
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS ca,
+               CAST(SUM(nb_here) OVER (ORDER BY c
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cb
+        FROM grouped
+    ),
+    tot AS (
+        SELECT CAST(SUM(na_here) AS BIGINT) AS na,
+               CAST(SUM(nb_here) AS BIGINT) AS nb
+        FROM grouped
+    ),
+    scored AS (
+        SELECT c, ABS(ca * nb - cb * na) AS d_scaled FROM cum, tot
+    )
+    SELECT t.na, t.nb,
+           (SELECT CAST(MAX(d_scaled) * 1000000 // (t.na * t.nb) AS BIGINT)
+            FROM scored) AS ks_ppm,
+           (SELECT CAST(MIN(c) AS BIGINT) FROM scored
+            WHERE d_scaled = (SELECT MAX(d_scaled) FROM scored)) AS ks_at_cents
+    FROM tot t
+    """,
+)
+def q224_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the click and
+    view value distributions — the distribution-shift test (train-vs-serve
+    feature drift, A/B invariance checks) done integer-exactly: the KS
+    supremum over |F_a - F_b| is max |ca·nb - cb·na| / (na·nb) where
+    ca/cb are cumulative counts, so no float CDF ever exists; ks_at_cents
+    reports WHERE the distributions diverge most (min such value on ties).
+
+    The q215 collapse rule: values group to the distinct-cents table
+    (map-side combined) BEFORE the single cumulative window, so the
+    ordered pass runs over value cardinality, not event count — and at
+    100 TB values bin to fixed-width cents buckets first, bounding the
+    table; the binned KS is the standard production trade.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    vals = events.filter(F.col("event_type").isin(_KS_A, _KS_B)).select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("c")
+    )
+    grouped = vals.groupBy("c").agg(
+        F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0))
+        .cast("bigint")
+        .alias("na_here"),
+        F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb_here"),
+    )
+    w_cum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = grouped.select(
+        "c",
+        F.sum("na_here").over(w_cum).cast("bigint").alias("ca"),
+        F.sum("nb_here").over(w_cum).cast("bigint").alias("cb"),
+    )
+    tot = grouped.agg(
+        F.sum("na_here").cast("bigint").alias("na"),
+        F.sum("nb_here").cast("bigint").alias("nb"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "c",
+        "na",
+        "nb",
+        F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")).alias("d_scaled"),
+    )
+    # attach the max via a window over the value-cardinality table (tiny by
+    # the collapse rule), then keep only argmax rows — no window-in-agg
+    best = scored.withColumn(
+        "dmax", F.max("d_scaled").over(Window.partitionBy())
+    ).filter(F.col("d_scaled") == F.col("dmax"))
+    return best.agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.expr("CAST(MAX(dmax) * 1000000 DIV (MAX(na) * MAX(nb)) AS BIGINT)").alias(
+            "ks_ppm"
+        ),
+        F.min("c").cast("bigint").alias("ks_at_cents"),
+    )
