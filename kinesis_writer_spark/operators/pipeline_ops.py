@@ -2418,3 +2418,225 @@ def q224_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("c").cast("bigint").alias("ks_at_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q225: hybrid retrieval — reciprocal-rank fusion of keyword + vector lists
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # standard RRF damping constant
+_RRF_N = 50  # depth of each candidate list
+_RRF_NQ = 5  # query = the 5 globally most frequent tokens (q100's rule)
+_RRF_TOP = 10
+
+
+@register(
+    "q225_rrf_hybrid",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    q AS (
+        SELECT term FROM (
+            SELECT term, SUM(tf) AS total FROM tf GROUP BY term
+            ORDER BY total DESC, term ASC LIMIT {_RRF_NQ}
+        )
+    ),
+    kw_top AS (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r
+        FROM (
+            SELECT tf.doc_id, CAST(SUM(tf.tf) AS BIGINT) AS s
+            FROM tf JOIN q USING (term) GROUP BY tf.doc_id
+            ORDER BY s DESC, doc_id LIMIT {_RRF_N}
+        )
+    ),
+    qv AS (
+        SELECT list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings WHERE vec_id = 0
+    ),
+    vec_top AS (
+        SELECT doc_id, row_number() OVER (ORDER BY dot DESC, doc_id) AS r
+        FROM (
+            SELECT e.vec_id AS doc_id,
+                   CAST(list_sum(list_transform(range(1, 65),
+                        i -> CAST(FLOOR(CAST(e.embedding[i] AS DOUBLE) * 1000)
+                                  AS BIGINT) * qv.v[i])) AS BIGINT) AS dot
+            FROM embeddings e, qv
+            WHERE e.vec_id <> 0
+            ORDER BY dot DESC, doc_id LIMIT {_RRF_N}
+        )
+    ),
+    fused AS (
+        SELECT COALESCE(k.doc_id, v.doc_id) AS doc_id,
+               COALESCE(1000000 // ({_RRF_K} + k.r), 0)
+                   + COALESCE(1000000 // ({_RRF_K} + v.r), 0) AS rrf_micro,
+               k.r AS kw_rank, v.r AS vec_rank
+        FROM kw_top k FULL OUTER JOIN vec_top v ON k.doc_id = v.doc_id
+    )
+    SELECT doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+           CAST(kw_rank AS BIGINT) AS kw_rank,
+           CAST(vec_rank AS BIGINT) AS vec_rank
+    FROM fused
+    ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_TOP}
+    """,
+)
+def q225_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion — the standard RAG-stack
+    combiner: a keyword candidate list (tf sum over the 5 global query
+    terms, q100's query-derivation rule) and a vector candidate list
+    (integer inner-product against doc 0's embedding, MIPS-style) each
+    contribute 1e6/(60+rank); missing from a list contributes 0; top-10
+    by fused score. RRF needs only RANKS — which is exactly why it's the
+    production fusion: scores from different retrievers aren't comparable,
+    ranks always are, and integer ranks keep the whole fusion float-free.
+
+    Shape at 100 TB: each candidate list is a TakeOrdered top-{_RRF_N}
+    (partial top-k per partition, no global sort); the rank windows run
+    over the {_RRF_N}-row lists; the fusion is a {_RRF_N}x{_RRF_N}
+    full-outer join on doc id. The vector list swaps brute-force for the
+    trained-IVF probe (q134) at scale; fusion is unchanged.
+    """
+    (documents, embeddings) = tables(spark, sf_dir, "documents", "embeddings")
+    tok = documents.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    q = (
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("total"))
+        .orderBy(F.col("total").desc(), F.col("term").asc())
+        .limit(_RRF_NQ)
+        .select("term")
+    )
+    kw_list = (
+        tf.join(F.broadcast(q), "term")
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("bigint").alias("s"))
+        .orderBy(F.col("s").desc(), "doc_id")
+        .limit(_RRF_N)
+    )
+    kw_top = kw_list.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.col("s").desc(), "doc_id")).alias("r"),
+    )
+    quant = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+    )
+    qv = embeddings.filter(F.col("vec_id") == 0).select(quant.alias("qv"))
+    zero = F.lit(0).cast("bigint")
+    vec_list = (
+        embeddings.filter(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("doc_id"), quant.alias("dv"))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            F.aggregate(
+                F.zip_with("dv", "qv", lambda a, b: a * b), zero, lambda a, v: a + v
+            ).alias("dot"),
+        )
+        .orderBy(F.col("dot").desc(), "doc_id")
+        .limit(_RRF_N)
+    )
+    vec_top = vec_list.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.col("dot").desc(), "doc_id")).alias("r"),
+    )
+    fused = (
+        kw_top.withColumnRenamed("r", "kw_rank")
+        .join(vec_top.withColumnRenamed("r", "vec_rank"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(
+                    F.expr(f"1000000 DIV ({_RRF_K} + kw_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 DIV ({_RRF_K} + vec_rank)"), F.lit(0)
+                )
+            )
+            .cast("bigint")
+            .alias("rrf_micro"),
+            F.col("kw_rank").cast("bigint").alias("kw_rank"),
+            F.col("vec_rank").cast("bigint").alias("vec_rank"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(_RRF_TOP)
+
+
+# ---------------------------------------------------------------------------
+# q226: multi-vector late-interaction retrieval (ColBERT-style MaxSim)
+# ---------------------------------------------------------------------------
+
+_MS_VPD = 5  # token-vectors per pseudo-document
+_MS_TOP = 10
+
+
+@register(
+    "q226_maxsim_retrieval",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id % {_MS_VPD} AS qpos,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        FROM embeddings WHERE vec_id // {_MS_VPD} = 0
+    ),
+    d AS (
+        SELECT vec_id // {_MS_VPD} AS doc, vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS dv
+        FROM embeddings WHERE vec_id // {_MS_VPD} <> 0
+    ),
+    sims AS (
+        SELECT d.doc, q.qpos,
+               MAX(CAST(list_sum(list_transform(range(1, 65),
+                   i -> dv[i] * qv[i])) AS BIGINT)) AS best
+        FROM d, q
+        GROUP BY d.doc, q.qpos
+    )
+    SELECT doc, CAST(SUM(best) AS BIGINT) AS maxsim
+    FROM sims GROUP BY doc
+    ORDER BY maxsim DESC, doc LIMIT {_MS_TOP}
+    """,
+)
+def q226_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval: documents are SETS of
+    token vectors (pseudo-docs of {_MS_VPD} consecutive embeddings), and a
+    document's score against the query's token vectors is MaxSim —
+    for each query vector take the best-matching document vector, then
+    sum: Σ_q max_d <q, d>. Late interaction is what multi-vector
+    retrievers (ColBERT, XTR) do instead of pooling to one vector, and
+    its Spark shape is exactly aggregation: the query's {_MS_VPD} vectors
+    broadcast against the corpus, a (doc, qpos) MAX collapses the
+    interaction matrix map-side, a doc-level SUM finishes, TakeOrdered
+    top-{_MS_TOP}. Integer dot products (1e-3-quantized) end to end — no
+    float crosses a row.
+
+    At 100 TB the corpus side first prunes through an ANN index per query
+    vector (q134's probe) and MaxSim rescoring runs on the union of
+    candidates; the rescoring plan is this one unchanged.
+    """
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+    )
+    doc = F.expr(f"vec_id DIV {_MS_VPD}")
+    q = embeddings.filter(doc == 0).select(
+        (F.col("vec_id") % _MS_VPD).alias("qpos"), quant.alias("qv")
+    )
+    d = embeddings.filter(doc != 0).select(doc.alias("doc"), quant.alias("dv"))
+    zero = F.lit(0).cast("bigint")
+    dot = F.aggregate(
+        F.zip_with("dv", "qv", lambda a, b: a * b), zero, lambda a, v: a + v
+    )
+    sims = (
+        d.crossJoin(F.broadcast(q))
+        .select("doc", "qpos", dot.alias("s"))
+        .groupBy("doc", "qpos")
+        .agg(F.max("s").alias("best"))
+    )
+    return (
+        sims.groupBy("doc")
+        .agg(F.sum("best").cast("bigint").alias("maxsim"))
+        .orderBy(F.col("maxsim").desc(), "doc")
+        .limit(_MS_TOP)
+    )
