@@ -601,3 +601,70 @@ class TestKinesisToStatefulPipeline:
         got = [(r["user_id"], r["n_events"]) for r in rows]
         # user 1: one 3-event session + one 2-event session; user 2: 2 events
         assert got == [(1, 2), (1, 3), (2, 2)]
+
+
+class TestKinesisToIncrementalDedup:
+    def test_stream_dedup_capstone(self, spark, tmp_path):
+        """Capstone composition: fixture docs are produced as KPL frames
+        into a Kinesis capture, read back with readStream format('kinesis'),
+        deaggregated, JSON-parsed, and routed through per-micro-batch
+        incremental dedup against the static corpus — verdicts must equal
+        the batch operator's exactly."""
+        from pyspark.sql import functions as F
+
+        from kinesis_writer_spark import io as kio
+        from kinesis_writer_spark.operators.pipeline_ops import (
+            _INC_MOD,
+            incremental_verdicts,
+        )
+        from kinesis_writer_spark.sources.kpl_stream import deaggregate_records
+        from kinesis_writer_spark.streaming.incremental import (
+            dedup_stream_against_corpus,
+        )
+        from tests.conftest import SF_DIR
+
+        docs = kio.load(spark, SF_DIR, "documents").select("doc_id", "text", "lang")
+        incoming = docs.filter(F.col("doc_id") % _INC_MOD == 0)
+        corpus = docs.filter(F.col("doc_id") % _INC_MOD != 0)
+        expected = sorted(
+            tuple(r) for r in incremental_verdicts(incoming, corpus).collect()
+        )
+
+        # produce the incoming docs into a 2-shard KPL capture
+        rows = incoming.collect()
+        payloads = [
+            json.dumps(
+                {"doc_id": r["doc_id"], "text": r["text"], "lang": r["lang"]}
+            ).encode()
+            for r in rows
+        ]
+        cap = _make_capture(
+            tmp_path,
+            {
+                "shardId-000000000000": payloads[::2],
+                "shardId-000000000001": payloads[1::2],
+            },
+        )
+
+        raw = _read_stream(spark, cap)
+        user = deaggregate_records(raw, wire_col="data", strict=True)
+        parsed = user.select(
+            F.from_json(
+                F.col("data").cast("string"),
+                "doc_id bigint, text string, lang string",
+            ).alias("d")
+        ).select("d.doc_id", "d.text", "d.lang")
+
+        collected: list = []
+
+        def sink(verdicts, batch_id):
+            collected.extend(tuple(r) for r in verdicts.collect())
+
+        q = (
+            dedup_stream_against_corpus(parsed, corpus, sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination(180)
+        assert sorted(collected) == expected
