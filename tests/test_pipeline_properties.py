@@ -171,3 +171,57 @@ class TestAucBruteForce:
         assert row["n_pos"] == n_pos and row["n_neg"] == n_neg
         expected_ppm = (2 * wins + ties) * 1_000_000 // (2 * n_pos * n_neg)
         assert row["auc_ppm"] == expected_ppm
+
+
+class TestPerceptronBruteForce:
+    def test_q222_trajectory_matches_python(self, spark):
+        import math
+
+        rows = {
+            r["epoch"]: r
+            for r in all_queries()["q222_perceptron_train"](spark, SF_SMALL).collect()
+        }
+        emb = kio.load(spark, SF_SMALL, "embeddings").collect()
+        data = [
+            (
+                1 if r["label"] % 2 == 1 else -1,
+                [math.floor(float(x) * 1000) for x in r["embedding"]],
+            )
+            for r in emb
+        ]
+        w = [0] * 64
+        for epoch in (1, 2):
+            errs = [(y, x) for y, x in data if y * sum(a * b for a, b in zip(x, w)) <= 0]
+            assert rows[epoch]["n_errors"] == len(errs)
+            assert rows[epoch]["w_checksum"] == sum((d + 1) * v for d, v in enumerate(w))
+            for y, x in errs:
+                w = [wv + y * xv for wv, xv in zip(w, x)]
+        final_errs = sum(
+            1 for y, x in data if y * sum(a * b for a, b in zip(x, w)) <= 0
+        )
+        assert rows[3]["n_errors"] == final_errs
+        assert rows[3]["w_checksum"] == sum((d + 1) * v for d, v in enumerate(w))
+
+
+class TestKsBruteForce:
+    def test_q224_matches_direct_cdf_scan(self, spark):
+        row = all_queries()["q224_ks_statistic"](spark, SF_SMALL).collect()[0]
+        ev = (
+            kio.load(spark, SF_SMALL, "events")
+            .filter(F.col("event_type").isin("click", "view"))
+            .select("event_type", F.round(F.col("value") * 100).cast("bigint").alias("c"))
+            .collect()
+        )
+        a = sorted(r["c"] for r in ev if r["event_type"] == "click")
+        b = sorted(r["c"] for r in ev if r["event_type"] == "view")
+        na, nb = len(a), len(b)
+        best, best_at = -1, None
+        for v in sorted(set(a) | set(b)):
+            ca = sum(1 for x in a if x <= v)
+            cb = sum(1 for x in b if x <= v)
+            d = abs(ca * nb - cb * na)
+            if d > best:
+                best, best_at = d, v
+        assert row["na"] == na and row["nb"] == nb
+        assert row["ks_ppm"] == best * 1_000_000 // (na * nb)
+        assert row["ks_at_cents"] == best_at
