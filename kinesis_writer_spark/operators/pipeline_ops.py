@@ -2640,3 +2640,121 @@ def q226_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("maxsim").desc(), "doc")
         .limit(_MS_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# q227: A/B conversion z-interval (the decision readout on q191's arms)
+# ---------------------------------------------------------------------------
+
+_ZCRIT_MICRO = 1_959_964  # two-sided 95% normal critical value, 1e-6 scale
+
+
+@register(
+    "q227_ab_confidence",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT user_id,
+               CAST(('0x' || substr(md5('ab1#' || CAST(user_id AS VARCHAR)), 1, 15))
+                   AS BIGINT) % 2 AS arm
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    conv AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    arms AS (
+        SELECT a.arm,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS k
+        FROM assigned a LEFT JOIN conv c ON a.user_id = c.user_id
+        GROUP BY a.arm
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN arm = 0 THEN n END) AS na,
+            MAX(CASE WHEN arm = 0 THEN k END) AS ka,
+            MAX(CASE WHEN arm = 1 THEN n END) AS nb,
+            MAX(CASE WHEN arm = 1 THEN k END) AS kb
+        FROM arms
+    ),
+    stats AS (
+        SELECT na, ka, nb, kb,
+               CAST(ka AS DOUBLE) / na AS pa,
+               CAST(kb AS DOUBLE) / nb AS pb,
+               sqrt((CAST(ka AS DOUBLE) / na) * (1.0 - CAST(ka AS DOUBLE) / na) / na
+                    + (CAST(kb AS DOUBLE) / nb) * (1.0 - CAST(kb AS DOUBLE) / nb) / nb)
+                   AS se
+        FROM wide
+    )
+    SELECT na, ka, nb, kb,
+           CAST(FLOOR(pa * 1000000) AS BIGINT) AS pa_ppm,
+           CAST(FLOOR(pb * 1000000) AS BIGINT) AS pb_ppm,
+           CAST(FLOOR((pb - pa) * 1000000) AS BIGINT) AS diff_ppm,
+           CAST(FLOOR(((pb - pa) - {_ZCRIT_MICRO}e-6 * se) * 1000000) AS BIGINT)
+               AS ci_lo_ppm,
+           CAST(FLOOR(((pb - pa) + {_ZCRIT_MICRO}e-6 * se) * 1000000) AS BIGINT)
+               AS ci_hi_ppm,
+           (((pb - pa) - {_ZCRIT_MICRO}e-6 * se) > 0.0
+            OR ((pb - pa) + {_ZCRIT_MICRO}e-6 * se) < 0.0) AS significant
+    FROM stats
+    """,
+)
+def q227_ab_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B decision readout: the 95% z-interval on the conversion-rate
+    difference between the two consistent-hash arms (q191's assignment
+    rule, salt 'ab1') — per-arm n/k, rates, the diff, its confidence
+    bounds, and the ship/no-ship boolean. This is the number an
+    experimentation platform actually publishes; q198's Welch machinery
+    supplies the heavier-tailed variant for non-binary metrics.
+
+    Float discipline: counts are exact integers; the rate divisions,
+    variance terms, and sqrt are each single exactly-rounded IEEE
+    operations written in the SAME association order in both engines
+    (sqrt is correctly rounded by spec), so the floored ppm bounds are
+    bit-identical — the house "one exact primitive per step" rule.
+
+    Shape: distinct users → hash arm (narrow) → LEFT join the converter
+    set (both sides shuffle on user once) → 2-row arm table → 1-row
+    pivot; everything after the first aggregate is metadata-scale.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    assigned = events.select("user_id").distinct().select(
+        "user_id",
+        (md5_60bit(F.col("user_id").cast("string"), salt="ab1") % 2).alias("arm"),
+    )
+    conv = (
+        events.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    arms = (
+        assigned.join(conv.withColumn("converted", F.lit(1)), "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.coalesce("converted", F.lit(0))).cast("bigint").alias("k"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == 0, F.col("k"))).alias("ka"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == 1, F.col("k"))).alias("kb"),
+    )
+    pa = "CAST(ka AS DOUBLE) / na"
+    pb = "CAST(kb AS DOUBLE) / nb"
+    se = f"sqrt(({pa}) * (1.0 - {pa}) / na + ({pb}) * (1.0 - {pb}) / nb)"
+    z = f"{_ZCRIT_MICRO}e-6"
+    return wide.selectExpr(
+        "na",
+        "ka",
+        "nb",
+        "kb",
+        f"CAST(FLOOR(({pa}) * 1000000) AS BIGINT) AS pa_ppm",
+        f"CAST(FLOOR(({pb}) * 1000000) AS BIGINT) AS pb_ppm",
+        f"CAST(FLOOR((({pb}) - ({pa})) * 1000000) AS BIGINT) AS diff_ppm",
+        f"CAST(FLOOR(((({pb}) - ({pa})) - {z} * {se}) * 1000000) AS BIGINT)"
+        " AS ci_lo_ppm",
+        f"CAST(FLOOR(((({pb}) - ({pa})) + {z} * {se}) * 1000000) AS BIGINT)"
+        " AS ci_hi_ppm",
+        f"(((({pb}) - ({pa})) - {z} * {se}) > 0.0D"
+        f" OR ((({pb}) - ({pa})) + {z} * {se}) < 0.0D) AS significant",
+    )
