@@ -2758,3 +2758,237 @@ def q227_ab_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(((({pb}) - ({pa})) - {z} * {se}) > 0.0D"
         f" OR ((({pb}) - ({pa})) + {z} * {se}) < 0.0D) AS significant",
     )
+
+
+# ---------------------------------------------------------------------------
+# q228: deterministic bootstrap confidence interval (hash-Poisson replicas)
+# ---------------------------------------------------------------------------
+
+_BOOT_R = 20  # replicas (production uses ~200; same plan)
+#: P(Poisson(1) <= k) * 1e9 as exact integer thresholds, k = 0..5 —
+#: a hash-uniform draw u in [0, 1e9) maps to weight = #{thresholds <= u}
+_POISSON_CDF_1E9 = [367879441, 735758882, 919698602, 981011843, 996340153, 999405815]
+
+
+def _boot_weight_sql(u: str) -> str:
+    """Poisson(1) weight of a 1e9-scaled uniform draw, engine-neutral SQL."""
+    return "(" + " + ".join(
+        f"CASE WHEN {u} >= {t} THEN 1 ELSE 0 END" for t in _POISSON_CDF_1E9
+    ) + ")"
+
+
+@register(
+    "q228_bootstrap_ci",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT event_id, CAST(ROUND(value * 100) AS BIGINT) AS c
+        FROM events WHERE event_type = 'purchase'
+    ),
+    weighted AS (
+        SELECT r.r, p.c,
+               {_boot_weight_sql(
+                   "CAST(('0x' || substr(md5('boot' || CAST(r.r AS VARCHAR) "
+                   "|| '#' || CAST(p.event_id AS VARCHAR)), 1, 15)) AS BIGINT) "
+                   "% 1000000000"
+               )} AS w
+        FROM purchases p, LATERAL unnest(range(1, {_BOOT_R + 1})) r(r)
+    ),
+    replicas AS (
+        SELECT r, CAST(SUM(w * c) * 1000 // SUM(w) AS BIGINT) AS mean_milli
+        FROM weighted GROUP BY r
+    ),
+    ranked AS (
+        SELECT mean_milli, row_number() OVER (ORDER BY mean_milli) AS rn
+        FROM replicas
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM purchases) AS n,
+           (SELECT CAST(SUM(c) * 1000 // count(*) AS BIGINT) FROM purchases)
+               AS point_mean_milli,
+           (SELECT mean_milli FROM ranked WHERE rn = 1) AS boot_lo_milli,
+           (SELECT mean_milli FROM ranked WHERE rn = {_BOOT_R}) AS boot_hi_milli,
+           CAST({_BOOT_R} AS BIGINT) AS n_replicas
+    """,
+)
+def q228_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean purchase value, made
+    DETERMINISTIC: each of {_BOOT_R} replicas draws every row's
+    multiplicity from Poisson(1) via an inverse-CDF lookup on a
+    salted-hash uniform (integer thresholds, q65's consistent-hash
+    discipline) — the standard Poisson-bootstrap approximation to
+    sampling-with-replacement, reproducible across engines and reruns.
+    With {_BOOT_R} replicas the reported interval is the replica min/max
+    (~95% coverage at this R); production raises R, same plan.
+
+    Shape at 100 TB: the replica explode is narrow ({_BOOT_R}x rows, no
+    shuffle), replica means are ONE map-side-combined aggregate on the
+    replica key, and everything after is a {_BOOT_R}-row table. No
+    collect, no RNG state, no per-replica rescan of the fact table.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", F.round(F.col("value") * 100).cast("bigint").alias("c")
+    )
+    weighted = purchases.select(
+        "c",
+        F.explode(F.sequence(F.lit(1), F.lit(_BOOT_R))).alias("r"),
+        "event_id",
+    ).withColumn(
+        "u",
+        md5_60bit(
+            F.col("event_id").cast("string"),
+            salt=F.concat(F.lit("boot"), F.col("r").cast("string")),
+        )
+        % 1_000_000_000,
+    )
+    weighted = weighted.withColumn("w", F.expr(_boot_weight_sql("u")))
+    replicas = weighted.groupBy("r").agg(
+        F.expr("CAST(SUM(w * c) * 1000 DIV SUM(w) AS BIGINT)").alias("mean_milli")
+    )
+    ranked = replicas.select(
+        "mean_milli", F.row_number().over(Window.orderBy("mean_milli")).alias("rn")
+    )
+    point = purchases.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("CAST(SUM(c) * 1000 DIV COUNT(*) AS BIGINT)").alias(
+            "point_mean_milli"
+        ),
+    )
+    lo = ranked.filter(F.col("rn") == 1).select(
+        F.col("mean_milli").alias("boot_lo_milli")
+    )
+    hi = ranked.filter(F.col("rn") == _BOOT_R).select(
+        F.col("mean_milli").alias("boot_hi_milli")
+    )
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .withColumn("n_replicas", F.lit(_BOOT_R).cast("bigint"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q229: optimal decision threshold (Youden J on the model score)
+# ---------------------------------------------------------------------------
+
+
+def _q229_oracle() -> str:
+    from .similarity import _LM_W
+
+    return f"""
+    WITH q AS (
+        SELECT CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos,
+               CAST(list_sum(list_transform(list_zip(
+                    list_transform(embedding,
+                        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)),
+                    {list(_LM_W)}), p -> p[1] * p[2])) AS BIGINT) AS score
+        FROM embeddings
+    ),
+    grouped AS (
+        SELECT score, CAST(count(*) AS BIGINT) AS c,
+               CAST(SUM(pos) AS BIGINT) AS p
+        FROM q GROUP BY score
+    ),
+    cum AS (
+        SELECT score,
+               CAST(SUM(p) OVER (ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_pos,
+               CAST(SUM(c - p) OVER (ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_neg
+        FROM grouped
+    ),
+    tot AS (
+        SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+               CAST(SUM(c - p) AS BIGINT) AS n_neg
+        FROM grouped
+    ),
+    scored AS (
+        -- classify score > t as positive: J(t) = TPR - FPR
+        -- ∝ cum_neg·n_pos - cum_pos·n_neg  (maximize)
+        SELECT score, cum_neg * n_pos - cum_pos * n_neg AS j_scaled,
+               cum_pos, cum_neg, n_pos, n_neg
+        FROM cum, tot
+    ),
+    best AS (
+        SELECT * FROM scored
+        WHERE j_scaled = (SELECT MAX(j_scaled) FROM scored)
+        ORDER BY score LIMIT 1
+    )
+    SELECT score AS threshold, n_pos, n_neg,
+           CAST(j_scaled * 1000000 // (n_pos * n_neg) AS BIGINT) AS youden_j_ppm,
+           CAST(((n_pos - cum_pos) + cum_neg) * 1000000 // (n_pos + n_neg)
+               AS BIGINT) AS accuracy_ppm
+    FROM best
+    """
+
+
+@register("q229_optimal_threshold", oracle=_q229_oracle())
+def q229_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal decision threshold for the q160/q215 linear model: the
+    score cut maximizing Youden's J = TPR − FPR (classify score > t as
+    positive), reported with the achieved J and accuracy — how a quality
+    classifier's operating point is actually chosen after q215 says the
+    ranking is good. J(t) maximization is integer-exact:
+    J ∝ cum_neg·n_pos − cum_pos·n_neg over cumulative counts, the same
+    cross-multiplication that makes q224's KS float-free (Youden J IS
+    the KS distance between the class-conditional score distributions).
+
+    Shape: the q215 collapse rule — scores group to the distinct-value
+    table before the single cumulative window; the argmax keeps the
+    smallest score on ties.
+    """
+    from .similarity import _LM_W
+
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+    )
+    w_arr = F.array(*[F.lit(w).cast("bigint") for w in _LM_W])
+    zero = F.lit(0).cast("bigint")
+    scored_rows = embeddings.select(
+        F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("pos"),
+        F.aggregate(
+            F.zip_with(qv, w_arr, lambda x, w: x * w), zero, lambda a, v: a + v
+        ).alias("score"),
+    )
+    grouped = scored_rows.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.sum("pos").cast("bigint").alias("p"),
+    )
+    w_cum = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grouped.select(
+        "score",
+        F.sum("p").over(w_cum).cast("bigint").alias("cum_pos"),
+        F.sum(F.col("c") - F.col("p")).over(w_cum).cast("bigint").alias("cum_neg"),
+    )
+    tot = grouped.agg(
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.sum(F.col("c") - F.col("p")).cast("bigint").alias("n_neg"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "j_scaled",
+        F.col("cum_neg") * F.col("n_pos") - F.col("cum_pos") * F.col("n_neg"),
+    )
+    best = (
+        scored.withColumn(
+            "jmax", F.max("j_scaled").over(Window.partitionBy())
+        )
+        .filter(F.col("j_scaled") == F.col("jmax"))
+        .orderBy("score")
+        .limit(1)
+    )
+    return best.select(
+        F.col("score").alias("threshold"),
+        "n_pos",
+        "n_neg",
+        F.expr("CAST(j_scaled * 1000000 DIV (n_pos * n_neg) AS BIGINT)").alias(
+            "youden_j_ppm"
+        ),
+        F.expr(
+            "CAST(((n_pos - cum_pos) + cum_neg) * 1000000 DIV (n_pos + n_neg)"
+            " AS BIGINT)"
+        ).alias("accuracy_ppm"),
+    )

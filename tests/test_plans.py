@@ -83,6 +83,8 @@ class TestJoinStrategies:
             "q224_ks_statistic",  # 1-row (na, nb) totals broadcast
             "q225_rrf_hybrid",  # 1-row query-vector broadcast (q60 pattern)
             "q226_maxsim_retrieval",  # 5-row query-vector broadcast (q60 pattern)
+            "q228_bootstrap_ci",  # 1-row replica-extreme broadcasts
+            "q229_optimal_threshold",  # 1-row class-totals broadcast
         }
         for name, p in plans.items():
             if "CartesianProduct" in p:
