@@ -2992,3 +2992,122 @@ def q229_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("accuracy_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q230: incremental join maintenance (delta-join rule for materialized views)
+# ---------------------------------------------------------------------------
+
+_DJ_MOD = 11  # orders with o_orderkey % 11 == 0 play the "delta batch"
+
+
+@register(
+    "q230_incremental_join_maintenance",
+    oracle=f"""
+    WITH base_orders AS (
+        SELECT * FROM orders WHERE o_orderkey % {_DJ_MOD} <> 0
+    ),
+    delta_orders AS (
+        SELECT * FROM orders WHERE o_orderkey % {_DJ_MOD} = 0
+    ),
+    base_view AS (
+        SELECT n.n_name AS nation, count(*) AS cnt,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM base_orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ),
+    delta_view AS (
+        SELECT n.n_name AS nation, count(*) AS cnt,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM delta_orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ),
+    maintained AS (
+        SELECT COALESCE(b.nation, d.nation) AS nation,
+               CAST(COALESCE(b.cnt, 0) + COALESCE(d.cnt, 0) AS BIGINT) AS cnt,
+               CAST(COALESCE(b.cents, 0) + COALESCE(d.cents, 0) AS BIGINT) AS cents
+        FROM base_view b FULL OUTER JOIN delta_view d ON b.nation = d.nation
+    ),
+    full_recompute AS (
+        SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT m.nation, m.cnt, m.cents,
+           (m.cnt = f.cnt AND m.cents = f.cents) AS matches_recompute
+    FROM maintained m JOIN full_recompute f ON m.nation = f.nation
+    """,
+)
+def q230_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (orders ⋈ customer ⋈ nation
+    rolled up per nation): when a delta batch of orders arrives, the view
+    updates by joining ONLY the delta against the dimensions and merging
+    into the base aggregate — the delta-join rule (Δ(R ⋈ S) = ΔR ⋈ S when
+    only R changes) that q195 applied to plain aggregates, extended to
+    joins. The query computes the maintained result AND the full
+    recompute, and emits a per-group boolean proving they agree — the
+    self-auditing pattern a production refresh job should ship with.
+
+    Shape at 100 TB: refresh cost is delta-sized (the delta joins
+    broadcast dims and partially aggregates before the merge); the
+    full-recompute branch exists only as the audit and drops out of the
+    production plan. The merge is a group-key full-outer join of two
+    aggregate tables — group-cardinality, not fact-cardinality.
+    """
+    (orders, customer, nation) = tables(spark, sf_dir, "orders", "customer", "nation")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+
+    def view_of(o: DataFrame) -> DataFrame:
+        return (
+            o.join(customer, o.o_custkey == customer.c_custkey)
+            .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                F.sum(cents).cast("bigint").alias("cents"),
+            )
+        )
+
+    base_view = view_of(orders.filter(F.col("o_orderkey") % _DJ_MOD != 0))
+    delta_view = view_of(orders.filter(F.col("o_orderkey") % _DJ_MOD == 0))
+    maintained = (
+        base_view.withColumnRenamed("cnt", "b_cnt")
+        .withColumnRenamed("cents", "b_cents")
+        .join(
+            delta_view.withColumnRenamed("cnt", "d_cnt").withColumnRenamed(
+                "cents", "d_cents"
+            ),
+            "nation",
+            "full_outer",
+        )
+        .select(
+            "nation",
+            (F.coalesce("b_cnt", F.lit(0)) + F.coalesce("d_cnt", F.lit(0)))
+            .cast("bigint")
+            .alias("cnt"),
+            (F.coalesce("b_cents", F.lit(0)) + F.coalesce("d_cents", F.lit(0)))
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    full = view_of(orders).withColumnRenamed("cnt", "f_cnt").withColumnRenamed(
+        "cents", "f_cents"
+    )
+    return maintained.join(full, "nation").select(
+        "nation",
+        "cnt",
+        "cents",
+        (
+            (F.col("cnt") == F.col("f_cnt")) & (F.col("cents") == F.col("f_cents"))
+        ).alias("matches_recompute"),
+    )
