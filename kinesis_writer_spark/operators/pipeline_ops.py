@@ -3111,3 +3111,96 @@ def q230_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataF
             (F.col("cnt") == F.col("f_cnt")) & (F.col("cents") == F.col("f_cents"))
         ).alias("matches_recompute"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q231: next-event prediction eval (Markov argmax, train/test split)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q231_next_event_eval",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type,
+               event_id % 2 AS fold
+        FROM events
+    ),
+    pairs AS (
+        SELECT fold, event_type AS prev, next_type AS nxt
+        FROM seq WHERE next_type IS NOT NULL
+    ),
+    model AS (
+        SELECT prev, nxt AS predicted
+        FROM (
+            SELECT prev, nxt,
+                   row_number() OVER (PARTITION BY prev
+                                      ORDER BY count(*) DESC, nxt) AS rnk
+            FROM pairs WHERE fold = 0 GROUP BY prev, nxt
+        ) WHERE rnk = 1
+    ),
+    test AS (
+        SELECT p.prev, p.nxt, m.predicted
+        FROM pairs p LEFT JOIN model m ON p.prev = m.prev
+        WHERE p.fold = 1
+    )
+    SELECT prev,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN nxt = predicted THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           CAST(SUM(CASE WHEN nxt = predicted THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS accuracy_ppm,
+           MAX(predicted) AS predicted_next
+    FROM test GROUP BY prev
+    """,
+)
+def q231_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction evaluated honestly: a Markov top-1 model
+    (argmax next-event per previous-event) is TRAINED on the even-id half
+    of each user's transitions and SCORED on the odd-id half — per
+    previous-event test count, hits, and accuracy. This is the eval twin
+    of q157's transition matrix: the matrix describes, this one measures
+    whether the description predicts.
+
+    Determinism: the argmax ties break on the event-type name (shared
+    ORDER BY); transitions order by (ts, event_id) like every sequence
+    operator in the registry.
+
+    Shape at 100 TB: transitions come from the q108 user-partitioned
+    LEAD window; the model is a |event-types|² aggregate (tiny) whose
+    argmax runs over that metadata table; scoring is a broadcast join of
+    the model onto the test fold. One fact-table window, one broadcast.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type",
+        F.lead("event_type").over(w_seq).alias("next_type"),
+        (F.col("event_id") % 2).alias("fold"),
+    ).filter(F.col("next_type").isNotNull())
+    pairs = seq.select("fold", F.col("event_type").alias("prev"), F.col("next_type").alias("nxt"))
+    counts = (
+        pairs.filter(F.col("fold") == 0)
+        .groupBy("prev", "nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_rank = Window.partitionBy("prev").orderBy(F.col("n").desc(), "nxt")
+    model = (
+        counts.withColumn("rnk", F.row_number().over(w_rank))
+        .filter(F.col("rnk") == 1)
+        .select("prev", F.col("nxt").alias("predicted"))
+    )
+    test = pairs.filter(F.col("fold") == 1).join(F.broadcast(model), "prev", "left")
+    return test.groupBy("prev").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(F.when(F.col("nxt") == F.col("predicted"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.expr(
+            "CAST(SUM(CASE WHEN nxt = predicted THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("accuracy_ppm"),
+        F.max("predicted").alias("predicted_next"),
+    )
