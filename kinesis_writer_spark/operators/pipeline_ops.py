@@ -3204,3 +3204,126 @@ def q231_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("accuracy_ppm"),
         F.max("predicted").alias("predicted_next"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q232: MMR diversified selection (greedy maximal marginal relevance)
+# ---------------------------------------------------------------------------
+
+_MMR_POOL = 8  # candidate pool size (top-k by relevance)
+_MMR_K = 3  # selections
+_MMR_REL_W, _MMR_DIV_W = 10, 6  # integer λ: gain = 10·rel − 6·max_sim
+
+
+def _q232_oracle() -> str:
+    dot = (
+        "CAST(list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i])) AS BIGINT)"
+    )
+    return f"""
+    WITH qv AS (
+        SELECT list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        FROM embeddings WHERE vec_id = 0
+    ),
+    cands AS (
+        SELECT e.vec_id AS doc_id,
+               list_transform(e.embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS dv,
+               {dot.format(a="list_transform(e.embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))", b="qv.v")} AS rel
+        FROM embeddings e, qv
+        WHERE e.vec_id <> 0
+        ORDER BY rel DESC, doc_id LIMIT {_MMR_POOL}
+    ),
+    s1 AS (SELECT * FROM cands ORDER BY rel DESC, doc_id LIMIT 1),
+    g2 AS (
+        SELECT c.doc_id, c.dv, c.rel,
+               {_MMR_REL_W} * c.rel
+                   - {_MMR_DIV_W} * {dot.format(a="c.dv", b="s1.dv")} AS gain
+        FROM cands c, s1 WHERE c.doc_id <> s1.doc_id
+    ),
+    s2 AS (SELECT * FROM g2 ORDER BY gain DESC, doc_id LIMIT 1),
+    g3 AS (
+        SELECT c.doc_id, c.rel,
+               {_MMR_REL_W} * c.rel - {_MMR_DIV_W} * GREATEST(
+                   {dot.format(a="c.dv", b="s1.dv")},
+                   {dot.format(a="c.dv", b="s2.dv")}) AS gain
+        FROM cands c, s1, s2
+        WHERE c.doc_id <> s1.doc_id AND c.doc_id <> s2.doc_id
+    ),
+    s3 AS (SELECT * FROM g3 ORDER BY gain DESC, doc_id LIMIT 1)
+    SELECT CAST(1 AS BIGINT) AS rank, s1.doc_id, s1.rel FROM s1
+    UNION ALL
+    SELECT 2, s2.doc_id, s2.rel FROM s2
+    UNION ALL
+    SELECT 3, s3.doc_id, s3.rel FROM s3
+    """
+
+
+@register("q232_mmr_selection", oracle=_q232_oracle())
+def q232_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance selection — the diversified top-k used
+    for RAG context packing and training-set diversification: greedily
+    pick {_MMR_K} items from the top-{_MMR_POOL} relevance pool, each
+    step maximizing 10·relevance − 6·(max similarity to the already
+    selected), all similarities integer dot products.
+
+    Split of labor: the DISTRIBUTED part is the relevance top-{_MMR_POOL}
+    (one corpus scan + TakeOrdered); the greedy runs on the collected
+    {_MMR_POOL}-row pool driver-side — pool size is the model here, the
+    q97/q134 tiny-model rule — and the selected ids filter the
+    distributed candidate plan for the returned rows, so the output
+    carries full lineage. The oracle unrolls the same greedy in SQL.
+    """
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+    )
+    qv = embeddings.filter(F.col("vec_id") == 0).select(quant.alias("qv"))
+    zero = F.lit(0).cast("bigint")
+    cands = (
+        embeddings.filter(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("doc_id"), quant.alias("dv"))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "dv",
+            F.aggregate(
+                F.zip_with("dv", "qv", lambda a, b: a * b), zero, lambda a, v: a + v
+            ).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "doc_id")
+        .limit(_MMR_POOL)
+    )
+    pool = cands.collect()  # _MMR_POOL rows — the "model"
+    vecs = {r["doc_id"]: list(r["dv"]) for r in pool}
+    rels = {r["doc_id"]: r["rel"] for r in pool}
+    selected: list[int] = []
+    for _ in range(_MMR_K):
+        best_id, best_gain = None, None
+        for did in sorted(vecs):
+            if did in selected:
+                continue
+            pen = max(
+                (sum(a * b for a, b in zip(vecs[did], vecs[s])) for s in selected),
+                default=0,
+            )
+            gain = _MMR_REL_W * rels[did] - (_MMR_DIV_W * pen if selected else 0)
+            if selected:
+                key = gain
+            else:
+                key = rels[did]
+            if best_gain is None or key > best_gain:
+                best_gain, best_id = key, did
+        selected.append(best_id)
+    rank_expr = F.create_map(
+        *[x for d, r in zip(selected, range(1, _MMR_K + 1)) for x in (F.lit(d), F.lit(r))]
+    )
+    return (
+        cands.filter(F.col("doc_id").isin(selected))
+        .select(
+            rank_expr[F.col("doc_id")].cast("bigint").alias("rank"),
+            "doc_id",
+            "rel",
+        )
+        .orderBy("rank")
+    )

@@ -85,6 +85,7 @@ class TestJoinStrategies:
             "q226_maxsim_retrieval",  # 5-row query-vector broadcast (q60 pattern)
             "q228_bootstrap_ci",  # 1-row replica-extreme broadcasts
             "q229_optimal_threshold",  # 1-row class-totals broadcast
+            "q232_mmr_selection",  # 1-row query-vector broadcast (q60 pattern)
         }
         for name, p in plans.items():
             if "CartesianProduct" in p:
