@@ -3327,3 +3327,203 @@ def q232_mmr_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# q233: watermark sizing — smallest delay covering 99.9% of late arrivals
+# ---------------------------------------------------------------------------
+
+_WM_COVERAGE_PPM = 999_000  # target: drop at most 0.1% of rows as too-late
+
+
+@register(
+    "q233_watermark_advice",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, epoch_us(ts) AS us, event_id,
+               MAX(epoch_us(ts)) OVER (PARTITION BY user_id
+                    ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm
+        FROM events
+    ),
+    lateness AS (
+        SELECT CAST(hwm - us AS BIGINT) AS late_us FROM ordered
+    ),
+    grouped AS (
+        SELECT late_us, CAST(count(*) AS BIGINT) AS c
+        FROM lateness GROUP BY late_us
+    ),
+    cum AS (
+        SELECT late_us,
+               CAST(SUM(c) OVER (ORDER BY late_us
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS covered,
+               CAST(SUM(c) OVER () AS BIGINT) AS total
+        FROM grouped
+    )
+    SELECT MIN(late_us) AS watermark_us,
+           CAST(MIN(late_us) // 1000000 AS BIGINT) AS watermark_sec,
+           (SELECT MAX(total) FROM cum) AS n_events,
+           (SELECT MIN(covered) FROM cum
+            WHERE covered * 1000000 >= total * {_WM_COVERAGE_PPM}) AS n_covered
+    FROM cum
+    WHERE covered * 1000000 >= total * {_WM_COVERAGE_PPM}
+    """,
+)
+def q233_watermark_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing from measured disorder: treating event_id as
+    arrival order (q203's convention), each event's lateness is the gap
+    to its user's event-time high-water mark at arrival; the advised
+    watermark is the SMALLEST delay whose cumulative coverage reaches
+    99.9% of events — the number you paste into ``withWatermark`` so the
+    state store holds just enough and late drops stay under the SLO.
+
+    Shape: per-user running-max window (fact-partitioned), then the q215
+    collapse — lateness groups to its distinct-value table before the one
+    cumulative pass; the threshold scan is integer cross-multiplied
+    (covered·1e6 ≥ total·target), no float percentile.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w_arr = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lateness = events.select(
+        (F.max(us).over(w_arr) - us).cast("bigint").alias("late_us")
+    )
+    grouped = lateness.groupBy("late_us").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w_cum = Window.orderBy("late_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grouped.select(
+        "late_us",
+        F.sum("c").over(w_cum).cast("bigint").alias("covered"),
+        F.sum("c").over(Window.partitionBy()).cast("bigint").alias("total"),
+    )
+    hit = cum.filter(
+        F.col("covered") * 1_000_000 >= F.col("total") * _WM_COVERAGE_PPM
+    )
+    return hit.agg(
+        F.min("late_us").alias("watermark_us"),
+        F.expr("CAST(MIN(late_us) DIV 1000000 AS BIGINT)").alias("watermark_sec"),
+        F.max("total").alias("n_events"),
+        F.min("covered").alias("n_covered"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q234: embedding-table quality audit (vector QC before indexing)
+# ---------------------------------------------------------------------------
+
+_VQC_SCALE = 1_000_000  # norms audited in 1e-6-scaled integer units
+
+
+@register(
+    "q234_vector_qc",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv,
+               len(embedding) AS dim
+        FROM embeddings
+    ),
+    norms AS (
+        SELECT vec_id, dim,
+               CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS n2
+        FROM q
+    ),
+    dims AS (
+        SELECT i + 1 AS d, MIN(qv[i + 1]) AS mn, MAX(qv[i + 1]) AS mx
+        FROM q, LATERAL unnest(range(0, 64)) t(i)
+        GROUP BY i + 1
+    ),
+    ranked AS (
+        SELECT n2, row_number() OVER (ORDER BY n2, vec_id) AS rn,
+               count(*) OVER () AS n
+        FROM norms
+    ),
+    med AS (SELECT n2 AS med_n2 FROM ranked WHERE rn = (n + 1) // 2)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM norms) AS n_vectors,
+           (SELECT CAST(MIN(dim) AS BIGINT) FROM norms) AS min_dim,
+           (SELECT CAST(MAX(dim) AS BIGINT) FROM norms) AS max_dim,
+           (SELECT CAST(SUM(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            FROM norms) AS n_zero_norm,
+           (SELECT CAST(med_n2 AS BIGINT) FROM med) AS median_norm2,
+           (SELECT CAST(count(*) AS BIGINT) FROM norms, med
+            WHERE n2 * 100 > med_n2 * 400) AS n_norm_outliers,
+           (SELECT CAST(SUM(CASE WHEN mn = mx THEN 1 ELSE 0 END) AS BIGINT)
+            FROM dims) AS n_dead_dims
+    """,
+)
+def q234_vector_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-table quality audit — the checks an indexing pipeline runs
+    BEFORE building ANN structures: vector count, dimension consistency,
+    zero-norm vectors (undefined cosine), norm outliers (squared norm
+    > 4× the median — embedding-model regressions show up here first),
+    and dead dimensions (constant across the corpus — wasted index bits).
+
+    Integer discipline: norms audit in quantized-squared units and the
+    outlier bound cross-multiplies against the exact rank-median; the
+    per-dimension min/max pass is a posexplode + 64-group aggregate.
+    One corpus pass for norms + one for dimensions; everything else is
+    metadata-scale.
+    """
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+    )
+    zero = F.lit(0).cast("bigint")
+    norms = embeddings.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.aggregate(
+            F.transform(quant, lambda x: x * x), zero, lambda a, v: a + v
+        ).alias("n2"),
+    )
+    dims = (
+        embeddings.select(F.posexplode(quant).alias("i", "v"))
+        .groupBy("i")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    )
+    w_rank = Window.orderBy("n2", "vec_id")
+    ranked = norms.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    med = ranked.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
+        F.col("n2").alias("med_n2")
+    )
+    norm_stats = norms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.min("dim").cast("bigint").alias("min_dim"),
+        F.max("dim").cast("bigint").alias("max_dim"),
+        F.sum(F.when(F.col("n2") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_norm"),
+    )
+    outliers = (
+        norms.crossJoin(F.broadcast(med))
+        .filter(F.col("n2") * 100 > F.col("med_n2") * 400)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_norm_outliers"))
+    )
+    dead = dims.agg(
+        F.sum(F.when(F.col("mn") == F.col("mx"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dead_dims")
+    )
+    return (
+        norm_stats.crossJoin(F.broadcast(med.select(F.col("med_n2").cast("bigint").alias("median_norm2"))))
+        .crossJoin(F.broadcast(outliers))
+        .crossJoin(F.broadcast(dead))
+        .select(
+            "n_vectors",
+            "min_dim",
+            "max_dim",
+            "n_zero_norm",
+            "median_norm2",
+            "n_norm_outliers",
+            "n_dead_dims",
+        )
+    )

@@ -86,6 +86,7 @@ class TestJoinStrategies:
             "q228_bootstrap_ci",  # 1-row replica-extreme broadcasts
             "q229_optimal_threshold",  # 1-row class-totals broadcast
             "q232_mmr_selection",  # 1-row query-vector broadcast (q60 pattern)
+            "q234_vector_qc",  # 1-row median/outlier/dead-dim stat broadcasts
         }
         for name, p in plans.items():
             if "CartesianProduct" in p:
