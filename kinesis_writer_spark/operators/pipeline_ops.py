@@ -3527,3 +3527,205 @@ def q234_vector_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dead_dims",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q235: deletion-impact audit (right-to-be-forgotten cascade sizing)
+# ---------------------------------------------------------------------------
+
+_DEL_MOD = 13  # customers with c_custkey % 13 == 0 file deletion requests
+
+
+@register(
+    "q235_deletion_impact",
+    oracle=f"""
+    WITH dele AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % {_DEL_MOD} = 0
+    ),
+    o AS (
+        SELECT count(*) AS n FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM dele)
+    ),
+    l AS (
+        SELECT count(*) AS n FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM dele))
+    ),
+    e AS (
+        SELECT count(*) AS n FROM events
+        WHERE user_id IN (SELECT c_custkey FROM dele)
+    )
+    SELECT 'customer' AS table_name,
+           (SELECT CAST(count(*) AS BIGINT) FROM dele) AS n_delete,
+           (SELECT CAST(count(*) AS BIGINT) FROM customer) AS n_total
+    UNION ALL
+    SELECT 'orders', (SELECT CAST(n AS BIGINT) FROM o),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders)
+    UNION ALL
+    SELECT 'lineitem', (SELECT CAST(n AS BIGINT) FROM l),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem)
+    UNION ALL
+    SELECT 'events', (SELECT CAST(n AS BIGINT) FROM e),
+           (SELECT CAST(count(*) AS BIGINT) FROM events)
+    """,
+)
+def q235_deletion_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: given a deletion request list
+    (customers with key % {_DEL_MOD} == 0), size the cascade across every
+    table that references them — direct rows (orders, events) and
+    transitive rows (lineitem via the affected orders) — per table,
+    rows-to-delete vs total. The sizing query a privacy pipeline runs
+    before executing deletes, and the shape of the delete itself (swap
+    the counts for an anti-join writer).
+
+    Shape at 100 TB: the request list is small → every probe is a
+    LEFT SEMI join against a BROADCAST of the keys (and of the affected
+    order ids for the transitive hop) — fact tables stream, never
+    shuffle; per-table counts are one aggregate each, unioned into the
+    4-row report.
+    """
+    (customer, orders, lineitem, events) = tables(
+        spark, sf_dir, "customer", "orders", "lineitem", "events"
+    )
+    dele = customer.filter(F.col("c_custkey") % _DEL_MOD == 0).select("c_custkey")
+    aff_orders = orders.join(
+        F.broadcast(dele), orders.o_custkey == dele.c_custkey, "left_semi"
+    )
+    aff_order_keys = aff_orders.select("o_orderkey")
+
+    def one(name: str, to_delete, total) -> DataFrame:
+        d = to_delete.agg(F.count(F.lit(1)).cast("bigint").alias("n_delete"))
+        t = total.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+        return d.crossJoin(F.broadcast(t)).select(
+            F.lit(name).alias("table_name"), "n_delete", "n_total"
+        )
+
+    return (
+        one("customer", dele, customer)
+        .unionByName(one("orders", aff_orders, orders))
+        .unionByName(
+            one(
+                "lineitem",
+                lineitem.join(
+                    F.broadcast(aff_order_keys),
+                    lineitem.l_orderkey == aff_order_keys.o_orderkey,
+                    "left_semi",
+                ),
+                lineitem,
+            )
+        )
+        .unionByName(
+            one(
+                "events",
+                events.join(
+                    F.broadcast(dele), events.user_id == dele.c_custkey, "left_semi"
+                ),
+                events,
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q236: rate-difference decomposition (Kitagawa: composition vs rate effects)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q236_rate_decomposition",
+    oracle="""
+    WITH flags AS (
+        SELECT lang, source,
+               CASE WHEN source IN ('src0', 'src1') THEN 'A' ELSE 'B' END AS grp,
+               CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS ok
+        FROM documents
+    ),
+    cells AS (
+        SELECT grp, lang, CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(ok) AS BIGINT) AS k
+        FROM flags GROUP BY grp, lang
+    ),
+    tot AS (
+        SELECT grp, CAST(SUM(n) AS BIGINT) AS nt FROM cells GROUP BY grp
+    ),
+    wide AS (
+        SELECT c.lang,
+               MAX(CASE WHEN c.grp = 'A' THEN c.n END) AS na,
+               MAX(CASE WHEN c.grp = 'A' THEN c.k END) AS ka,
+               MAX(CASE WHEN c.grp = 'B' THEN c.n END) AS nb,
+               MAX(CASE WHEN c.grp = 'B' THEN c.k END) AS kb,
+               MAX(CASE WHEN t.grp = 'A' THEN t.nt END) AS nta,
+               MAX(CASE WHEN t.grp = 'B' THEN t.nt END) AS ntb
+        FROM cells c, tot t
+        GROUP BY c.lang
+    )
+    SELECT lang,
+           CAST(na * 1000000 // nta AS BIGINT) AS weight_a_ppm,
+           CAST(nb * 1000000 // ntb AS BIGINT) AS weight_b_ppm,
+           CAST(ka * 1000000 // na AS BIGINT) AS rate_a_ppm,
+           CAST(kb * 1000000 // nb AS BIGINT) AS rate_b_ppm,
+           -- rate effect: A's mix applied to the rate gap; pp12 scale
+           -- (no final division: integer DIV vs // disagree on negatives)
+           CAST((na * 1000000 // nta)
+                * ((ka * 1000000 // na) - (kb * 1000000 // nb))
+                AS BIGINT) AS rate_effect_pp12,
+           -- composition effect: the mix gap at B's rate; pp12 scale
+           CAST(((na * 1000000 // nta) - (nb * 1000000 // ntb))
+                * (kb * 1000000 // nb) AS BIGINT)
+               AS composition_effect_pp12
+    FROM wide
+    """,
+)
+def q236_rate_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kitagawa (Oaxaca-Blinder) decomposition of a pass-rate difference
+    between two source groups: per language slice, how much of the
+    overall quality-pass-rate gap comes from the groups having DIFFERENT
+    RATES within the slice (rate effect) vs having a DIFFERENT MIX of
+    slices (composition effect). Answering "is source B worse, or does it
+    just carry more hard languages?" is this exact decomposition — the
+    analytics step after q192 flags a slice drift.
+
+    Integer discipline: all weights and rates are floored ppm before the
+    products; the effect terms stay in pp12 scale (ppm x ppm) with NO
+    final division — Spark's DIV truncates toward zero while DuckDB's //
+    floors, so a negative effect would disagree by one ulp if divided.
+    Shape: one (grp, lang) aggregate, a 2-row total, a lang-cardinality
+    pivot — metadata-scale after the first pass.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    flags = documents.select(
+        "lang",
+        F.when(F.col("source").isin("src0", "src1"), "A").otherwise("B").alias("grp"),
+        F.when(F.col("n_chars") >= 150, 1).otherwise(0).alias("ok"),
+    )
+    cells = flags.groupBy("grp", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ok").cast("bigint").alias("k"),
+    )
+    tot = cells.groupBy("grp").agg(F.sum("n").cast("bigint").alias("nt"))
+    wide = (
+        cells.crossJoin(F.broadcast(tot.withColumnRenamed("grp", "tgrp")))
+        .groupBy("lang")
+        .agg(
+            F.max(F.when(F.col("grp") == "A", F.col("n"))).alias("na"),
+            F.max(F.when(F.col("grp") == "A", F.col("k"))).alias("ka"),
+            F.max(F.when(F.col("grp") == "B", F.col("n"))).alias("nb"),
+            F.max(F.when(F.col("grp") == "B", F.col("k"))).alias("kb"),
+            F.max(F.when(F.col("tgrp") == "A", F.col("nt"))).alias("nta"),
+            F.max(F.when(F.col("tgrp") == "B", F.col("nt"))).alias("ntb"),
+        )
+    )
+    return wide.selectExpr(
+        "lang",
+        "CAST(na * 1000000 DIV nta AS BIGINT) AS weight_a_ppm",
+        "CAST(nb * 1000000 DIV ntb AS BIGINT) AS weight_b_ppm",
+        "CAST(ka * 1000000 DIV na AS BIGINT) AS rate_a_ppm",
+        "CAST(kb * 1000000 DIV nb AS BIGINT) AS rate_b_ppm",
+        "CAST((na * 1000000 DIV nta)"
+        " * ((ka * 1000000 DIV na) - (kb * 1000000 DIV nb))"
+        " AS BIGINT) AS rate_effect_pp12",
+        "CAST(((na * 1000000 DIV nta) - (nb * 1000000 DIV ntb))"
+        " * (kb * 1000000 DIV nb) AS BIGINT)"
+        " AS composition_effect_pp12",
+    )

@@ -87,6 +87,8 @@ class TestJoinStrategies:
             "q229_optimal_threshold",  # 1-row class-totals broadcast
             "q232_mmr_selection",  # 1-row query-vector broadcast (q60 pattern)
             "q234_vector_qc",  # 1-row median/outlier/dead-dim stat broadcasts
+            "q235_deletion_impact",  # per-table 1-row count broadcasts
+            "q236_rate_decomposition",  # 2-row group-total broadcast
         }
         for name, p in plans.items():
             if "CartesianProduct" in p:
