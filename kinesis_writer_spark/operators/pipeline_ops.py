@@ -3729,3 +3729,108 @@ def q236_rate_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * (kb * 1000000 DIV nb) AS BIGINT)"
         " AS composition_effect_pp12",
     )
+
+
+# ---------------------------------------------------------------------------
+# q237: point-in-time-correct churn label generation
+# ---------------------------------------------------------------------------
+
+_CH_HORIZON_DAYS = 7  # churn = no activity within this many days AFTER d
+_CH_LOOKBACK_DAYS = 7  # feature window strictly BEFORE (and including) d
+
+
+@register(
+    "q237_churn_labels",
+    oracle=f"""
+    WITH activity AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+                   AS dayno
+        FROM events
+    ),
+    daily AS (
+        SELECT user_id,
+               CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+                   AS dayno,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY user_id, dayno
+    ),
+    labeled AS (
+        SELECT a.user_id, a.dayno,
+               LEAD(a.dayno) OVER (PARTITION BY a.user_id ORDER BY a.dayno)
+                   AS next_day
+        FROM activity a
+    ),
+    feat AS (
+        SELECT d.user_id, d.dayno,
+               CAST(SUM(d.n_events) OVER (PARTITION BY d.user_id ORDER BY d.dayno
+                    RANGE BETWEEN {_CH_LOOKBACK_DAYS - 1} PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS events_7d,
+               CAST(count(*) OVER (PARTITION BY d.user_id ORDER BY d.dayno
+                    RANGE BETWEEN {_CH_LOOKBACK_DAYS - 1} PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS active_days_7d
+        FROM daily d
+    ),
+    maxday AS (
+        SELECT CAST(MAX(dayno) AS BIGINT) AS mx FROM activity
+    )
+    SELECT l.user_id, l.dayno,
+           f.events_7d, f.active_days_7d,
+           CASE WHEN l.next_day IS NULL OR l.next_day - l.dayno > {_CH_HORIZON_DAYS}
+                THEN 1 ELSE 0 END AS churned
+    FROM labeled l
+    JOIN feat f ON l.user_id = f.user_id AND l.dayno = f.dayno
+    CROSS JOIN maxday m
+    WHERE l.dayno + {_CH_HORIZON_DAYS} <= m.mx
+    """,
+)
+def q237_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct churn label generation — the step where most
+    ML pipelines silently leak: for every (user, active day d), features
+    come from the trailing {_CH_LOOKBACK_DAYS}-day window ENDING at d
+    (events_7d, active_days_7d) and the label (churned = no activity in
+    the following {_CH_HORIZON_DAYS} days) comes strictly from AFTER d —
+    with the censoring guard that drops samples whose label horizon runs
+    past the observed data (otherwise the last week would all be labeled
+    churned by truncation, the classic right-censoring bug).
+
+    Shape: one distinct-day aggregate, a LEAD window for the next active
+    day, a RANGE-frame window for the trailing features (both share the
+    user partitioning), and a 1-row max-day broadcast for the censor cut.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    dayno = (F.unix_micros(F.date_trunc("day", "ts")) / 86_400_000_000).cast("bigint")
+    daily = events.groupBy("user_id", dayno.alias("dayno")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    w_lead = Window.partitionBy("user_id").orderBy("dayno")
+    w_feat = (
+        Window.partitionBy("user_id")
+        .orderBy("dayno")
+        .rangeBetween(-(_CH_LOOKBACK_DAYS - 1), 0)
+    )
+    labeled = daily.select(
+        "user_id",
+        "dayno",
+        F.lead("dayno").over(w_lead).alias("next_day"),
+        F.sum("n_events").over(w_feat).cast("bigint").alias("events_7d"),
+        F.count(F.lit(1)).over(w_feat).cast("bigint").alias("active_days_7d"),
+    )
+    maxday = daily.agg(F.max("dayno").cast("bigint").alias("mx"))
+    return (
+        labeled.crossJoin(F.broadcast(maxday))
+        .filter(F.col("dayno") + _CH_HORIZON_DAYS <= F.col("mx"))
+        .select(
+            "user_id",
+            "dayno",
+            "events_7d",
+            "active_days_7d",
+            F.when(
+                F.col("next_day").isNull()
+                | (F.col("next_day") - F.col("dayno") > _CH_HORIZON_DAYS),
+                1,
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )

@@ -89,6 +89,7 @@ class TestJoinStrategies:
             "q234_vector_qc",  # 1-row median/outlier/dead-dim stat broadcasts
             "q235_deletion_impact",  # per-table 1-row count broadcasts
             "q236_rate_decomposition",  # 2-row group-total broadcast
+            "q237_churn_labels",  # 1-row max-day censoring broadcast
         }
         for name, p in plans.items():
             if "CartesianProduct" in p:
