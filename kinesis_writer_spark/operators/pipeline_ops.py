@@ -3834,3 +3834,223 @@ def q237_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("churned"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q238: pre-tokenizer losslessness audit
+# ---------------------------------------------------------------------------
+
+_BPE_PATTERN_Q238 = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]+"
+
+
+@register(
+    "q238_tokenizer_lossless",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               array_to_string(regexp_extract_all(text, '{_BPE_PATTERN_Q238}'), '')
+                   AS rejoined,
+               replace(text, ' ', '') AS despaced
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rejoined = despaced THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lossless,
+           CAST(SUM(CASE WHEN rejoined = despaced THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_lossy
+    FROM tok GROUP BY lang
+    """,
+)
+def q238_tokenizer_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer losslessness audit: re-joining q114's BPE-ish pieces
+    must reproduce the document text (modulo the whitespace the pattern
+    deliberately drops) — the invariant every tokenizer pipeline should
+    assert before training, because a lossy pre-tokenizer silently
+    deletes content from the corpus. Emits per-lang lossless/lossy
+    counts; a nonzero lossy count localizes the pattern gap to a slice.
+
+    One narrow scan — regex extract, string join, equality — with a
+    per-lang rollup; the regex is the RE2-safe pattern shared verbatim
+    with q114 and its oracle.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    tok = documents.select(
+        "lang",
+        F.array_join(
+            F.expr(f"regexp_extract_all(text, '{_BPE_PATTERN_Q238}', 0)"), ""
+        ).alias("rejoined"),
+        F.regexp_replace("text", " ", "").alias("despaced"),
+    )
+    return tok.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("rejoined") == F.col("despaced"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_lossless"),
+        F.sum(F.when(F.col("rejoined") == F.col("despaced"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_lossy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q239: dedup-decision transitivity audit (removed-rep chains)
+# ---------------------------------------------------------------------------
+
+
+def _q239_oracle() -> str:
+    from .dedup import _MINHASH_DEDUP_SQL
+
+    # reuse q52's CTE chain up to `verified`, then audit the rep mapping
+    body = _MINHASH_DEDUP_SQL.split("SELECT w.lang")[0].rstrip().rstrip(",")
+    return f"""{body},
+    decisions AS (
+        SELECT DISTINCT v.doc_id,
+               (SELECT MIN(c2.rep_id) FROM cand c2
+                JOIN w wa2 ON wa2.doc_id = c2.doc_id
+                JOIN w wb2 ON wb2.doc_id = c2.rep_id
+                WHERE c2.doc_id = v.doc_id
+                  AND len(list_intersect(wa2.words, wb2.words))::DOUBLE
+                      / len(list_distinct(wa2.words || wb2.words)) >= 0.95)
+                   AS rep_id
+        FROM verified v
+    )
+    SELECT CAST((SELECT count(*) FROM decisions) AS BIGINT) AS n_removed,
+           CAST((SELECT count(*) FROM decisions d
+                 WHERE d.rep_id IN (SELECT doc_id FROM decisions)) AS BIGINT)
+               AS n_chained,
+           CAST((SELECT count(*) FROM decisions d
+                 WHERE d.rep_id NOT IN (SELECT doc_id FROM decisions)) AS BIGINT)
+               AS n_direct
+    """
+
+
+@register("q239_dedup_chain_audit", oracle=_q239_oracle())
+def q239_dedup_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-decision transitivity audit: of the documents q52 removes,
+    how many were judged against a representative that was ITSELF removed
+    (a chain — the survivor set then depends on evaluation order and the
+    advertised 'kept' doc may be gone) vs against a surviving doc. A
+    nonzero chained count is the signal to run q96's connected components
+    for cluster-canonical reps instead of single-round bucket reps — this
+    query measures exactly how much that upgrade matters on a corpus.
+
+    Shape: re-derives q52's verified (doc, rep) decisions (banded
+    candidates + Jaccard verify, linear), takes each doc's MIN surviving
+    rep, and probes the removed set with one LEFT SEMI-style membership
+    join — decision-table-scale, not corpus-scale.
+    """
+    from .dedup import (
+        _band_exprs_spark,
+        _minhash_sig_spark,
+        _word_hashes_spark,
+        _WORDS_SPARK,
+        _THRESHOLD,
+    )
+    from pyspark import StorageLevel
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    w = documents.select("doc_id", _WORDS_SPARK().alias("words")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    hs = w.select("doc_id", "words", _word_hashes_spark(F.col("words")).alias("hashes"))
+    sigs = hs.select(
+        "doc_id", F.array(*_minhash_sig_spark(F.col("hashes"))).alias("signature")
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*_band_exprs_spark())).alias("band_key")
+    )
+    reps = bands.groupBy("band_key").agg(F.min("doc_id").alias("rep_id"))
+    cand = (
+        bands.join(reps, "band_key")
+        .filter(F.col("doc_id") > F.col("rep_id"))
+        .select("doc_id", "rep_id")
+        .distinct()
+    )
+    wa = w.select(F.col("doc_id"), F.col("words").alias("words_a"))
+    wb = w.select(F.col("doc_id").alias("rep_id"), F.col("words").alias("words_b"))
+    verified = (
+        cand.join(wa, "doc_id")
+        .join(wb, "rep_id")
+        .filter(
+            F.size(F.array_intersect("words_a", "words_b")).cast("double")
+            / F.size(F.array_union("words_a", "words_b"))
+            >= _THRESHOLD
+        )
+        .select("doc_id", "rep_id")
+    )
+    decisions = verified.groupBy("doc_id").agg(F.min("rep_id").alias("rep_id"))
+    removed_ids = decisions.select(F.col("doc_id").alias("rid"))
+    chained = (
+        decisions.join(
+            F.broadcast(removed_ids), decisions.rep_id == removed_ids.rid, "left"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_removed"),
+            F.sum(F.when(F.col("rid").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_chained"),
+            F.sum(F.when(F.col("rid").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_direct"),
+        )
+    )
+    return chained
+
+
+# ---------------------------------------------------------------------------
+# q240: Kinesis shard rebalance planning (split/merge from measured traffic)
+# ---------------------------------------------------------------------------
+
+_SHARD_N = 8  # current shard count (hash-space buckets)
+
+
+@register(
+    "q240_shard_rebalance_plan",
+    oracle=f"""
+    WITH routed AS (
+        SELECT CAST(('0x' || substr(md5('shard#' || CAST(user_id AS VARCHAR)),
+                    1, 15)) AS BIGINT) % {_SHARD_N} AS shard,
+               count(*) AS n
+        FROM events GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM routed)
+    SELECT shard,
+           CAST(n AS BIGINT) AS n_records,
+           CAST(n * 1000000 // t AS BIGINT) AS share_ppm,
+           CASE WHEN n * {_SHARD_N} > 2 * t THEN 'split'
+                WHEN n * {_SHARD_N} * 2 < t THEN 'merge_candidate'
+                ELSE 'ok' END AS action
+    FROM routed, tot
+    """,
+)
+def q240_shard_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kinesis shard rebalance planning from measured traffic: route each
+    event to its shard by the MD5 hash-space rule (the consumer-side dual
+    of the reference's midpoint routing, KinesisWriter.scala:53-56),
+    measure per-shard share, and flag shards carrying over 2x the fair
+    share for SPLIT and under half for MERGE — the resharding decision
+    q170's capacity math sizes and the kinesis_stream reader's
+    SHARD_END/parent-child logic then has to consume.
+
+    One counting aggregate on the shard key + a 1-row total broadcast;
+    the thresholds are integer cross-multiplications (n·S vs 2·t), no
+    rate floats. At 100 TB this runs per monitoring window over the
+    ingest metrics stream — same plan, windowed input.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    routed = events.groupBy(
+        (md5_60bit(F.col("user_id").cast("string"), salt="shard") % _SHARD_N).alias(
+            "shard"
+        )
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = routed.agg(F.sum("n").cast("bigint").alias("t"))
+    return routed.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        F.col("n").cast("bigint").alias("n_records"),
+        F.expr("CAST(n * 1000000 DIV t AS BIGINT)").alias("share_ppm"),
+        F.when(F.col("n") * _SHARD_N > 2 * F.col("t"), "split")
+        .when(F.col("n") * _SHARD_N * 2 < F.col("t"), "merge_candidate")
+        .otherwise("ok")
+        .alias("action"),
+    )

@@ -90,6 +90,7 @@ class TestJoinStrategies:
             "q235_deletion_impact",  # per-table 1-row count broadcasts
             "q236_rate_decomposition",  # 2-row group-total broadcast
             "q237_churn_labels",  # 1-row max-day censoring broadcast
+            "q240_shard_rebalance_plan",  # 1-row traffic-total broadcast
         }
         for name, p in plans.items():
             if "CartesianProduct" in p:
