@@ -4054,3 +4054,147 @@ def q240_shard_rebalance_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("action"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q241: partition-column advice (expected pruning benefit per candidate)
+# ---------------------------------------------------------------------------
+
+#: candidate partition keys: (name, engine-neutral SQL over orders)
+_PART_CANDS = [
+    ("orderpriority", "o_orderpriority"),
+    ("orderstatus", "o_orderstatus"),
+    ("order_month", "CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)"),
+    ("cust_bucket16", "o_custkey % 16"),
+]
+
+
+@register(
+    "q241_partition_advice",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS candidate,
+           CAST(count(*) AS BIGINT) AS n_values,
+           CAST(SUM(c * c) * 1000000 // (SUM(c) * SUM(c)) AS BIGINT)
+               AS expected_scan_ppm,
+           CAST(MAX(c) * count(*) * 1000000 // SUM(c) AS BIGINT)
+               AS max_skew_ppm
+    FROM (SELECT {expr} AS v, CAST(count(*) AS BIGINT) AS c
+          FROM orders GROUP BY 1)"""
+        for name, expr in _PART_CANDS
+    ),
+)
+def q241_partition_advice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-column advice: for each candidate partition key, the
+    EXPECTED fraction of the table a value-weighted point query scans —
+    Σ(n_v/n)², the Simpson index: the probability two random rows share
+    the partition, i.e. the average pruning dividend — plus the largest
+    partition's skew vs fair share (a 2x-skewed partition is the straggler
+    at write AND read time). Low expected-scan with low skew wins; this
+    is the measurement behind choosing `partitionBy` for a 100 TB layout,
+    complementing q194 (Z-order within files) and q196 (sizing).
+
+    Integer discipline: Σc²·1e6 / (Σc)² stays in BIGINT at fixture scale
+    and cross-multiplies exactly; per-candidate stats compute on that
+    candidate's value-cardinality table (one map-side-combined aggregate
+    per candidate, unioned into the 4-row report).
+    """
+    (orders,) = tables(spark, sf_dir, "orders")
+    parts = []
+    for name, expr in _PART_CANDS:
+        vals = orders.groupBy(F.expr(expr).alias("v")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        parts.append(
+            vals.agg(
+                F.lit(name).alias("candidate"),
+                F.count(F.lit(1)).cast("bigint").alias("n_values"),
+                F.expr(
+                    "CAST(SUM(c * c) * 1000000 DIV (SUM(c) * SUM(c)) AS BIGINT)"
+                ).alias("expected_scan_ppm"),
+                F.expr(
+                    "CAST(MAX(c) * COUNT(*) * 1000000 DIV SUM(c) AS BIGINT)"
+                ).alias("max_skew_ppm"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# q242: time-to-convert percentiles (first view -> first purchase)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q242_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v_us,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+                   AS p_us
+        FROM events GROUP BY user_id
+    ),
+    durations AS (
+        SELECT user_id, CAST((p_us - v_us) // 1000000 AS BIGINT) AS sec
+        FROM firsts
+        WHERE v_us IS NOT NULL AND p_us IS NOT NULL AND p_us > v_us
+    ),
+    ranked AS (
+        SELECT sec, row_number() OVER (ORDER BY sec, user_id) AS rn,
+               count(*) OVER () AS n
+        FROM durations
+    )
+    SELECT (SELECT CAST(MAX(n) AS BIGINT) FROM ranked) AS n_converters,
+           (SELECT sec FROM ranked WHERE rn = (n + 9) // 10) AS p10_sec,
+           (SELECT sec FROM ranked WHERE rn = (n + 1) // 2) AS p50_sec,
+           (SELECT sec FROM ranked WHERE rn = (9 * n + 9) // 10) AS p90_sec
+    """,
+)
+def q242_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: seconds from a user's FIRST view to
+    their FIRST purchase (converters only, purchase after view), reported
+    as exact p10/p50/p90 — the latency-of-intent metric funnels (q110)
+    and attribution (q171/q218) don't give you: not whether users
+    convert, but how long conversion takes.
+
+    Shape: one conditional-MIN aggregate per user (map-side combined)
+    collapses the fact table to converter cardinality; the exact
+    percentile ranks run over that collapsed table (q209's rank rule,
+    integer ceil indices, user_id tie-break). At 100 TB the percentile
+    pass swaps for the q136-gated approx sketch; the firsts aggregate is
+    already the scalable shape.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", us)).alias("v_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p_us"),
+    )
+    durations = firsts.filter(
+        F.col("v_us").isNotNull()
+        & F.col("p_us").isNotNull()
+        & (F.col("p_us") > F.col("v_us"))
+    ).select(
+        "user_id",
+        F.expr("CAST((p_us - v_us) DIV 1000000 AS BIGINT)").alias("sec"),
+    )
+    w_rank = Window.orderBy("sec", "user_id")
+    ranked = durations.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_converters"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 9) DIV 10"), F.col("sec"))).alias(
+            "p10_sec"
+        ),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("sec"))).alias(
+            "p50_sec"
+        ),
+        F.max(
+            F.when(F.col("rn") == F.expr("(9 * n + 9) DIV 10"), F.col("sec"))
+        ).alias("p90_sec"),
+    )
