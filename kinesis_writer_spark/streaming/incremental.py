@@ -29,6 +29,7 @@ def dedup_stream_against_corpus(
     stream_docs: DataFrame,
     corpus_docs: DataFrame,
     sink: Callable[[DataFrame, int], None],
+    grow_corpus: bool = False,
 ):
     """Wire a document stream through per-micro-batch incremental dedup.
 
@@ -37,11 +38,33 @@ def dedup_stream_against_corpus(
     ``sink``: called per micro-batch with the verdict DataFrame
     (doc_id, lang, verdict ∈ {exact_dup, near_dup, kept}) and batch id —
     e.g. append kept docs to the corpus table and route dups to a log.
+    ``grow_corpus``: when True, each batch's KEPT documents join the
+    corpus for subsequent batches — without this, a duplicate arriving
+    two micro-batches after its original sails through (cross-batch dups
+    are invisible to a static-corpus probe). The kept side accumulates as
+    unioned micro-batch frames; in production the corpus is a table the
+    kept docs append to and this wrapper reads per batch, which keeps the
+    lineage flat — the union form is correct for bounded replays/tests
+    and documents the semantics.
 
     Returns the DataStreamWriter (caller picks trigger/checkpoint/start).
+    Note: with ``grow_corpus`` the verdicts depend on micro-batch
+    BOUNDARIES (two dups inside one batch are both 'kept' vs the corpus);
+    that is the standard semantics of batch-incremental dedup.
     """
+    state = {"corpus": corpus_docs}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        sink(incremental_verdicts(batch_df, corpus_docs), batch_id)
+        # foreachBatch can hand over a streaming-tagged frame whose plan
+        # can't be re-joined by a second query; localCheckpoint pins it
+        batch_df = batch_df.localCheckpoint(eager=True)
+        verdicts = incremental_verdicts(batch_df, state["corpus"])
+        if grow_corpus:
+            kept_ids = verdicts.filter(verdicts.verdict == "kept").select("doc_id")
+            kept_docs = batch_df.join(kept_ids, "doc_id").select(
+                *state["corpus"].columns
+            ).localCheckpoint(eager=True)
+            state["corpus"] = state["corpus"].unionByName(kept_docs)
+        sink(verdicts, batch_id)
 
     return stream_docs.writeStream.foreachBatch(handle)

@@ -250,3 +250,63 @@ class TestIncrementalDedupStream:
         # verdicts include every class the fixture is known to contain
         kinds = {row["verdict"] for row in collected}
         assert "kept" in kinds
+
+
+class TestGrowingCorpusDedup:
+    def test_cross_batch_duplicate_caught_only_with_growth(self, spark, tmp_path):
+        """A duplicate arriving one micro-batch after its original is
+        invisible to a static-corpus probe and caught with grow_corpus."""
+        import os
+        import time
+
+        from pyspark.sql import Row
+        from kinesis_writer_spark.streaming.incremental import (
+            dedup_stream_against_corpus,
+        )
+
+        corpus = spark.createDataFrame(
+            [Row(doc_id=1000 + i, text=f"corpus base doc {i} " * 5, lang="en") for i in range(5)]
+        )
+        novel = "a brand new never seen document body " * 3
+        b1 = spark.createDataFrame([Row(doc_id=1, text=novel, lang="en")])
+        b2 = spark.createDataFrame([Row(doc_id=2, text=novel, lang="en")])
+
+        replay = str(tmp_path / "stream")
+        b1.coalesce(1).write.parquet(replay)
+        first_files = {
+            fn for fn in os.listdir(replay) if fn.endswith(".parquet")
+        }
+        b2.coalesce(1).write.mode("append").parquet(replay)
+        now = time.time()
+        for fn in os.listdir(replay):  # pin file order: batch1 strictly older
+            if fn.endswith(".parquet"):
+                off = -60 if fn in first_files else 0
+                os.utime(os.path.join(replay, fn), (now + off, now + off))
+
+        def run(grow: bool):
+            got = {}
+
+            def sink(verdicts, batch_id):
+                for r in verdicts.collect():
+                    got[r["doc_id"]] = r["verdict"]
+
+            stream = (
+                spark.readStream.schema(b1.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(replay)
+            )
+            q = (
+                dedup_stream_against_corpus(stream, corpus, sink, grow_corpus=grow)
+                .trigger(availableNow=True)
+                .option(
+                    "checkpointLocation", str(tmp_path / f"ckpt_{grow}")
+                )
+                .start()
+            )
+            q.awaitTermination(120)
+            return got
+
+        static = run(grow=False)
+        grown = run(grow=True)
+        assert static[1] == "kept" and static[2] == "kept"  # the blind spot
+        assert grown[1] == "kept" and grown[2] == "exact_dup"  # caught
