@@ -225,3 +225,109 @@ class TestKsBruteForce:
         assert row["na"] == na and row["nb"] == nb
         assert row["ks_ppm"] == best * 1_000_000 // (na * nb)
         assert row["ks_at_cents"] == best_at
+
+
+class TestPrefixFilterBruteForce:
+    def test_q193_equals_all_pairs_jaccard(self, spark):
+        """The PPJoin prefix filter claims EXACTNESS (no false negatives at
+        the threshold) — the mirrored oracle can't prove that because it
+        prunes the same way. All-pairs Python can."""
+        rows = all_queries()["q193_prefix_filter_join"](spark, SF_SMALL).collect()
+        got = {(r["doc_a"], r["doc_b"]): r["jacc_ppm"] for r in rows}
+
+        docs = kio.load(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+        sh = {}
+        for r in docs:
+            ws = r["text"].split(" ")
+            sh[r["doc_id"]] = {
+                _md5_60bit(" ".join(ws[i : i + 3])) for i in range(len(ws) - 2)
+            }
+        expected = {}
+        ids = sorted(sh)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                inter = len(sh[a] & sh[b])
+                uni = len(sh[a]) + len(sh[b]) - inter
+                if uni and inter * 5 >= uni * 4:  # Jaccard >= 0.8
+                    expected[(a, b)] = inter * 1_000_000 // uni
+        assert got == expected
+
+
+class TestTriangleBruteForce:
+    def test_q199_equals_adjacency_enumeration(self, spark):
+        rows = all_queries()["q199_triangle_count"](spark, SF_SMALL).collect()
+        got = {r[0]: r[1] for r in (tuple(r) for r in rows)}
+
+        li = (
+            kio.load(spark, SF_SMALL, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+            .collect()
+        )
+        from collections import defaultdict as dd
+
+        orders = dd(set)
+        for r in li:
+            orders[r["l_orderkey"]].add(r["l_partkey"])
+        weight = dd(int)
+        for parts in orders.values():
+            ps = sorted(parts)
+            for i, a in enumerate(ps):
+                for b in ps[i + 1 :]:
+                    weight[(a, b)] += 1
+        edges = {e for e, w in weight.items() if w >= 2}
+        adj = dd(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        tri = dd(int)
+        for a, b in edges:
+            for c in adj[a] & adj[b]:
+                if c > b:  # a < b < c orientation counts each once
+                    tri[a] += 1
+                    tri[b] += 1
+                    tri[c] += 1
+        assert got == dict(tri)
+
+
+class TestWalkBruteForce:
+    def test_q219_equals_python_argmin_walks(self, spark):
+        rows = all_queries()["q219_random_walks"](spark, SF_SMALL).collect()
+        got = {r["v0"]: (r["v1"], r["v2"], r["v3"], r["walk_len"]) for r in rows}
+
+        li = (
+            kio.load(spark, SF_SMALL, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+            .collect()
+        )
+        from collections import defaultdict as dd
+
+        orders = dd(set)
+        for r in li:
+            orders[r["l_orderkey"]].add(r["l_partkey"])
+        weight = dd(int)
+        for parts in orders.values():
+            ps = sorted(parts)
+            for i, a in enumerate(ps):
+                for b in ps[i + 1 :]:
+                    weight[(a, b)] += 1
+        adj = dd(list)
+        for (a, b), w in weight.items():
+            if w >= 2:
+                adj[a].append(b)
+                adj[b].append(a)
+
+        def step(s, v):
+            if v is None or v not in adj:
+                return None
+            return min(adj[v], key=lambda n: _md5_60bit(f"walk{s}#{v}#{n}"))
+
+        expected = {}
+        for v0 in adj:
+            v1 = step(1, v0)
+            v2 = step(2, v1)
+            v3 = step(3, v2)
+            ln = 3 if v3 is not None else 2 if v2 is not None else 1 if v1 is not None else 0
+            expected[v0] = (v1, v2, v3, ln)
+        assert got == expected
