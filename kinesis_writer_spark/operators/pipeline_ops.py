@@ -4198,3 +4198,112 @@ def q242_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") == F.expr("(9 * n + 9) DIV 10"), F.col("sec"))
         ).alias("p90_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q243: net training tokens after near-dedup (budget accounting)
+# ---------------------------------------------------------------------------
+
+
+def _q243_oracle() -> str:
+    from .dedup import _MINHASH_DEDUP_SQL
+
+    body = _MINHASH_DEDUP_SQL.split("SELECT w.lang")[0].rstrip().rstrip(",")
+    return f"""{body},
+    toks AS (
+        SELECT doc_id, lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    )
+    SELECT t.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.n_tok) AS BIGINT) AS raw_tokens,
+           CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 0 ELSE t.n_tok END) AS BIGINT)
+               AS removed_tokens,
+           CAST(SUM(CASE WHEN r.doc_id IS NULL THEN t.n_tok ELSE 0 END) AS BIGINT)
+               AS net_tokens,
+           CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 0 ELSE t.n_tok END) * 1000000
+                // SUM(t.n_tok) AS BIGINT) AS savings_ppm
+    FROM toks t LEFT JOIN removed r ON t.doc_id = r.doc_id
+    GROUP BY t.lang
+    """
+
+
+@register("q243_net_training_tokens", oracle=_q243_oracle())
+def q243_net_training_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net training tokens after near-dedup — the accounting bridge between
+    dedup (q52) and the token-budget planners (q200/q212): per language,
+    raw token volume, tokens removed by the MinHash near-dup decisions,
+    the NET tokens a training run will actually see, and the savings rate.
+    Budgets allocated on raw counts over-promise exactly this delta.
+
+    Shape: the removed set comes from q52's identical machinery (banded
+    candidates + rep verify — linear), and the accounting is one
+    token-count projection joined LEFT to that decision set plus a lang
+    rollup. At 100 TB the removed set is a by-product of the dedup job
+    itself; this query is then a pure join + aggregate over persisted
+    outputs.
+    """
+    from pyspark import StorageLevel
+
+    from .dedup import (
+        _band_exprs_spark,
+        _minhash_sig_spark,
+        _word_hashes_spark,
+        _WORDS_SPARK,
+        _THRESHOLD,
+    )
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    w = documents.select("doc_id", "lang", _WORDS_SPARK().alias("words")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    hs = w.select("doc_id", "words", _word_hashes_spark(F.col("words")).alias("hashes"))
+    sigs = hs.select(
+        "doc_id", F.array(*_minhash_sig_spark(F.col("hashes"))).alias("signature")
+    )
+    bands = sigs.select(
+        "doc_id", F.explode(F.array(*_band_exprs_spark())).alias("band_key")
+    )
+    reps = bands.groupBy("band_key").agg(F.min("doc_id").alias("rep_id"))
+    cand = (
+        bands.join(reps, "band_key")
+        .filter(F.col("doc_id") > F.col("rep_id"))
+        .select("doc_id", "rep_id")
+        .distinct()
+    )
+    wa = w.select(F.col("doc_id"), F.col("words").alias("words_a"))
+    wb = w.select(F.col("doc_id").alias("rep_id"), F.col("words").alias("words_b"))
+    removed = (
+        cand.join(wa, "doc_id")
+        .join(wb, "rep_id")
+        .filter(
+            F.size(F.array_intersect("words_a", "words_b")).cast("double")
+            / F.size(F.array_union("words_a", "words_b"))
+            >= _THRESHOLD
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_removed", F.lit(1))
+    )
+    toks = documents.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    return (
+        toks.join(removed, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("raw_tokens"),
+            F.sum(F.when(F.col("is_removed").isNull(), 0).otherwise(F.col("n_tok")))
+            .cast("bigint")
+            .alias("removed_tokens"),
+            F.sum(F.when(F.col("is_removed").isNull(), F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("net_tokens"),
+            F.expr(
+                "CAST(SUM(CASE WHEN is_removed IS NULL THEN 0 ELSE n_tok END)"
+                " * 1000000 DIV SUM(n_tok) AS BIGINT)"
+            ).alias("savings_ppm"),
+        )
+    )
