@@ -4307,3 +4307,175 @@ def q243_net_training_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("savings_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q244: curation pipeline v3 — batch-4 stages composed into one lazy plan
+# ---------------------------------------------------------------------------
+
+_V3_BOILER_MAX_PPM = 500_000  # drop docs with > 50% boilerplate shingles
+
+
+@register(
+    "q244_curation_pipeline_v3",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, lang, source, string_split(text, ' ') AS ws
+               FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               CAST(('0x' || substr(md5(tok5), 1, 15)) AS BIGINT) AS tok
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(ws) - 4),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                            || ' ' || ws[i+3] || ' ' || ws[i+4])) AS tok5
+            FROM w
+        )
+    ),
+    shdf AS (
+        SELECT doc_id, tok,
+               count(*) OVER (PARTITION BY tok) AS df
+        FROM sh
+    ),
+    boiler AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000
+                    // count(*) AS BIGINT) AS boiler_ppm
+        FROM shdf GROUP BY doc_id
+    ),
+    bg AS (
+        SELECT doc_id, lang, source,
+               unnest(list_transform(generate_series(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i+1])) AS b
+        FROM w
+    ),
+    counted AS (
+        SELECT doc_id, lang, source,
+               count(*) OVER (PARTITION BY lang, b) AS cb
+        FROM bg
+    ),
+    scored AS (
+        SELECT doc_id, lang, source,
+               CAST(SUM(1000000000 // cb) // count(*) AS BIGINT) AS rarity
+        FROM counted GROUP BY doc_id, lang, source
+    ),
+    ranked AS (
+        SELECT lang, source, doc_id, rarity,
+               row_number() OVER (PARTITION BY lang, source
+                                  ORDER BY rarity, doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang, source) AS n
+        FROM scored
+    ),
+    gated AS (
+        SELECT lang, source, doc_id, rarity,
+               MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN rarity END)
+                   OVER (PARTITION BY lang, source) AS p90
+        FROM ranked
+    ),
+    kept AS (
+        SELECT g.lang, g.source, g.doc_id,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+               CASE WHEN CAST(('0x' || substr(md5('split#'
+                    || CAST(g.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10 < 8
+                    THEN 1 ELSE 0 END AS is_train
+        FROM gated g
+        JOIN documents d ON g.doc_id = d.doc_id
+        LEFT JOIN boiler bl ON g.doc_id = bl.doc_id
+        WHERE COALESCE(bl.boiler_ppm, 0) < {_V3_BOILER_MAX_PPM}
+          AND g.rarity <= g.p90
+    )
+    SELECT lang, source,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS kept_tokens,
+           CAST(SUM(is_train) AS BIGINT) AS n_train,
+           CAST(SUM(1 - is_train) AS BIGINT) AS n_test
+    FROM kept GROUP BY lang, source
+    """,
+)
+def q244_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline v3 — the batch-4 stages composed into ONE lazy
+    plan the optimizer sees whole: boilerplate gate (q205's window-df
+    signal, drop docs over 50% repeated shingles) → adaptive rarity gate
+    (q213's per-slice p90, window-chained) → consistent-hash 80/20 split
+    (q216's rule) → per-slice kept-doc/token/fold accounting. This is
+    what a real corpus refresh runs nightly; composing it as one
+    DataFrame means Catalyst shares the scan, pipelines the two explode
+    lineages independently, and no intermediate ever hits storage.
+
+    Each stage keeps its standalone query's exact semantics (same
+    thresholds, same hashes), so this composition is regression-checked
+    against the same oracles' logic end to end.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    docs = documents.withColumn("ws", F.split("text", " "))
+
+    # stage 1: boilerplate ppm per doc (q205 lineage)
+    sh5 = F.expr(
+        """
+        CASE WHEN size(ws) >= 5 THEN
+            array_distinct(transform(sequence(0, size(ws) - 5),
+                i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])))
+        ELSE array() END
+        """
+    )
+    tok = docs.select("doc_id", F.explode(sh5).alias("tok5")).select(
+        "doc_id", md5_60bit(F.col("tok5")).alias("tok")
+    )
+    tok_df = tok.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("tok")))
+    boiler = tok_df.groupBy("doc_id").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("boiler_ppm")
+    )
+
+    # stage 2: rarity + per-slice p90 (q213 lineage, window-chained)
+    pairs = F.zip_with(
+        F.slice(F.col("ws"), 1, F.size("ws") - 1),
+        F.slice(F.col("ws"), 2, F.size("ws") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = docs.select("doc_id", "lang", "source", F.explode(pairs).alias("b"))
+    counted = bg.withColumn(
+        "cb", F.count(F.lit(1)).over(Window.partitionBy("lang", "b"))
+    )
+    scored = counted.groupBy("doc_id", "lang", "source").agg(
+        F.expr("CAST(SUM(1000000000 DIV cb) DIV COUNT(*) AS BIGINT)").alias("rarity")
+    )
+    w_slice = Window.partitionBy("lang", "source").orderBy("rarity", "doc_id")
+    w_flat = Window.partitionBy("lang", "source")
+    gated = (
+        scored.withColumn("rn", F.row_number().over(w_slice))
+        .withColumn("n", F.count(F.lit(1)).over(w_flat))
+        .withColumn(
+            "p90",
+            F.max(
+                F.when(F.col("rn") == F.expr("(9 * n + 9) DIV 10"), F.col("rarity"))
+            ).over(w_flat),
+        )
+    )
+
+    # stage 3: gate + split + accounting
+    toks = documents.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    )
+    kept = (
+        gated.join(boiler, "doc_id", "left")
+        .filter(
+            (F.coalesce("boiler_ppm", F.lit(0)) < _V3_BOILER_MAX_PPM)
+            & (F.col("rarity") <= F.col("p90"))
+        )
+        .join(toks, "doc_id")
+        .withColumn(
+            "is_train",
+            F.when(
+                md5_60bit(F.col("doc_id").cast("string"), salt="split") % 10 < 8, 1
+            ).otherwise(0),
+        )
+    )
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("n_tok").cast("bigint").alias("kept_tokens"),
+        F.sum("is_train").cast("bigint").alias("n_train"),
+        F.sum(1 - F.col("is_train")).cast("bigint").alias("n_test"),
+    )
