@@ -4479,3 +4479,189 @@ def q244_curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_train").cast("bigint").alias("n_train"),
         F.sum(1 - F.col("is_train")).cast("bigint").alias("n_test"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q245: pooled-vector retrieval, contrasted with late interaction (q226)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q245_pooled_retrieval",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id // {_MS_VPD} AS doc, vec_id % {_MS_VPD} AS pos,
+               list_transform(embedding,
+                   x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    pooled AS (
+        SELECT doc,
+               list_transform(range(1, 65),
+                   i -> CAST(list_sum(list_transform(vecs, v -> v[i]))
+                             // {_MS_VPD} AS BIGINT)) AS pv
+        FROM (SELECT doc, list(qv ORDER BY pos) AS vecs FROM q GROUP BY doc)
+    ),
+    qdoc AS (SELECT pv AS qp FROM pooled WHERE doc = 0),
+    scored AS (
+        SELECT p.doc,
+               CAST(list_sum(list_transform(range(1, 65),
+                    i -> p.pv[i] * qd.qp[i])) AS BIGINT) AS pooled_dot
+        FROM pooled p, qdoc qd WHERE p.doc <> 0
+        ORDER BY pooled_dot DESC, p.doc LIMIT {_MS_TOP}
+    ),
+    maxsim AS (
+        SELECT d.doc, q2.qpos,
+               MAX(CAST(list_sum(list_transform(range(1, 65),
+                   i -> d.qv[i] * q2.qv[i])) AS BIGINT)) AS best
+        FROM (SELECT doc, qv FROM q WHERE doc <> 0) d,
+             (SELECT pos AS qpos, qv FROM q WHERE doc = 0) q2
+        GROUP BY d.doc, q2.qpos
+    ),
+    maxsim_top AS (
+        SELECT doc FROM (
+            SELECT doc, CAST(SUM(best) AS BIGINT) AS s FROM maxsim GROUP BY doc
+            ORDER BY s DESC, doc LIMIT {_MS_TOP}
+        )
+    )
+    SELECT s.doc, s.pooled_dot,
+           (s.doc IN (SELECT doc FROM maxsim_top)) AS also_in_maxsim_top
+    FROM scored s
+    """,
+)
+def q245_pooled_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled retrieval over the same multi-vector pseudo-docs as
+    q226, with a per-result flag for whether the doc ALSO appears in the
+    late-interaction (MaxSim) top-{_MS_TOP} — the side-by-side that shows
+    what pooling loses: a single mean vector per doc is {_MS_VPD}x
+    cheaper to index and probe, and the overlap flags quantify the
+    ranking disagreement on this corpus. Pooling is integer throughout
+    (per-dim sum DIV {_MS_VPD} on quantized vectors).
+
+    Shape: pooling is one groupBy collecting {_MS_VPD} vectors per doc
+    (bounded arrays); scoring is a 1-row query-vector broadcast + one
+    TakeOrdered; the MaxSim reference list reuses q226's aggregation
+    shape and meets the pooled list in a tiny top-{_MS_TOP} semi-probe.
+    """
+    (embeddings,) = tables(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+    )
+    doc = F.expr(f"vec_id DIV {_MS_VPD}")
+    q = embeddings.select(
+        doc.alias("doc"), (F.col("vec_id") % _MS_VPD).alias("pos"), quant.alias("qv")
+    )
+    pooled = (
+        q.groupBy("doc")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "qv"))).alias("vecs"))
+        .select(
+            "doc",
+            F.expr(
+                f"transform(sequence(1, 64), i -> CAST(aggregate(vecs, 0L,"
+                f" (acc, v) -> acc + v.qv[i - 1]) DIV {_MS_VPD} AS BIGINT))"
+            ).alias("pv"),
+        )
+    )
+    qdoc = pooled.filter(F.col("doc") == 0).select(F.col("pv").alias("qp"))
+    zero = F.lit(0).cast("bigint")
+    scored = (
+        pooled.filter(F.col("doc") != 0)
+        .crossJoin(F.broadcast(qdoc))
+        .select(
+            "doc",
+            F.aggregate(
+                F.zip_with("pv", "qp", lambda a, b: a * b), zero, lambda a, v: a + v
+            ).alias("pooled_dot"),
+        )
+        .orderBy(F.col("pooled_dot").desc(), "doc")
+        .limit(_MS_TOP)
+    )
+    # MaxSim reference list (q226's shape)
+    qvecs = q.filter(F.col("doc") == 0).select(
+        F.col("pos").alias("qpos"), F.col("qv").alias("qqv")
+    )
+    dvecs = q.filter(F.col("doc") != 0).select("doc", "qv")
+    dot = F.aggregate(
+        F.zip_with("qv", "qqv", lambda a, b: a * b), zero, lambda a, v: a + v
+    )
+    maxsim_top = (
+        dvecs.crossJoin(F.broadcast(qvecs))
+        .select("doc", "qpos", dot.alias("s"))
+        .groupBy("doc", "qpos")
+        .agg(F.max("s").alias("best"))
+        .groupBy("doc")
+        .agg(F.sum("best").alias("s"))
+        .orderBy(F.col("s").desc(), "doc")
+        .limit(_MS_TOP)
+        .select(F.col("doc").alias("mdoc"))
+    )
+    return (
+        scored.join(F.broadcast(maxsim_top), scored.doc == maxsim_top.mdoc, "left")
+        .select(
+            "doc",
+            "pooled_dot",
+            F.col("mdoc").isNotNull().alias("also_in_maxsim_top"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q246: cross-engine table integrity manifest (migration checksums)
+# ---------------------------------------------------------------------------
+
+_MANIFEST_TABLES = ["region", "nation", "customer", "orders"]
+_MANIFEST_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "orders": "o_orderkey",
+}
+_CKS_MOD = 1_000_000_007
+
+
+@register(
+    "q246_integrity_manifest",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{t}' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(MIN({k}) AS BIGINT) AS min_key,
+           CAST(MAX({k}) AS BIGINT) AS max_key,
+           CAST(SUM(CAST(('0x' || substr(md5('cks#' || CAST({k} AS VARCHAR)),
+                1, 15)) AS BIGINT) % {_CKS_MOD}) % {_CKS_MOD} AS BIGINT)
+               AS key_checksum
+    FROM {t}"""
+        for t, k in _MANIFEST_KEYS.items()
+    ),
+)
+def q246_integrity_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine table integrity manifest: per table, row count, key
+    range, and an ORDER-INDEPENDENT key checksum (sum of salted 60-bit
+    hashes mod a prime) — the artifact you publish before and after a
+    migration/engine swap so 'same data' is a checkable claim rather than
+    a hope. The checksum is partition-order-invariant by construction
+    (modular addition commutes), so any engine, any parallelism, any
+    file layout produces the same manifest — exactly the property this
+    repo's whole oracle gate is built on, packaged as a first-class op.
+
+    One map-side-combined aggregate per table, 4-row output.
+    """
+    out = None
+    for t, k in _MANIFEST_KEYS.items():
+        (tbl,) = tables(spark, sf_dir, t)
+        row = tbl.agg(
+            F.lit(t).alias("table_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min(k).cast("bigint").alias("min_key"),
+            F.max(k).cast("bigint").alias("max_key"),
+            (
+                F.sum(
+                    md5_60bit(F.col(k).cast("string"), salt="cks") % _CKS_MOD
+                )
+                % _CKS_MOD
+            )
+            .cast("bigint")
+            .alias("key_checksum"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

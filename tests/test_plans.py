@@ -91,6 +91,7 @@ class TestJoinStrategies:
             "q236_rate_decomposition",  # 2-row group-total broadcast
             "q237_churn_labels",  # 1-row max-day censoring broadcast
             "q240_shard_rebalance_plan",  # 1-row traffic-total broadcast
+            "q245_pooled_retrieval",  # 1-row pooled-query broadcast (q60 pattern)
         }
         for name, p in plans.items():
             if "CartesianProduct" in p:
