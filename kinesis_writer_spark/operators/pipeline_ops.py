@@ -4665,3 +4665,152 @@ def q246_integrity_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# q247: Bloom-filter join prefilter, built and probed cross-engine in SQL
+# ---------------------------------------------------------------------------
+
+_BLOOM_WORDS = 64  # 64 words x 60 bits = 3840-bit filter
+_BLOOM_BITS = _BLOOM_WORDS * 60
+_BLOOM_K = 3  # hash functions
+_BLOOM_PRICE = 350_000  # build side: custkeys of orders above this total
+
+
+def _q247_oracle() -> str:
+    from ..functions.hashing import duckdb_md5_60bit
+
+    def pos(salt: str, col: str) -> str:
+        return f"{duckdb_md5_60bit(f'CAST({col} AS VARCHAR)', salt=salt)} % {_BLOOM_BITS}"
+
+    build_bits = " UNION ALL ".join(
+        f"SELECT ({pos(f'b{j}', 'k')}) AS p FROM keys" for j in range(_BLOOM_K)
+    )
+    probe_checks = " AND ".join(
+        f"""COALESCE((SELECT (w.bits & (CAST(1 AS BIGINT)
+            << (({pos(f'b{j}', 'c.c_custkey')}) % 60))) <> 0
+            FROM bloom w
+            WHERE w.word = ({pos(f'b{j}', 'c.c_custkey')}) // 60), FALSE)"""
+        for j in range(_BLOOM_K)
+    )
+    return f"""
+    WITH keys AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_totalprice > {_BLOOM_PRICE}
+    ),
+    positions AS ({build_bits}),
+    bloom AS (
+        SELECT p // 60 AS word,
+               CAST(bit_or(CAST(1 AS BIGINT) << (p % 60)) AS BIGINT) AS bits
+        FROM positions GROUP BY p // 60
+    ),
+    probed AS (
+        SELECT c.c_custkey,
+               ({probe_checks}) AS bloom_pass,
+               c.c_custkey IN (SELECT k FROM keys) AS true_match
+        FROM customer c
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN true_match THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_match,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_pass,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT true_match THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_positive,
+           CAST(SUM(CASE WHEN true_match AND NOT bloom_pass THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_false_negative,
+           CAST(SUM(CASE WHEN NOT bloom_pass THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS pruned_ppm
+    FROM probed
+    """
+
+
+@register("q247_bloom_prefilter", oracle=_q247_oracle())
+def q247_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real Bloom filter built and probed entirely in SQL, cross-engine
+    bit-exact: the distinct custkeys of high-value orders hash into a
+    {_BLOOM_BITS}-bit filter ({_BLOOM_WORDS} BIGINT words via bit_or,
+    {_BLOOM_K} salted-MD5 hash functions), every customer row probes all
+    {_BLOOM_K} bits, and the report scores it against the exact semi-join:
+    true matches, bloom passes, false positives (bounded by design), the
+    structurally-impossible false negatives (must be 0 — the oracle hash
+    gate enforces the Bloom guarantee), and the pruned fraction.
+
+    This is THE 100 TB join-prefilter shape: the {_BLOOM_WORDS}-row
+    filter table broadcasts where the build-side key set would not, and
+    the probe side prunes before the shuffle — what Spark's runtime
+    bloom-filter join does internally, here as an explicit, measurable
+    operator. Everything is integer bit arithmetic on 60-bit hash
+    positions; no engine-native (non-portable) bloom primitive is used.
+    """
+    (orders, customer) = tables(spark, sf_dir, "orders", "customer")
+    keys = (
+        orders.filter(F.col("o_totalprice") > _BLOOM_PRICE)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+
+    def pos(salt: str, col) -> F.Column:
+        return md5_60bit(col.cast("string"), salt=salt) % _BLOOM_BITS
+
+    positions = None
+    for j in range(_BLOOM_K):
+        p = keys.select(pos(f"b{j}", F.col("k")).alias("p"))
+        positions = p if positions is None else positions.unionByName(p)
+    bloom = positions.groupBy(F.expr("p DIV 60").alias("word")).agg(
+        F.expr("CAST(bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 60 AS INT))) AS BIGINT)").alias(
+            "bits"
+        )
+    )
+    probe = customer.select("c_custkey")
+    for j in range(_BLOOM_K):
+        pj = pos(f"b{j}", F.col("c_custkey"))
+        probe = probe.withColumn(
+            f"w{j}", F.floor(pj / 60).cast("bigint")
+        ).withColumn(f"bit{j}", pj % 60)
+    # join the tiny bloom table once per hash function (broadcast)
+    passed = probe
+    for j in range(_BLOOM_K):
+        b = bloom.select(
+            F.col("word").alias(f"bw{j}"), F.col("bits").alias(f"bits{j}")
+        )
+        passed = passed.join(
+            F.broadcast(b), passed[f"w{j}"] == b[f"bw{j}"], "left"
+        ).withColumn(
+            f"pass{j}",
+            F.coalesce(
+                F.expr(
+                    f"(bits{j} & shiftleft(CAST(1 AS BIGINT),"
+                    f" CAST(bit{j} AS INT))) <> 0"
+                ),
+                F.lit(False),
+            ),
+        )
+    truth = keys.withColumn("is_true", F.lit(1))
+    scored = (
+        passed.join(truth, passed.c_custkey == truth.k, "left")
+        .withColumn(
+            "bloom_pass",
+            F.expr(" AND ".join(f"pass{j}" for j in range(_BLOOM_K))),
+        )
+        .withColumn("true_match", F.col("is_true").isNotNull())
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probes"),
+        F.sum(F.when(F.col("true_match"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true_match"),
+        F.sum(F.when(F.col("bloom_pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_pass"),
+        F.sum(F.when(F.col("bloom_pass") & ~F.col("true_match"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_positive"),
+        F.sum(F.when(F.col("true_match") & ~F.col("bloom_pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_false_negative"),
+        F.expr(
+            "CAST(SUM(CASE WHEN NOT bloom_pass THEN 1 ELSE 0 END) * 1000000"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("pruned_ppm"),
+    )
