@@ -4814,3 +4814,78 @@ def q247_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV COUNT(*) AS BIGINT)"
         ).alias("pruned_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q248: exponential-smoothing forecast (alpha = 1/2, exact integer weights)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q248_exp_smoothing",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+                   AS dayno,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY event_type, dayno
+    ),
+    idx AS (
+        SELECT event_type, cents,
+               row_number() OVER (PARTITION BY event_type ORDER BY dayno) AS t,
+               count(*) OVER (PARTITION BY event_type) AS n,
+               MAX(dayno) OVER (PARTITION BY event_type) AS last_day
+        FROM daily
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_days,
+           CAST(MAX(CASE WHEN t = n THEN cents END) AS BIGINT) AS last_cents,
+           -- alpha=1/2 smoothing: weight of day t is 2^(t-1) / (2^n - 1),
+           -- evaluated exactly in integers (t caps at 62 to stay in BIGINT)
+           CAST(SUM(cents * (CAST(1 AS BIGINT) << (LEAST(t, 62) - 1)))
+                // ((CAST(1 AS BIGINT) << LEAST(MAX(n), 62)) - 1) AS BIGINT)
+               AS forecast_cents
+    FROM idx GROUP BY event_type
+    """,
+)
+def q248_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-smoothing forecast of tomorrow's per-type daily revenue:
+    alpha = 1/2 smoothing written in CLOSED FORM — day t (1 = oldest, n =
+    newest) carries weight 2^(t-1)/(2^n − 1), so the 'recursive' smoother
+    becomes one weighted sum with EXACT integer weights (powers of two)
+    and one exact integer division. No float ever enters, so the forecast
+    is bit-identical cross-engine — the trick that makes a forecasting
+    primitive oracle-checkable at all. Horizon capped at 62 days of
+    lookback (the BIGINT shift bound; older days carry < 2^-62 weight —
+    literally sub-ulp — so the cap loses nothing).
+
+    Shape: one (type, day) rollup (map-side combined), one per-type
+    window for day indices, one weighted aggregate — all sharing the
+    type partitioning. 5-row output.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    dayno = (F.unix_micros(F.date_trunc("day", "ts")) / 86_400_000_000).cast("bigint")
+    daily = events.groupBy("event_type", dayno.alias("dayno")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).cast("bigint").alias("cents")
+    )
+    w_t = Window.partitionBy("event_type").orderBy("dayno")
+    w_all = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w_t).alias("t"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    return idx.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.max(F.when(F.col("t") == F.col("n"), F.col("cents")))
+        .cast("bigint")
+        .alias("last_cents"),
+        F.expr(
+            "CAST(SUM(cents * shiftleft(CAST(1 AS BIGINT),"
+            " CAST(LEAST(t, 62) AS INT) - 1))"
+            " DIV (shiftleft(CAST(1 AS BIGINT), CAST(LEAST(MAX(n), 62) AS INT)) - 1)"
+            " AS BIGINT)"
+        ).alias("forecast_cents"),
+    )
