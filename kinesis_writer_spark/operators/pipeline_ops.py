@@ -4889,3 +4889,152 @@ def q248_exp_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("forecast_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q249: day-of-week seasonal indices (the multiplicative companion of q248)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q249_seasonal_index",
+    oracle="""
+    WITH rev AS (
+        SELECT event_type,
+               CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    per_dow AS (
+        SELECT event_type, dow,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS c
+        FROM rev GROUP BY event_type, dow
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(c) AS BIGINT) AS ct
+        FROM per_dow GROUP BY event_type
+    )
+    SELECT p.event_type, p.dow, p.n, p.c,
+           CAST(p.c * t.nt * 1000000 // (p.n * t.ct) AS BIGINT)
+               AS seasonal_index_ppm
+    FROM per_dow p JOIN tot t ON p.event_type = t.event_type
+    """,
+)
+def q249_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices per event type: the ratio of that
+    weekday's average revenue to the overall average, in ppm — the
+    multiplicative seasonal component that q248's level forecast
+    multiplies by (classical decomposition, the 'Mondays run 12% hot'
+    table). The ratio-of-averages is one integer cross-multiplication —
+    c·n_total·1e6 / (n·c_total) — so no float average ever forms.
+
+    Shape: one (type, dow) aggregate; totals are a 5-row rollup of that
+    aggregate joined back on the type key. Numbering note: Spark's
+    dayofweek is 1=Sunday..7=Saturday while DuckDB's is 0-based — the
+    oracle adds 1 to line them up.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    rev = events.select(
+        "event_type",
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    per_dow = rev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("c"),
+    )
+    tot = per_dow.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("nt"), F.sum("c").cast("bigint").alias("ct")
+    )
+    return per_dow.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        "n",
+        "c",
+        F.expr("CAST(c * nt * 1000000 DIV (n * ct) AS BIGINT)").alias(
+            "seasonal_index_ppm"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q250: topline-delta contribution analysis (which slice moved the metric)
+# ---------------------------------------------------------------------------
+
+_CONTRIB_SPLIT_DAY = 15  # first half: day-of-month < 15
+
+
+@register(
+    "q250_delta_contribution",
+    oracle=f"""
+    WITH rev AS (
+        SELECT event_type,
+               CASE WHEN CAST(strftime(ts, '%d') AS BIGINT) < {_CONTRIB_SPLIT_DAY}
+                    THEN 0 ELSE 1 END AS half,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, half, CAST(SUM(cents) AS BIGINT) AS c
+        FROM rev GROUP BY event_type, half
+    ),
+    wide AS (
+        SELECT event_type,
+               CAST(COALESCE(MAX(CASE WHEN half = 0 THEN c END), 0) AS BIGINT)
+                   AS c0,
+               CAST(COALESCE(MAX(CASE WHEN half = 1 THEN c END), 0) AS BIGINT)
+                   AS c1
+        FROM cells GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(SUM(c1 - c0) AS BIGINT) AS total_delta FROM wide
+    )
+    SELECT w.event_type, w.c0 AS first_half_cents, w.c1 AS second_half_cents,
+           CAST(w.c1 - w.c0 AS BIGINT) AS delta_cents,
+           t.total_delta AS total_delta_cents
+    FROM wide w, tot t
+    """,
+)
+def q250_delta_contribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topline-delta contribution analysis: when month-over-month (here
+    first-half vs second-half) revenue moves, WHICH event type moved it —
+    each slice's signed delta alongside the total, the additive
+    decomposition (Σ slice deltas = topline delta by construction) that
+    a metrics tree drills into before anyone guesses at causes. Signed
+    deltas stay undivided cents (the q236 DIV/floor lesson); ratios are
+    the reader's division.
+
+    Shape: one (type, half) aggregate, a type-cardinality pivot, and a
+    1-row total broadcast — everything after the first pass is
+    metadata-scale.
+    """
+    (events,) = tables(spark, sf_dir, "events")
+    rev = events.select(
+        "event_type",
+        F.when(F.dayofmonth("ts") < _CONTRIB_SPLIT_DAY, 0).otherwise(1).alias("half"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    cells = rev.groupBy("event_type", "half").agg(
+        F.sum("cents").cast("bigint").alias("c")
+    )
+    wide = cells.groupBy("event_type").agg(
+        F.coalesce(F.max(F.when(F.col("half") == 0, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("c0"),
+        F.coalesce(F.max(F.when(F.col("half") == 1, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    tot = wide.agg(
+        F.sum(F.col("c1") - F.col("c0")).cast("bigint").alias("total_delta_cents")
+    )
+    return wide.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("c0").alias("first_half_cents"),
+        F.col("c1").alias("second_half_cents"),
+        (F.col("c1") - F.col("c0")).cast("bigint").alias("delta_cents"),
+        "total_delta_cents",
+    )

@@ -92,6 +92,7 @@ class TestJoinStrategies:
             "q237_churn_labels",  # 1-row max-day censoring broadcast
             "q240_shard_rebalance_plan",  # 1-row traffic-total broadcast
             "q245_pooled_retrieval",  # 1-row pooled-query broadcast (q60 pattern)
+            "q250_delta_contribution",  # 1-row total-delta broadcast
         }
         for name, p in plans.items():
             if "CartesianProduct" in p:
