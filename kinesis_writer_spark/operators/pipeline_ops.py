@@ -3979,7 +3979,13 @@ def q239_dedup_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "rep_id")
     )
-    decisions = verified.groupBy("doc_id").agg(F.min("rep_id").alias("rep_id"))
+    # decisions feeds both the membership set and the audit join — persist
+    # the tiny table or the whole band+verify pipeline executes twice
+    decisions = (
+        verified.groupBy("doc_id")
+        .agg(F.min("rep_id").alias("rep_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     removed_ids = decisions.select(F.col("doc_id").alias("rid"))
     chained = (
         decisions.join(
