@@ -418,3 +418,86 @@ def q204_group_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _SAMPLE_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# q254: dataset card — per-source governance summary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q254_dataset_card",
+    oracle="""
+    WITH base AS (
+        SELECT source, lang, n_chars, doc_id,
+               md5(text) AS digest,
+               len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents
+    ),
+    agg AS (
+        SELECT source,
+               COUNT(*)::BIGINT                 AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT)    AS n_tokens,
+               COUNT(DISTINCT lang)::BIGINT     AS n_langs,
+               (COUNT(*) - COUNT(DISTINCT digest))::BIGINT AS n_exact_dupes,
+               CAST(SUM(n_chars) AS BIGINT)     AS total_chars
+        FROM base GROUP BY source
+    ),
+    ranked AS (
+        SELECT source, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM base
+    ),
+    med AS (
+        SELECT source, n_chars AS p50_chars FROM ranked
+        WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)
+    )
+    SELECT a.source, a.n_docs, a.n_tokens, a.n_langs, a.n_exact_dupes,
+           a.total_chars, m.p50_chars
+    FROM agg a JOIN med m ON a.source = m.source
+    """,
+)
+def q254_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the per-source governance summary a training-data
+    release ships with — document/token/language counts, exact-duplicate
+    count (docs minus distinct content digests), total and median-low
+    document length.
+
+    One corpus scan feeds both the grouped aggregate and the median window
+    (same shuffle key, ``source``); the exact median-low is the rank
+    ceil(n/2) row rather than a float percentile, so it hash-matches
+    cross-engine. All counters are exact integers — a card must be
+    reproducible, not approximate.
+    """
+    (documents,) = tables(spark, sf_dir, "documents")
+    base = documents.select(
+        "source",
+        "lang",
+        "n_chars",
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    agg = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        (F.count(F.lit(1)) - F.countDistinct("digest")).cast("bigint").alias("n_exact_dupes"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    med = (
+        base.select(
+            "source",
+            "n_chars",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        .filter(F.col("rn") == F.ceil(F.col("n") / F.lit(2.0)).cast("bigint"))
+        .select("source", F.col("n_chars").alias("p50_chars"))
+    )
+    return agg.join(med, "source").select(
+        "source", "n_docs", "n_tokens", "n_langs", "n_exact_dupes", "total_chars", "p50_chars"
+    )

@@ -71,6 +71,7 @@ def _ensure_loaded() -> None:
         dedup,
         events_analytics,
         features,
+        index_ops,
         joins,
         multimodal,
         pipeline,
@@ -88,6 +89,7 @@ def _ensure_loaded() -> None:
         sinks,
         skew,
         text,
+        tokenizer_ops,
         udtfs,
         windows,
     )
