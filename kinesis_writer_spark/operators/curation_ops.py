@@ -501,3 +501,141 @@ def q254_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.join(med, "source").select(
         "source", "n_docs", "n_tokens", "n_langs", "n_exact_dupes", "total_chars", "p50_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# q255: near-dup-cluster-aware train/valid/test split (leakage-free)
+# ---------------------------------------------------------------------------
+
+
+def _q255_oracle() -> str:
+    from .dedup import NEARDUP_COMPONENTS_SQL
+
+    bucket = duckdb_md5_60bit("CAST(rep_id AS VARCHAR)", salt="leakage")
+    return (
+        NEARDUP_COMPONENTS_SQL
+        + f"""
+    , rep AS (
+        SELECT d.doc_id,
+               COALESCE(c.comp_id, d.doc_id) AS rep_id,
+               CASE WHEN c.node IS NULL THEN 0 ELSE 1 END AS in_cluster
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    assigned AS (
+        SELECT CASE WHEN {bucket} % 100 < 80 THEN 'train'
+                    WHEN {bucket} % 100 < 90 THEN 'valid'
+                    ELSE 'test' END AS split,
+               rep_id, in_cluster
+        FROM rep
+    )
+    SELECT split,
+           COUNT(*)::BIGINT AS n_docs,
+           CAST(SUM(in_cluster) AS BIGINT) AS n_cluster_docs,
+           COUNT(DISTINCT CASE WHEN in_cluster = 1 THEN rep_id END)::BIGINT AS n_clusters
+    FROM assigned GROUP BY split
+    """
+    )
+
+
+@register("q255_cluster_aware_split", oracle=_q255_oracle())
+def q255_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/valid/test split: the split bucket is hashed from
+    the document's near-dup CLUSTER representative (q96's components), not
+    its own id — near-duplicate documents can never straddle train and
+    test, the contamination mode a plain per-doc hash split (q66) permits.
+
+    Scale shape: the components table is duplicate-density-sized and
+    memoized (computed once per dataset, dedup.py); the split itself is the
+    same zero-I/O hash predicate as q66 over ``coalesce(comp_id, doc_id)``
+    after one LEFT join against that small table — broadcast at real-world
+    duplicate rates. ``tests/test_curation_ops.py`` asserts the invariant
+    directly: zero clusters span more than one split.
+    """
+    from .dedup import _neardup_components
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    comps = _neardup_components(spark, sf_dir)
+    rep = documents.select("doc_id").join(
+        F.broadcast(comps), documents.doc_id == comps.node, "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("comp"), F.col("doc_id")).alias("rep_id"),
+        F.when(F.col("node").isNull(), 0).otherwise(1).alias("in_cluster"),
+    )
+    b = md5_60bit(F.col("rep_id").cast("string"), salt="leakage") % 100
+    assigned = rep.select(
+        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test").alias("split"),
+        "rep_id",
+        "in_cluster",
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("in_cluster").cast("bigint").alias("n_cluster_docs"),
+        F.countDistinct(F.when(F.col("in_cluster") == 1, F.col("rep_id")))
+        .cast("bigint")
+        .alias("n_clusters"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q256: l-diversity audit (attribute-disclosure complement of q223)
+# ---------------------------------------------------------------------------
+
+_LD_L = 3  # groups with fewer distinct sensitive values are disclosure risks
+_LD_BUCKET = 1000  # acctbal band width (the sensitive attribute)
+
+
+@register(
+    "q256_l_diversity",
+    oracle=f"""
+    WITH quasi AS (
+        SELECT n.n_name AS nation, c.c_mktsegment AS segment,
+               CAST(FLOOR(c.c_acctbal / {_LD_BUCKET}) AS BIGINT) AS bal_band
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    groups AS (
+        SELECT nation, segment,
+               COUNT(*)::BIGINT AS grp_n,
+               COUNT(DISTINCT bal_band)::BIGINT AS l_val
+        FROM quasi GROUP BY nation, segment
+    )
+    SELECT nation,
+           COUNT(*)::BIGINT AS n_groups,
+           CAST(MIN(l_val) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN l_val < {_LD_L} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_low_diversity,
+           CAST(SUM(CASE WHEN l_val < {_LD_L} THEN grp_n ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk
+    FROM groups GROUP BY nation
+    """,
+)
+def q256_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit: a quasi-identifier group can be k-anonymous (q223)
+    yet still leak an attribute if everyone in it shares the same sensitive
+    value. Per (nation, segment) group, count distinct sensitive values
+    (account-balance band); report per nation the groups below ``_LD_L``
+    distinct values and the rows exposed.
+
+    Two cascaded aggregates on the same shuffle key prefix — the second is
+    nation-cardinality-sized. The dimension join broadcasts.
+    """
+    (customer, nation) = tables(spark, sf_dir, "customer", "nation")
+    quasi = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    ).select(
+        F.col("n_name").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / _LD_BUCKET).cast("bigint").alias("bal_band"),
+    )
+    groups = quasi.groupBy("nation", "segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("grp_n"),
+        F.countDistinct("bal_band").cast("bigint").alias("l_val"),
+    )
+    return groups.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.min("l_val").cast("bigint").alias("min_l"),
+        F.sum(F.when(F.col("l_val") < _LD_L, 1).otherwise(0)).cast("bigint").alias("n_low_diversity"),
+        F.sum(F.when(F.col("l_val") < _LD_L, F.col("grp_n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_at_risk"),
+    )

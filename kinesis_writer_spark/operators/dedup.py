@@ -659,9 +659,12 @@ def _neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _NEARDUP_COMPS_CACHE[key]
 
 
-@register(
-    "q96_dedup_clusters",
-    oracle=_SIMHASH_TABLE_SQL.replace("WITH w", "WITH RECURSIVE w", 1)
+#: Recursive-CTE transitive closure of the SimHash near-dup graph, ending in
+#: ``comp(node, comp_id)`` — the oracle twin of
+#: :func:`_neardup_components`. Shared by q96 and the cluster-aware split
+#: (curation_ops q255).
+NEARDUP_COMPONENTS_SQL = (
+    _SIMHASH_TABLE_SQL.replace("WITH w", "WITH RECURSIVE w", 1)
     + f"""
     , chunks AS (
         SELECT doc_id, simhash, unnest(range(0, {_SIMHASH_CHUNKS})) AS c FROM sh
@@ -691,6 +694,14 @@ def _neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp AS (
         SELECT a AS node, LEAST(a, MIN(b)) AS comp_id FROM reach GROUP BY a
     )
+"""
+)
+
+
+@register(
+    "q96_dedup_clusters",
+    oracle=NEARDUP_COMPONENTS_SQL
+    + """
     SELECT comp_id, COUNT(*) AS n_docs, MAX(node) AS max_doc
     FROM comp GROUP BY comp_id
     """,
