@@ -93,6 +93,8 @@ class TestJoinStrategies:
             "q240_shard_rebalance_plan",  # 1-row traffic-total broadcast
             "q245_pooled_retrieval",  # 1-row pooled-query broadcast (q60 pattern)
             "q250_delta_contribution",  # 1-row total-delta broadcast
+            "q251_bpe_merges",  # 1-row best-merge broadcast per BPE round
+            "q252_bpe_fertility",  # same 1-row merge broadcasts over the vocab
         }
         for name, p in plans.items():
             if "CartesianProduct" in p:
