@@ -92,6 +92,73 @@ class ShardRouter:
         return self._midpoints[self._rng.randrange(len(self._midpoints))]
 
 
+class ShardRateLimiter:
+    """Proactive per-shard token bucket: Kinesis ingest is capped at 1 MiB/s
+    and 1 000 records/s per shard, and blowing past the cap costs a full
+    PutRecords round trip plus a back-off cycle per overage (the reactive
+    path above). The limiter spends (bytes, puts) tokens BEFORE each send,
+    sleeping just long enough to stay inside the budget — the producer-side
+    dual of the reference's reactive linear back-off
+    (KinesisWriter.scala:82-93), and the behavior the real KPL's RateLimit
+    setting provides.
+
+    Buckets are keyed by the routing explicit-hash-key (one bucket per
+    shard midpoint). Each writer instance assumes it owns the configured
+    per-shard budget: with W concurrent writers per stream, configure
+    ``bytes_per_sec`` / ``puts_per_sec`` as the shard limit divided by the
+    expected writers-per-shard (the same division the KPL applies per
+    producer). Clock and sleep are injectable so tests run on virtual time.
+    """
+
+    def __init__(
+        self,
+        bytes_per_sec: float = 1_048_576.0,
+        puts_per_sec: float = 1000.0,
+        burst_seconds: float = 1.0,
+        clock: Callable[[], float] = time.monotonic,
+        sleep: Callable[[float], None] = time.sleep,
+    ) -> None:
+        self.bytes_per_sec = float(bytes_per_sec)
+        self.puts_per_sec = float(puts_per_sec)
+        self.burst_seconds = float(burst_seconds)
+        self._clock = clock
+        self._sleep = sleep
+        # key -> [bytes_tokens, put_tokens, last_refill_ts]
+        self._buckets: dict[str, list[float]] = {}
+
+    def _refill(self, state: list[float], now: float) -> None:
+        dt = max(0.0, now - state[2])
+        state[0] = min(self.bytes_per_sec * self.burst_seconds, state[0] + dt * self.bytes_per_sec)
+        state[1] = min(self.puts_per_sec * self.burst_seconds, state[1] + dt * self.puts_per_sec)
+        state[2] = now
+
+    def acquire(self, shard_key: str, n_bytes: int, n_puts: int = 1) -> float:
+        """Block until the shard's buckets afford (n_bytes, n_puts); returns
+        the seconds slept. Costs larger than the burst capacity are allowed
+        (the bucket goes into debt and the NEXT acquire pays it off), so an
+        oversized aggregated record is delayed, never deadlocked."""
+        state = self._buckets.setdefault(
+            shard_key,
+            [
+                self.bytes_per_sec * self.burst_seconds,
+                self.puts_per_sec * self.burst_seconds,
+                self._clock(),
+            ],
+        )
+        self._refill(state, self._clock())
+        wait = max(
+            0.0,
+            (n_bytes - state[0]) / self.bytes_per_sec,
+            (n_puts - state[1]) / self.puts_per_sec,
+        )
+        if wait > 0.0:
+            self._sleep(wait)
+            self._refill(state, self._clock())
+        state[0] -= n_bytes
+        state[1] -= n_puts
+        return wait
+
+
 # ---------------------------------------------------------------------------
 # Batching generator (pure, Spark-agnostic)
 # ---------------------------------------------------------------------------
@@ -153,12 +220,14 @@ class KinesisStreamWriter:
         max_retries: int = MAX_RETRIES,
         sleep: Callable[[float], None] = time.sleep,
         routing_seed: int = 42,
+        rate_limiter: ShardRateLimiter | None = None,
     ) -> None:
         self.stream_name = stream_name
         self.client = client
         self.partition_key = partition_key
         self.max_retries = max_retries
         self._sleep = sleep
+        self.rate_limiter = rate_limiter
         midpoints = self._with_retry(lambda: open_shard_midpoints(client, stream_name))
         self.router = ShardRouter(midpoints, seed=routing_seed)
 
@@ -178,11 +247,17 @@ class KinesisStreamWriter:
     # -- send path ----------------------------------------------------------
 
     def _put_aggregated(self, agg: AggRecordBuilder) -> None:
+        data = agg.to_bytes()
+        if self.rate_limiter is not None:
+            # spend tokens for the shard this record routes to BEFORE the
+            # call, so the proactive budget (not the API error path) is
+            # what paces a sustained overload
+            self.rate_limiter.acquire(agg.explicit_hash_key or "", len(data))
         response = self.client.put_records(
             StreamName=self.stream_name,
             Records=[
                 {
-                    "Data": agg.to_bytes(),
+                    "Data": data,
                     "PartitionKey": agg.partition_key,
                     "ExplicitHashKey": agg.explicit_hash_key,
                 }
@@ -319,9 +394,14 @@ def write_dataframe(
     data_col: str = "data",
     max_retries: int = MAX_RETRIES,
     sleep: Callable[[float], None] = time.sleep,
+    rate_limiter_factory: Callable[[], ShardRateLimiter] | None = None,
 ) -> int:
     """Write a DataFrame's binary column to the stream, one independent
     batcher per partition. Returns the total user-record count (accumulator).
+
+    ``rate_limiter_factory`` (optional) builds one :class:`ShardRateLimiter`
+    per partition writer — configure its per-second budgets as the shard
+    limit divided by the expected concurrent writers per shard.
 
     At 100 TB this is the whole design: partitions batch and ship in parallel,
     each flush routed to a random shard, no shuffle and no driver collect.
@@ -335,7 +415,13 @@ def write_dataframe(
         import itertools
 
         client = client_factory()
-        writer = KinesisStreamWriter(stream_name, client, max_retries=max_retries, sleep=sleep)
+        writer = KinesisStreamWriter(
+            stream_name,
+            client,
+            max_retries=max_retries,
+            sleep=sleep,
+            rate_limiter=rate_limiter_factory() if rate_limiter_factory else None,
+        )
         payloads = (row[data_col] for row in itertools.chain([first], rows))
         acc.add(writer.write(payloads))
 
