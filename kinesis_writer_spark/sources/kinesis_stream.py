@@ -802,14 +802,27 @@ class KinesisStreamSinkWriter(DataSourceStreamWriter):
             "kinesis_writer_spark.sources.kinesis_stream:boto3_client_factory",
         )
         self._factory_kwargs = options.get("client_kwargs")
+        # proactive pacing (sink.ShardRateLimiter): configure the per-WRITER
+        # budget, i.e. the shard limit divided by expected writers per shard
+        self._rl_bytes = options.get("rate_limit_bytes_per_sec")
+        self._rl_puts = options.get("rate_limit_puts_per_sec")
+        self._rl_burst = options.get("rate_limit_burst_seconds", "1.0")
 
     def write(self, iterator):
         from pyspark.sql.datasource import WriterCommitMessage
 
         from ..sink import KinesisStreamWriter as _Writer
+        from ..sink import ShardRateLimiter
 
+        limiter = None
+        if self._rl_bytes or self._rl_puts:
+            limiter = ShardRateLimiter(
+                bytes_per_sec=float(self._rl_bytes or 1_048_576),
+                puts_per_sec=float(self._rl_puts or 1000),
+                burst_seconds=float(self._rl_burst),
+            )
         client = resolve_factory(self._factory_spec, self._factory_kwargs)
-        writer = _Writer(self._stream, client)
+        writer = _Writer(self._stream, client, rate_limiter=limiter)
         n = writer.write(bytes(row["data"]) for row in iterator)
         return WriterCommitMessage()
 
