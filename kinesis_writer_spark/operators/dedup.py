@@ -594,27 +594,23 @@ def connected_components(
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        # checkpoint BEFORE the jump self-join: `jump` re-reads propagated,
-        # and without materialization the edge-join lineage above would
-        # execute twice per round
-        propagated = (
-            labels.join(nbr_min, labels.node == nbr_min.node2, "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
-                F.col("comp").alias("old_comp"),
-            )
-            .localCheckpoint()
+        propagated = labels.join(nbr_min, labels.node == nbr_min.node2, "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+            F.col("comp").alias("old_comp"),
         )
-        # pointer jumping (comp <- comp[comp]): labels chase their label's
-        # label within the same round, so chains collapse in O(log diameter)
-        # rounds instead of O(diameter) — banding can string dup clusters
-        # into chains (measured diameter 8 -> 9 rounds at sf0.1; with the
-        # jump, 5). The jump join is labels-sized (component-count rows),
+        # pointer jumping (comp <- prev_comp[comp]): labels chase their
+        # label's PREVIOUS-round label, so chains collapse in O(log
+        # diameter) rounds instead of O(diameter) — banding can string dup
+        # clusters into chains (measured diameter 8 -> 9 rounds at sf0.1;
+        # with the jump, 5). Jumping through the prior round's table (the
+        # already-checkpointed `labels`) rather than `propagated` keeps ONE
+        # materialization per round: `propagated` is consumed exactly once,
+        # so it needs no checkpoint of its own, and the fixpoint is
+        # unchanged (the update stays a monotone min over reachable
+        # labels). The jump join is labels-sized (component-count rows),
         # broadcast-cheap next to the edge join above.
-        jump = propagated.select(
-            F.col("node").alias("j_node"), F.col("comp").alias("j_comp")
-        )
+        jump = labels.select(F.col("node").alias("j_node"), F.col("comp").alias("j_comp"))
         new_labels = (
             propagated.join(jump, propagated.comp == jump.j_node, "left")
             .select(
