@@ -64,8 +64,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(p_retailprice * 1.1, 2) AS marked_up
     FROM part
     WHERE p_size BETWEEN 10 AND 30
-      AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
-      AND p_type LIKE '%BRASS%'
+      AND p_brand IN ('Brand#11', 'Brand#22', 'Brand#33')
+      AND p_type LIKE '%O%'
       AND p_retailprice IS NOT NULL
     """,
 )
@@ -73,13 +73,17 @@ def q02_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive predicates: BETWEEN, IN, LIKE, null check, computed column.
 
     All four predicates appear in ``PushedFilters`` of the parquet scan.
+    Predicate constants are chosen to match a NON-EMPTY subset of the
+    fixture at every scale factor (3 rows at sf0.001, 222 at sf0.1 — the
+    LIKE keeps only ECONOMY/PROMO types), so the hash gate checks real
+    predicate evaluation, not agreement on the empty set.
     """
     (part,) = tables(spark, sf_dir, "part")
     return (
         part.filter(
             F.col("p_size").between(10, 30)
-            & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
-            & F.col("p_type").like("%BRASS%")
+            & F.col("p_brand").isin("Brand#11", "Brand#22", "Brand#33")
+            & F.col("p_type").like("%O%")
             & F.col("p_retailprice").isNotNull()
         )
         .select(
