@@ -88,6 +88,11 @@ def main() -> None:
     errors: dict[str, str] = {}
     timings: dict[str, float] = {}
     all_timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
+    headline_runs: dict[str, list[float]] = {}
+    # environment fingerprint: separates a code regression from a loaded
+    # machine in one artifact (1/5/15-min loadavg before and after)
+    load_start = list(os.getloadavg())
 
     try:
         from kinesis_writer_spark import registry
@@ -128,15 +133,19 @@ def main() -> None:
                 for _ in range(3):
                     t0 = time.time()
                     _run_once(queries, name, spark, sf_dir)
-                    runs.append(time.time() - t0)
+                    runs.append(round(time.time() - t0, 3))
                     spark.catalog.clearCache()
+                headline_runs[name] = runs
                 timings[name] = round(sorted(runs)[1], 3)
             except Exception:
                 errors[name] = traceback.format_exc(limit=3)
 
-        # full-registry single pass: coarser (one shot, headline entries reuse
-        # their median) but covers every registered query so per-query
-        # regressions anywhere show up round over round
+        # full-registry pass: covers every registered query so per-query
+        # regressions anywhere show up round over round. A single cold shot
+        # conflates steady-state cost with one-time JIT/codegen/training —
+        # exactly the noise behind the r3->r4 "regression" (q97 5.2 s cold
+        # vs 1.9 s steady) — so any query slower than 1 s gets a second run
+        # and reports the min; both raw runs land in the artifact.
         for name in queries:
             if name in all_timings or name in warm_failed:
                 continue
@@ -146,8 +155,16 @@ def main() -> None:
             try:
                 t0 = time.time()
                 _run_once(queries, name, spark, sf_dir)
-                all_timings[name] = round(time.time() - t0, 3)
+                t1 = round(time.time() - t0, 3)
                 spark.catalog.clearCache()
+                runs = [t1]
+                if t1 > 1.0:
+                    t0 = time.time()
+                    _run_once(queries, name, spark, sf_dir)
+                    runs.append(round(time.time() - t0, 3))
+                    spark.catalog.clearCache()
+                all_runs[name] = runs
+                all_timings[name] = min(runs)
             except Exception:
                 errors[name] = traceback.format_exc(limit=3)
     except Exception:
@@ -162,7 +179,11 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "headline_runs": headline_runs,
         "all_queries": all_timings,
+        "all_runs": all_runs,
+        "load_start": load_start,
+        "load_end": list(os.getloadavg()),
         "sf": sf,
         "errors": errors,
     }
@@ -181,6 +202,7 @@ def main() -> None:
         "queries": timings,
         "all_queries_total": round(sum(all_timings.values()), 3),
         "all_queries_n": len(all_timings),
+        "load1m": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
         "sf": sf,
     }
     if errors:

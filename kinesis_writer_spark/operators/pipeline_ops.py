@@ -3488,10 +3488,17 @@ def q234_vector_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i")
         .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
     )
-    w_rank = Window.orderBy("n2", "vec_id")
-    ranked = norms.withColumn("rn", F.row_number().over(w_rank)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy())
-    )
+    # exact rank-median WITHOUT a global-sort window: histogram-rank
+    # decomposition (bucketed counts -> broadcast base ranks -> per-bucket
+    # row_number), then pick rank (n+1) DIV 2 — same result as the old
+    # corpus-sized `row_number() OVER (ORDER BY n2, vec_id)` single task
+    from ._util import distributed_row_number
+
+    ranked = distributed_row_number(
+        norms,
+        bucket=F.floor(F.col("n2") / F.lit(100000)).cast("bigint"),
+        order_by=[F.col("n2").asc(), F.col("vec_id").asc()],
+    ).crossJoin(F.broadcast(norms.groupBy().agg(F.count(F.lit(1)).alias("n"))))
     med = ranked.filter(F.col("rn") == F.expr("(n + 1) DIV 2")).select(
         F.col("n2").alias("med_n2")
     )

@@ -353,17 +353,33 @@ def q174_ntile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     — with the total order pinned by (balance, custkey), both engines
     assign identical bins.
 
-    Scale note: NTILE needs a per-partition sort of the partition's rows;
-    with entity-keyed partitions that's fine, but a single global NTILE at
-    100 TB funnels everything through one task — the histogram shape
-    (q140/q168) is the swap-in for corpus-wide quantile binning.
+    Scale shape: a segment's rows never pass through one task — ranks come
+    from the histogram-rank decomposition (``distributed_row_number``):
+    balances bucket by whole dollars, (segment, bucket) counts collapse to
+    broadcast base ranks, and the only row sort is per (segment, bucket).
+    The NTILE label is then integer arithmetic on (rank, segment count),
+    bit-identical to the window function — so equal-frequency binning
+    parallelizes across segments AND within each segment.
     """
+    from ._util import distributed_row_number, ntile_from_rank
+
     (customer,) = tables(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    binned = customer.select(
+    ranked = distributed_row_number(
+        customer.select(
+            "c_mktsegment",
+            "c_acctbal",
+            "c_custkey",
+            F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal_cents_row"),
+        ),
+        bucket=F.floor("c_acctbal").cast("bigint"),
+        order_by=[F.col("c_acctbal").asc(), F.col("c_custkey").asc()],
+        partition_by=["c_mktsegment"],
+    )
+    seg_n = customer.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("seg_n"))
+    binned = ranked.join(F.broadcast(seg_n), "c_mktsegment").select(
         "c_mktsegment",
-        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal_cents_row"),
-        F.ntile(10).over(w).alias("decile"),
+        "bal_cents_row",
+        ntile_from_rank(F.col("rn"), F.col("seg_n"), 10).alias("decile"),
     )
     return binned.groupBy("c_mktsegment", "decile").agg(
         F.count(F.lit(1)).alias("n_customers"),

@@ -231,12 +231,16 @@ def q194_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     point predicate).
 
     Shape at 100 TB: the z-value is a narrow per-row integer projection;
-    file assignment is ``repartitionByRange(zval)`` (sampled range
-    exchange, fully parallel) followed by one file per partition. The
-    NTILE window here is the oracle-checkable equal-count twin of that
-    range exchange — deterministic tie-break on the row key — and the
-    per-file stats are the zone-map entries the writer would emit.
+    the equal-count curve cut runs DISTRIBUTED via the histogram-rank
+    decomposition (``distributed_row_number`` over coarse zval buckets +
+    integer NTILE arithmetic) — no global-sort window anywhere; the
+    deterministic (zval, o_orderkey) tie-break keeps the cut
+    oracle-checkable. A production writer would feed the discovered decile
+    boundaries to ``repartitionByRange(zval)`` to emit one file per range;
+    the per-file stats here are the zone-map entries it would write.
     """
+    from ._util import distributed_row_number, ntile_from_rank
+
     (orders,) = tables(spark, sf_dir, "orders")
     z = orders.select(
         "o_orderkey",
@@ -244,10 +248,16 @@ def q194_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ZY_SPARK).alias("y"),
         F.expr(_morton_sql(_ZX, _ZY_SPARK, 10, "DIV")).alias("zval"),
     )
-    filed = z.select(
+    ranked = distributed_row_number(
+        z,
+        bucket=(F.col("zval") / F.lit(1024)).cast("bigint"),
+        order_by=[F.col("zval").asc(), F.col("o_orderkey").asc()],
+    )
+    n_total = z.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    filed = ranked.crossJoin(F.broadcast(n_total)).select(
         "x",
         "y",
-        F.ntile(_N_FILES).over(Window.orderBy("zval", "o_orderkey")).alias("file_id"),
+        ntile_from_rank(F.col("rn"), F.col("n_total"), _N_FILES).alias("file_id"),
     )
     return filed.groupBy("file_id").agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -395,19 +395,27 @@ def ivf_train_centroids(
     :func:`ivf_assigned_sql_ctes`."""
     if cache_key is not None and (cache_key, iters) in _CODEBOOK_CACHE:
         return _CODEBOOK_CACHE[(cache_key, iters)]
-    vectors = embeddings.filter(F.col("vec_id") % _IVF_TRAIN_MOD == 0).select(
-        "vec_id", "embedding"
+    # persist the BOUNDED training sample across the Lloyd jobs: each
+    # iteration is its own Spark job (the centroid collect is a barrier), so
+    # without the persist every iteration re-scans and re-filters the corpus
+    vectors = (
+        embeddings.filter(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
+        .select("vec_id", "embedding")
+        .persist()
     )
-    rows = _collect_centroids(
-        embeddings.filter(F.col("vec_id") < _KM_K).select(
-            F.col("vec_id").alias("cluster_id"),
-            F.transform(
-                "embedding", lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint")
-            ).alias("cvec"),
+    try:
+        rows = _collect_centroids(
+            embeddings.filter(F.col("vec_id") < _KM_K).select(
+                F.col("vec_id").alias("cluster_id"),
+                F.transform(
+                    "embedding", lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint")
+                ).alias("cvec"),
+            )
         )
-    )
-    for _ in range(iters):
-        rows = _collect_centroids(_km_update(_km_assign(vectors, rows)))
+        for _ in range(iters):
+            rows = _collect_centroids(_km_update(_km_assign(vectors, rows)))
+    finally:
+        vectors.unpersist()
     if cache_key is not None:
         _CODEBOOK_CACHE[(cache_key, iters)] = rows
     return rows
@@ -487,18 +495,25 @@ def q97_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     vectors = embeddings.select("vec_id", "embedding")
-    rows = _collect_centroids(
-        embeddings.filter(F.col("vec_id") < _KM_K).select(
-            F.col("vec_id").alias("cluster_id"),
-            F.transform(
-                "embedding", lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint")
-            ).alias("cvec"),
+    # the two Lloyd update-collects are separate jobs over the same narrow
+    # projection — persist it for the training loop, then release so the
+    # returned (lazy) plan pipelines straight off the parquet scan
+    vectors.persist()
+    try:
+        rows = _collect_centroids(
+            embeddings.filter(F.col("vec_id") < _KM_K).select(
+                F.col("vec_id").alias("cluster_id"),
+                F.transform(
+                    "embedding", lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint")
+                ).alias("cvec"),
+            )
         )
-    )
-    assigned = None
-    for _ in range(2):
-        assigned = _km_assign(vectors, rows)
-        rows = _collect_centroids(_km_update(assigned))
+        assigned = None
+        for _ in range(2):
+            assigned = _km_assign(vectors, rows)
+            rows = _collect_centroids(_km_update(assigned))
+    finally:
+        vectors.unpersist()
     checksums = spark.createDataFrame(
         [(cid, sum(cvec)) for cid, cvec in rows],
         "cluster_id bigint, centroid_checksum bigint",
@@ -793,8 +808,17 @@ def q143_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     sel = [F.col("vec_id"), F.col("label")]
     d2s = []
-    for s in range(_PQ_M):
-        rows = _pq_train_subspace(embeddings, s, cache_key=sf_dir)
+    # the 4 subspace trainings are 8 driver-collect jobs over the same
+    # table — persist it once for the training phase, release after (the
+    # returned encode plan is a narrow projection off the parquet scan)
+    embeddings.persist()
+    try:
+        codebooks = [
+            _pq_train_subspace(embeddings, s, cache_key=sf_dir) for s in range(_PQ_M)
+        ]
+    finally:
+        embeddings.unpersist()
+    for s, rows in enumerate(codebooks):
         best = _km_best_struct(rows, F.slice("embedding", s * _PQ_SUB + 1, _PQ_SUB))
         sel.append(best["cluster_id"].cast("bigint").alias(f"code{s}"))
         d2s.append(best["d2"])
@@ -895,13 +919,16 @@ def q178_model_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     capture curve — the table behind every lift/gains chart, closing the
     train→score→EVALUATE loop next to q135's retrieval recall.
 
-    The decile assignment is NTILE over a pinned total order
-    (score DESC, vec_id); rates are integer-ppm. Scale note: global NTILE
-    funnels through one task — at 100 TB swap the decile boundaries for
-    the q140/q168 histogram-rank thresholds over quantized scores and
-    keep the per-decile rollup distributed; the fixture-size single sort
-    keeps this harness oracle-checkable.
+    The decile assignment matches ``NTILE(10) OVER (ORDER BY score DESC,
+    vec_id)`` bit-for-bit but runs DISTRIBUTED: scores bucket by a
+    monotone coarse quantization, bucket counts collapse to broadcast base
+    ranks, and the only row-level sort is a per-bucket window — no
+    single-partition WindowExec anywhere (the round-4 global NTILE was the
+    named scale-killer here). The decile label is pure integer arithmetic
+    on (rank, N); rates are integer-ppm.
     """
+    from ._util import distributed_row_number, ntile_from_rank
+
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     w_lit = F.array(*[F.lit(w) for w in _LM_W])
     dot = F.aggregate(
@@ -915,8 +942,15 @@ def q178_model_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         logit.alias("logit"),
         "vec_id",
     )
-    w_rank = Window.orderBy(F.col("logit").desc(), F.col("vec_id").asc())
-    binned = scored.select("positive", F.ntile(10).over(w_rank).alias("decile"))
+    ranked = distributed_row_number(
+        scored,
+        bucket=F.floor(F.col("logit") * F.lit(-1000.0)).cast("bigint"),
+        order_by=[F.col("logit").desc(), F.col("vec_id").asc()],
+    )
+    n_total = ranked.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    binned = ranked.crossJoin(F.broadcast(n_total)).select(
+        "positive", ntile_from_rank(F.col("rn"), F.col("n_total"), 10).alias("decile")
+    )
     per_decile = binned.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("positive").alias("n_pos")
     )

@@ -299,7 +299,10 @@ def q252_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("syms"),
         )
     folded = dvoc.select("word", F.size("syms").alias("syms_after"))
-    joined = vocab.join(F.broadcast(folded), "word").select(
+    # vocab ⋈ folded is word-type × word-type: BOTH sides are distinct-word
+    # sized (corpus-scale at 100 TB), so this is a plain shuffle join on
+    # `word` — broadcast is reserved for the 1-row merge tables above.
+    joined = vocab.join(folded, "word").select(
         "lang",
         "cnt",
         (F.col("cnt") * F.length("word")).alias("chars"),

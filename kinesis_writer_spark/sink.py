@@ -135,8 +135,17 @@ class ShardRateLimiter:
     def acquire(self, shard_key: str, n_bytes: int, n_puts: int = 1) -> float:
         """Block until the shard's buckets afford (n_bytes, n_puts); returns
         the seconds slept. Costs larger than the burst capacity are allowed
-        (the bucket goes into debt and the NEXT acquire pays it off), so an
-        oversized aggregated record is delayed, never deadlocked."""
+        (the bucket goes into debt and the elapsed time pays it off), so an
+        oversized aggregated record is delayed, never deadlocked.
+
+        Deduct-then-sleep: the cost is charged FIRST (balances may go
+        negative), then the call sleeps exactly the deficit. No refill
+        happens after the in-call sleep — the next acquire's refill credits
+        the slept wall-clock time — so the burst cap only ever discards
+        *positive* hoarding above the burst, never tokens owed to a debt.
+        (The earlier refill-after-sleep variant re-capped at burst before
+        subtracting, double-charging any cost above burst capacity and
+        halving sustained throughput for oversized records.)"""
         state = self._buckets.setdefault(
             shard_key,
             [
@@ -146,16 +155,11 @@ class ShardRateLimiter:
             ],
         )
         self._refill(state, self._clock())
-        wait = max(
-            0.0,
-            (n_bytes - state[0]) / self.bytes_per_sec,
-            (n_puts - state[1]) / self.puts_per_sec,
-        )
-        if wait > 0.0:
-            self._sleep(wait)
-            self._refill(state, self._clock())
         state[0] -= n_bytes
         state[1] -= n_puts
+        wait = max(0.0, -state[0] / self.bytes_per_sec, -state[1] / self.puts_per_sec)
+        if wait > 0.0:
+            self._sleep(wait)
         return wait
 
 

@@ -779,6 +779,42 @@ class KinesisDataSource(DataSource):
         )
 
 
+def _parse_positive_rate(options, key: str) -> float | None:
+    """Parse a rate option; absent → None (no limit). '0' and negatives are
+    config errors — a 0.0-rate token bucket can never refill, so the first
+    acquire would divide by zero deep inside a partition write. Fail loud at
+    plan time instead."""
+    raw = options.get(key)
+    if raw is None:
+        return None
+    val = float(raw)
+    if val <= 0:
+        raise ValueError(f"{key} must be > 0 (got {raw!r}); omit the option for no limit")
+    return val
+
+
+#: One limiter per (stream, budget) per executor PROCESS, so token-bucket
+#: debt and burst state persist across the microbatches a reused Python
+#: worker executes — without this every write() restarted with full burst
+#: tokens and sustained throughput could exceed the budget by
+#: burst_seconds of bytes per microbatch per shard. Workers that are
+#: recycled do reset their bucket (one burst's worth of slack per recycle);
+#: size ``rate_limit_burst_seconds`` with that in mind.
+_SINK_LIMITERS: dict[tuple, "object"] = {}
+
+
+def _shared_sink_limiter(stream: str, bps: float, pps: float, burst: float):
+    from ..sink import ShardRateLimiter
+
+    key = (stream, bps, pps, burst)
+    limiter = _SINK_LIMITERS.get(key)
+    if limiter is None:
+        limiter = _SINK_LIMITERS[key] = ShardRateLimiter(
+            bytes_per_sec=bps, puts_per_sec=pps, burst_seconds=burst
+        )
+    return limiter
+
+
 class KinesisStreamSinkWriter(DataSourceStreamWriter):
     """``payloads.writeStream.format("kinesis")`` — the reference's producer
     loop (KinesisWriter.scala:147-197: aggregate → route → PutRecords with
@@ -803,23 +839,29 @@ class KinesisStreamSinkWriter(DataSourceStreamWriter):
         )
         self._factory_kwargs = options.get("client_kwargs")
         # proactive pacing (sink.ShardRateLimiter): configure the per-WRITER
-        # budget, i.e. the shard limit divided by expected writers per shard
-        self._rl_bytes = options.get("rate_limit_bytes_per_sec")
-        self._rl_puts = options.get("rate_limit_puts_per_sec")
-        self._rl_burst = options.get("rate_limit_burst_seconds", "1.0")
+        # budget, i.e. the shard limit divided by expected writers per shard.
+        # Rates parse AND validate at planning time (driver-side) so a bad
+        # option fails the query start, not the first executor send.
+        self._rl_bytes = _parse_positive_rate(options, "rate_limit_bytes_per_sec")
+        self._rl_puts = _parse_positive_rate(options, "rate_limit_puts_per_sec")
+        self._rl_burst = float(options.get("rate_limit_burst_seconds", "1.0"))
+        if self._rl_burst <= 0:
+            raise ValueError(
+                f"rate_limit_burst_seconds must be > 0, got {self._rl_burst!r}"
+            )
 
     def write(self, iterator):
         from pyspark.sql.datasource import WriterCommitMessage
 
         from ..sink import KinesisStreamWriter as _Writer
-        from ..sink import ShardRateLimiter
 
         limiter = None
-        if self._rl_bytes or self._rl_puts:
-            limiter = ShardRateLimiter(
-                bytes_per_sec=float(self._rl_bytes or 1_048_576),
-                puts_per_sec=float(self._rl_puts or 1000),
-                burst_seconds=float(self._rl_burst),
+        if self._rl_bytes is not None or self._rl_puts is not None:
+            limiter = _shared_sink_limiter(
+                self._stream,
+                self._rl_bytes if self._rl_bytes is not None else 1_048_576.0,
+                self._rl_puts if self._rl_puts is not None else 1000.0,
+                self._rl_burst,
             )
         client = resolve_factory(self._factory_spec, self._factory_kwargs)
         writer = _Writer(self._stream, client, rate_limiter=limiter)

@@ -33,7 +33,7 @@ class TestPushdownAndPruning:
         p = plans["q02_filter_predicates"]
         assert "GreaterThanOrEqual(p_size,10)" in p
         assert "In(p_brand" in p
-        assert "StringContains(p_type,BRASS)" in p
+        assert "StringContains(p_type,O)" in p
 
 
 class TestJoinStrategies:
@@ -67,7 +67,8 @@ class TestJoinStrategies:
             "q155_try_arithmetic",  # 1-row max-orderdate broadcast
             "q159_windowed_funnel",  # 1-row stage-count broadcasts
             "q176_join_cardinality_profile",  # 1-row totals/p99 broadcasts
-            "q178_model_lift",  # 1-row total-positives broadcast
+            "q178_model_lift",  # 1-row total-count/total-positives broadcasts
+            "q194_zorder_layout",  # 1-row total-count broadcast (NTILE arithmetic)
             "q180_curation_pipeline_v2",  # 1-row normalizing-total broadcast (q141)
             "q119_gapfill_ffill",  # 1-row min/max bounds broadcast under the grid
             "q166_linear_interpolation",  # same 1-row bounds broadcast as q119
@@ -354,3 +355,68 @@ class TestPipelineOpsShapes:
         # the plan (quantize + cross-multiplied compares only)
         p = plans["q214_distance_histogram"]
         assert "SQRT" not in p and "POWER" not in p
+
+
+def _single_partition_scan_violations(plan: str) -> list[str]:
+    """Node-ids of parquet Scans that feed an Exchange SinglePartition
+    without an intervening aggregate — i.e. corpus-sized rows funneling
+    through one task (the global-NTILE anti-shape).
+
+    Parses the formatted-plan tree: for every `Exchange` whose detail block
+    says `Arguments: SinglePartition`, walk its subtree; every `Scan` leaf
+    must have a HashAggregate/SortAggregate/ObjectHashAggregate ancestor
+    INSIDE that subtree (a collapsed, group-cardinality input is fine —
+    count tables, 1-row totals; raw table rows are not).
+    """
+    import re
+
+    tree, _, details = plan.partition("\n\n")
+    single = set(
+        re.findall(
+            r"\((\d+)\) Exchange[^\n]*\n(?:[^\n]*\n)??Arguments: SinglePartition",
+            details,
+        )
+    )
+    if not single:
+        return []
+    # (depth, node_id, name) per tree line
+    node_re = re.compile(r"^([:+\-\s]*)(?:\+\-|\:\-)?\s*([A-Za-z][A-Za-z ]*?)\s*\((\d+)\)")
+    rows = []
+    for line in tree.splitlines():
+        m = node_re.match(line)
+        if not m:
+            continue
+        rows.append((len(m.group(1)), m.group(2).strip(), m.group(3)))
+    AGGS = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+    violations: list[str] = []
+    for i, (d0, name, nid) in enumerate(rows):
+        if name != "Exchange" or nid not in single:
+            continue
+        # walk the subtree keeping an ancestor stack relative to the exchange
+        stack: list[tuple[int, str]] = []
+        for d, n, sub_id in rows[i + 1 :]:
+            if d <= d0:
+                break
+            while stack and stack[-1][0] >= d:
+                stack.pop()
+            if n.startswith("Scan") and not any(a[1].startswith(AGGS) for a in stack):
+                violations.append(f"scan({sub_id})<-exchange({nid})")
+            stack.append((d, n))
+    return violations
+
+
+class TestNoCorpusSingleTaskSorts:
+    # Queries allowed a raw-scan single-partition exchange: all of them
+    # funnel a BOUNDED table (≤ a few hundred rows at ANY scale factor:
+    # dims, spines, driver-seeded literals), never a corpus-sized one.
+    ALLOWED = {
+        "q130_recursive_month_spine",  # 72-row generated month spine
+    }
+
+    def test_no_single_partition_window_over_corpus_input(self, plans):
+        bad = {
+            name: v
+            for name, p in plans.items()
+            if name not in self.ALLOWED and (v := _single_partition_scan_violations(p))
+        }
+        assert not bad, f"corpus-sized rows funnel through one task: {bad}"

@@ -68,6 +68,17 @@ class TestBuckets:
         w2 = rl.acquire("s0", 1000)
         assert w2 >= 0.0  # debt paid, next send proceeds
 
+    def test_oversized_costs_sustain_the_configured_rate(self):
+        # Regression: the old refill-after-sleep re-capped the bucket at
+        # burst before subtracting, double-charging any cost above burst
+        # capacity (5000 B records through 1000 B/s settled at ~555 B/s).
+        vc = VirtualClock()
+        rl = make_limiter(vc, puts_per_sec=1e9)
+        for _ in range(10):
+            rl.acquire("s0", 5000)
+        # 50 000 B through 1000 B/s with a 1000 B burst: ~49 s, not ~90 s
+        assert 48.5 <= vc.now <= 49.5
+
     def test_idle_time_refills_to_burst_only(self):
         vc = VirtualClock()
         rl = make_limiter(vc)
