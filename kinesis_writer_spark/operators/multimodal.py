@@ -1,11 +1,13 @@
 """Multimodal column operators: opaque ``binary`` payloads with typed
 metadata, decoded/feature-extracted via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the *decode* step is a
-deterministic fake (clearly marked); everything Spark-side — schema, binary
-columns, Arrow batch shape, mapInPandas signatures, partitioning — is real
-and oracle/unit tested. Swapping the fake for PIL/ffmpeg is a one-function
-change.
+The decode step is REAL for PPM/BMP images and PCM WAV audio — complete
+dependency-free byte-format parsers in functions/codecs.py (header grammar,
+endianness, BMP row padding, RIFF chunk walking), golden- and
+round-trip-tested. q81 decodes genuine P6 rasters; q93 walks genuine RIFF
+chunks before frame-sampling the data chunk. Formats that require external
+libraries (JPEG/PNG/MP3) fall back to the clearly-marked structural-feature
+fake (``_fake_decode``) until a real codec is installed.
 
 Scale notes: binary payloads ride inside Tungsten rows; mapInPandas streams
 Arrow record batches (no per-row Python overhead) and preserves partitioning,
@@ -56,15 +58,15 @@ def q80_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- the deterministic fake codec (swap for a real one when available) ------
+# -- codec dispatch: real parsers for PPM/BMP/WAV, fake fallback otherwise --
 
 
 def _fake_decode(payload: bytes) -> dict:
-    """Deterministic stand-in for an image/audio decoder.
-
-    A real deployment would decode here (PIL / libsndfile / ffmpeg); the
-    container has none of those, so we extract structural byte features that
-    an oracle can recompute. Raises on None like a real codec would.
+    """Deterministic FALLBACK for formats whose codecs need external
+    libraries (JPEG/PNG/MP3): structural byte features an oracle can
+    recompute. PPM/BMP/WAV payloads never reach this — ``decode_media``
+    routes them to the real parsers in functions/codecs.py. Raises on None
+    like a real codec would.
     """
     if payload is None:
         raise ValueError("cannot decode null payload")
@@ -74,6 +76,57 @@ def _fake_decode(payload: bytes) -> dict:
         "first_byte": head[0] if head else None,
         "head_checksum": int(sum(head)),
     }
+
+
+def decode_media(payload: bytes) -> dict:
+    """Sniff the payload's magic and decode with the matching REAL parser
+    (functions/codecs.py); unknown formats get the structural fallback.
+
+    Returns a dict with ``kind`` plus format-specific fields — the shape a
+    production codec UDF returns per record.
+    """
+    from ..functions import codecs as C
+
+    if payload is None:
+        raise ValueError("cannot decode null payload")
+    if payload[:2] == b"P6":
+        img = C.parse_ppm(bytes(payload))
+        sr, sg, sb = img.channel_sums()
+        return {
+            "kind": "ppm",
+            "n_bytes": len(payload),
+            "width": img.width,
+            "height": img.height,
+            "maxval": img.maxval,
+            "sum_r": sr,
+            "sum_g": sg,
+            "sum_b": sb,
+        }
+    if payload[:2] == b"BM":
+        img = C.parse_bmp(bytes(payload))
+        sr, sg, sb = img.channel_sums()
+        return {
+            "kind": "bmp",
+            "n_bytes": len(payload),
+            "width": img.width,
+            "height": img.height,
+            "maxval": 255,
+            "sum_r": sr,
+            "sum_g": sg,
+            "sum_b": sb,
+        }
+    if payload[:4] == b"RIFF":
+        wav = C.parse_wav(bytes(payload))
+        return {
+            "kind": "wav",
+            "n_bytes": len(payload),
+            "n_channels": wav.n_channels,
+            "sample_rate": wav.sample_rate,
+            "bits_per_sample": wav.bits_per_sample,
+            "n_frames": wav.n_frames,
+            "duration_ms": wav.duration_ms,
+        }
+    return {"kind": "unknown", **_fake_decode(payload)}
 
 
 def decode_features(df: DataFrame, payload_col: str = "payload", keep: tuple[str, ...] = ("doc_id",)) -> DataFrame:
@@ -160,25 +213,86 @@ def q82_grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return norms.groupBy("label").applyInPandas(normalize, "vec_id long, label int, z_milli long")
 
 
+#: q81 raster geometry: 10x5 RGB = 150 pixel bytes behind a 12-byte
+#: "P6\n10 5\n255\n" header.
+_PPM_W, _PPM_H = 10, 5
+_PPM_PIX = _PPM_W * _PPM_H * 3
+_PPM_HEADER = f"P6\n{_PPM_W} {_PPM_H}\n255\n"
+
+
 @register(
     "q81_multimodal_decode",
-    oracle="""
+    oracle=f"""
+    WITH src AS (
+        SELECT doc_id,
+               substr(repeat(CASE WHEN length(text) = 0 THEN ' ' ELSE text END,
+                             CAST({_PPM_PIX} / length(CASE WHEN length(text) = 0
+                                  THEN ' ' ELSE text END) + 1 AS INT)),
+                      1, {_PPM_PIX}) AS pix
+        FROM documents
+    )
     SELECT doc_id,
-           octet_length(CAST(text AS BLOB)) AS n_bytes,
-           ascii(substr(text, 1, 1)) AS first_byte,
-           list_sum(list_transform(range(1, 17), i -> ascii(substr(text, i, 1))))::BIGINT
-               AS head_checksum
-    FROM documents
+           {len(_PPM_HEADER) + _PPM_PIX} AS n_bytes,
+           {_PPM_W} AS width, {_PPM_H} AS height, 255 AS maxval,
+           list_sum(list_transform(range(0, {_PPM_PIX // 3}),
+               k -> ascii(substr(pix, k * 3 + 1, 1))))::BIGINT AS sum_r,
+           list_sum(list_transform(range(0, {_PPM_PIX // 3}),
+               k -> ascii(substr(pix, k * 3 + 2, 1))))::BIGINT AS sum_g,
+           list_sum(list_transform(range(0, {_PPM_PIX // 3}),
+               k -> ascii(substr(pix, k * 3 + 3, 1))))::BIGINT AS sum_b
+    FROM src
     """,
 )
 def q81_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode pipeline end-to-end: text → binary payload column →
-    Arrow-batched mapInPandas feature extraction. The oracle recomputes the
-    fake codec's byte features in SQL (corpus is ASCII, so byte == codepoint).
+    """Image-decode pipeline over REAL bytes end-to-end: each document
+    becomes a genuine binary P6 PPM raster (header + 10x5 RGB pixels drawn
+    from the doc's text bytes, synthesized JVM-side), and the decode stage
+    parses the actual format — header token grammar, comment handling,
+    raster bounds — via functions/codecs.parse_ppm inside Arrow-batched
+    mapInPandas, emitting width/height/maxval and exact per-channel sums.
+
+    The oracle recomputes what a correct decoder MUST extract from pure
+    byte arithmetic over the same text (fixture text is ASCII, so byte ==
+    codepoint): any header mis-parse, channel transposition, or off-by-one
+    in the raster offset flips the hash. The fake structural codec is no
+    longer on this path — it remains only as the documented fallback for
+    formats needing external libraries.
     """
+    import pandas as pd
+
     (documents,) = tables(spark, sf_dir, "documents")
-    payloads = documents.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    return decode_features(payloads)
+    pad = F.when(F.length("text") == 0, F.lit(" ")).otherwise(F.col("text"))
+    pix = F.expr(
+        f"substring(repeat(CASE WHEN length(text) = 0 THEN ' ' ELSE text END, "
+        f"CAST({_PPM_PIX} / length(CASE WHEN length(text) = 0 THEN ' ' ELSE text END) "
+        f"+ 1 AS INT)), 1, {_PPM_PIX})"
+    )
+    payloads = documents.select(
+        "doc_id",
+        F.encode(F.concat(F.lit(_PPM_HEADER), pix), "utf-8").alias("payload"),
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(decode_media)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": feats.map(lambda d: d["n_bytes"]),
+                    "width": feats.map(lambda d: d["width"]),
+                    "height": feats.map(lambda d: d["height"]),
+                    "maxval": feats.map(lambda d: d["maxval"]),
+                    "sum_r": feats.map(lambda d: d["sum_r"]),
+                    "sum_g": feats.map(lambda d: d["sum_g"]),
+                    "sum_b": feats.map(lambda d: d["sum_b"]),
+                }
+            )
+
+    return payloads.mapInPandas(
+        decode,
+        "doc_id long, n_bytes long, width int, height int, maxval int, "
+        "sum_r long, sum_g long, sum_b long",
+    )
 
 
 # -- frame sampling / resize (video-shaped payloads) ------------------------
@@ -248,31 +362,107 @@ def resize_payload(df: DataFrame, payload_col: str = "payload", target_bytes: in
     return df.mapInPandas(resize, schema)
 
 
+def frame_sample_wav(
+    df: DataFrame,
+    payload_col: str = "payload",
+    keep: tuple[str, ...] = ("doc_id",),
+    every_n: int = 4,
+) -> DataFrame:
+    """Media-aware frame sampling: REALLY parse each payload's RIFF/WAVE
+    container (functions/codecs.parse_wav — chunk walking, fmt validation),
+    then explode the PCM data chunk into every Nth fixed-size frame,
+    carrying the audio metadata a downstream feature extractor needs.
+    """
+    import pandas as pd
+
+    from ..functions.codecs import parse_wav
+
+    keep_cols = list(keep)
+    schema = (
+        ", ".join(f"{c} long" for c in keep_cols)
+        + ", sample_rate int, duration_ms long, frame_idx long, frame_len long, frame binary"
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                wav = parse_wav(bytes(row[payload_col]))
+                data = wav.data
+                n_frames = (len(data) + FRAME_BYTES - 1) // FRAME_BYTES
+                for idx in range(0, n_frames, every_n):
+                    frame = data[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                    rows.append(
+                        tuple(row[c] for c in keep_cols)
+                        + (wav.sample_rate, wav.duration_ms, idx, len(frame), frame)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=keep_cols
+                + ["sample_rate", "duration_ms", "frame_idx", "frame_len", "frame"],
+            )
+
+    return df.mapInPandas(sample, schema)
+
+
 @register(
     "q93_frame_sample",
     oracle=f"""
-    WITH vids AS (
-        SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes FROM documents
+    WITH auds AS (
+        SELECT doc_id,
+               octet_length(CAST(text AS BLOB))
+               + octet_length(CAST(text AS BLOB)) % 2 AS data_len
+        FROM documents
     ),
     frames AS (
-        SELECT doc_id,
-               unnest(range(0, CAST(CEIL(n_bytes::DOUBLE / {FRAME_BYTES}) AS BIGINT), 4))
-                   AS frame_idx,
-               n_bytes
-        FROM vids
+        SELECT doc_id, data_len,
+               (data_len // 2 * 1000) // 8000 AS duration_ms,
+               unnest(range(0, CAST(CEIL(data_len::DOUBLE / {FRAME_BYTES}) AS BIGINT), 4))
+                   AS frame_idx
+        FROM auds
     )
-    SELECT doc_id, frame_idx,
-           LEAST({FRAME_BYTES}, n_bytes - frame_idx * {FRAME_BYTES}) AS frame_len
+    SELECT doc_id, 8000 AS sample_rate, CAST(duration_ms AS BIGINT) AS duration_ms,
+           frame_idx,
+           LEAST({FRAME_BYTES}, data_len - frame_idx * {FRAME_BYTES}) AS frame_len
     FROM frames
     """,
 )
 def q93_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over video-shaped binary payloads (every 4th fixed-size
-    frame), checked against pure frame-arithmetic in SQL: the mapInPandas
-    expansion must produce exactly the frame indexes and lengths the
-    arithmetic predicts.
+    """Frame sampling over REAL audio containers: each document's text
+    bytes become the PCM payload of a genuine RIFF/WAVE file (44-byte
+    canonical header, 16-bit mono 8 kHz — functions/codecs.write_wav), and
+    the sampler must WALK THE CHUNKS (parse_wav) to locate the data chunk
+    before exploding every 4th {FRAME_BYTES}-byte frame — a header
+    mis-parse shifts every frame length and flips the hash.
+
+    The oracle predicts the frame table with pure arithmetic: data length
+    = text bytes padded to even (one 16-bit frame per 2 bytes), duration
+    from the fmt-chunk rate. Expansion happens executor-side per Arrow
+    batch, so a 100 TB corpus never materializes all frames at once.
     """
+    import pandas as pd
+
+    from ..functions.codecs import write_wav
+
     (documents,) = tables(spark, sf_dir, "documents")
-    vids = documents.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    frames = frame_sample(vids, keep=("doc_id",), every_n=4)
-    return frames.select("doc_id", "frame_idx", "frame_len")
+    src = documents.select("doc_id", F.encode("text", "utf-8").alias("pcm"))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["pcm"].map(
+                        lambda b: write_wav(
+                            bytes(b) + b"\x00" * (len(b) % 2),
+                            n_channels=1,
+                            sample_rate=8000,
+                            bits_per_sample=16,
+                        )
+                    ),
+                }
+            )
+
+    auds = src.mapInPandas(synth, "doc_id long, payload binary")
+    frames = frame_sample_wav(auds, keep=("doc_id",), every_n=4)
+    return frames.select("doc_id", "sample_rate", "duration_ms", "frame_idx", "frame_len")

@@ -17,11 +17,12 @@ class TestDriverContract:
         os_ = entry_mod.oracle_sql()
         assert len(qs) >= 116
         assert set(os_) <= set(qs), "oracle without a query builder"
-        # only the documented rows-only queries may lack an oracle
-        # (q16/q121 graduated to tolerance-gated oracles in round 2; q90's
-        # KPL batch boundaries are partitioning-dependent, not SQL-expressible)
+        # every registered query is oracle-checked: q90 (the last rows-only
+        # entry) gained a recursive-CTE greedy-packing oracle in round 5
+        # after its batching boundary became per-shard (semantic) instead of
+        # physical-partition-dependent
         rows_only = set(qs) - set(os_)
-        assert rows_only == {"q90_kpl_batch_stats"}
+        assert rows_only == set()
 
     def test_names_follow_convention(self):
         pat = re.compile(r"^q\d{2,3}_[a-z0-9_]+$")
