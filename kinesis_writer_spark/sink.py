@@ -37,6 +37,16 @@ MAX_RETRIES = 30
 #: Default partition key (routing is done via explicit hash keys).
 DEFAULT_PARTITION_KEY = "a"
 
+#: Error substrings that indicate the shard map may be stale (a reshard
+#: closed the shard we were routing to, or split its capacity): these
+#: trigger a shard-map re-discovery before the retry re-routes.
+RESHARD_ERROR_MARKERS = (
+    "ResourceInUse",
+    "ShardClosed",
+    "ProvisionedThroughputExceeded",
+    "LimitExceeded",
+)
+
 
 def retry_delay_seconds(fail_count: int) -> int:
     """Linear back-off schedule: 2, 4, 6, ... seconds."""
@@ -90,6 +100,17 @@ class ShardRouter:
 
     def next_hash_key(self) -> str:
         return self._midpoints[self._rng.randrange(len(self._midpoints))]
+
+    @property
+    def midpoints(self) -> list[str]:
+        return list(self._midpoints)
+
+    def update_midpoints(self, midpoints: list[str]) -> None:
+        """Swap in a fresh open-shard map (post-reshard) WITHOUT resetting
+        the seeded RNG — the draw sequence stays deterministic, only the
+        target set changes."""
+        if midpoints:
+            self._midpoints = midpoints
 
 
 class ShardRateLimiter:
@@ -225,6 +246,7 @@ class KinesisStreamWriter:
         sleep: Callable[[float], None] = time.sleep,
         routing_seed: int = 42,
         rate_limiter: ShardRateLimiter | None = None,
+        refresh_every_flushes: int | None = None,
     ) -> None:
         self.stream_name = stream_name
         self.client = client
@@ -232,8 +254,40 @@ class KinesisStreamWriter:
         self.max_retries = max_retries
         self._sleep = sleep
         self.rate_limiter = rate_limiter
+        #: optional periodic re-discovery cadence for long-running writers
+        #: (a reshard that never surfaces as an error — e.g. a split that
+        #: merely halves a shard's capacity — is picked up within N flushes)
+        self.refresh_every_flushes = refresh_every_flushes
+        self._flushes_since_discovery = 0
         midpoints = self._with_retry(lambda: open_shard_midpoints(client, stream_name))
         self.router = ShardRouter(midpoints, seed=routing_seed)
+
+    def refresh_shard_map(self) -> None:
+        """Re-discover open shards and swap the router's midpoint set.
+
+        The reference fetches the shard map once per writer
+        (KinesisWriter.scala:46-64) — fine for its bounded batch jobs, but
+        a long-running streaming sink writing through a split/merge would
+        keep routing to stale midpoints (parents' capacity is gone after a
+        reshard, so throughput silently halves). Mirrors the streaming
+        source's reshard handling (sources/kinesis_stream.py): only OPEN
+        shards yield midpoints, so parents drop out as soon as they close.
+        Discovery failures keep the previous map — stale routing still
+        lands (children cover the parent's hash range); a hard failure
+        here would lose the batch for a recoverable condition.
+        """
+        try:
+            self.router.update_midpoints(
+                open_shard_midpoints(self.client, self.stream_name)
+            )
+        except Exception:
+            pass
+        self._flushes_since_discovery = 0
+
+    def _maybe_refresh_on_error(self, exc: Exception) -> None:
+        msg = str(exc)
+        if any(marker in msg for marker in RESHARD_ERROR_MARKERS):
+            self.refresh_shard_map()
 
     # -- retry plumbing -----------------------------------------------------
 
@@ -286,11 +340,15 @@ class KinesisStreamWriter:
             try:
                 self._put_aggregated(current)
                 return current.num_user_records
-            except Exception:
+            except Exception as exc:
                 if fail_count >= self.max_retries:
                     raise
                 self._sleep(retry_delay_seconds(fail_count))
                 fail_count += 1
+                # a reshard-shaped error refreshes the shard map BEFORE the
+                # redraw, so the retry routes to a live child shard instead
+                # of hammering the closed/overloaded parent midpoint
+                self._maybe_refresh_on_error(exc)
                 fresh_ehk = self.router.next_hash_key()
                 rebuilt = AggRecordBuilder()
                 for pk, _old_ehk, data in current.raw_records():
@@ -310,6 +368,12 @@ class KinesisStreamWriter:
         count = 0
         for agg in batch_records(keyed_dynamic()):
             count += self.send(agg)
+            self._flushes_since_discovery += 1
+            if (
+                self.refresh_every_flushes is not None
+                and self._flushes_since_discovery >= self.refresh_every_flushes
+            ):
+                self.refresh_shard_map()
             cell["ehk"] = self.router.next_hash_key()
         return count
 
@@ -327,9 +391,11 @@ class FakeKinesisClient:
         self.num_shards = num_shards
         self.fail_first_n_puts = fail_first_n_puts
         self.throttle_every = throttle_every
+        self.fail_next_put_with: str | None = None
         self.put_requests: list[dict] = []
         self.received: list[bytes] = []
         self._puts_seen = 0
+        self._next_shard_id = num_shards
         space = 1 << 128
         self.shards = []
         for i in range(num_shards):
@@ -343,6 +409,36 @@ class FakeKinesisClient:
                 }
             )
 
+    def split_all_shards(self) -> None:
+        """Simulate a stream-wide reshard: every open shard closes (gains an
+        EndingSequenceNumber) and two children split its hash range — the
+        Kinesis UpdateShardCount doubling. Parents stay listed (as the real
+        API keeps them for their retention window); only children are open.
+        """
+        children = []
+        for shard in self.shards:
+            rng = shard["SequenceNumberRange"]
+            if rng.get("EndingSequenceNumber"):
+                continue
+            rng["EndingSequenceNumber"] = str(len(self.received))
+            lo = int(shard["HashKeyRange"]["StartingHashKey"])
+            hi = int(shard["HashKeyRange"]["EndingHashKey"])
+            mid = lo + (hi - lo) // 2
+            for c_lo, c_hi in ((lo, mid), (mid + 1, hi)):
+                children.append(
+                    {
+                        "ShardId": f"shardId-{self._next_shard_id:012d}",
+                        "ParentShardId": shard["ShardId"],
+                        "HashKeyRange": {
+                            "StartingHashKey": str(c_lo),
+                            "EndingHashKey": str(c_hi),
+                        },
+                        "SequenceNumberRange": {"StartingSequenceNumber": "0"},
+                    }
+                )
+                self._next_shard_id += 1
+        self.shards.extend(children)
+
     def describe_stream(self, StreamName: str, ExclusiveStartShardId: str | None = None, **_):
         shards = self.shards
         if ExclusiveStartShardId is not None:
@@ -355,6 +451,9 @@ class FakeKinesisClient:
     def put_records(self, StreamName: str, Records: list[dict]):
         self._puts_seen += 1
         self.put_requests.append({"StreamName": StreamName, "Records": Records})
+        if self.fail_next_put_with is not None:
+            msg, self.fail_next_put_with = self.fail_next_put_with, None
+            raise RuntimeError(msg)
         if self._puts_seen <= self.fail_first_n_puts:
             return {
                 "FailedRecordCount": len(Records),

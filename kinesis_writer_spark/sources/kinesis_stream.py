@@ -849,6 +849,14 @@ class KinesisStreamSinkWriter(DataSourceStreamWriter):
             raise ValueError(
                 f"rate_limit_burst_seconds must be > 0, got {self._rl_burst!r}"
             )
+        # periodic shard-map re-discovery (long-running sinks survive
+        # resharding without a restart); error-triggered refresh is always on
+        raw_refresh = options.get("shard_map_refresh_flushes")
+        self._refresh_flushes = int(raw_refresh) if raw_refresh is not None else None
+        if self._refresh_flushes is not None and self._refresh_flushes < 1:
+            raise ValueError(
+                f"shard_map_refresh_flushes must be >= 1, got {raw_refresh!r}"
+            )
 
     def write(self, iterator):
         from pyspark.sql.datasource import WriterCommitMessage
@@ -864,7 +872,12 @@ class KinesisStreamSinkWriter(DataSourceStreamWriter):
                 self._rl_burst,
             )
         client = resolve_factory(self._factory_spec, self._factory_kwargs)
-        writer = _Writer(self._stream, client, rate_limiter=limiter)
+        writer = _Writer(
+            self._stream,
+            client,
+            rate_limiter=limiter,
+            refresh_every_flushes=self._refresh_flushes,
+        )
         n = writer.write(bytes(row["data"]) for row in iterator)
         return WriterCommitMessage()
 

@@ -153,3 +153,63 @@ class TestEndToEnd:
         for req in client.put_requests:
             assert req["Records"][0]["ExplicitHashKey"] in mids
         assert len(client.put_requests) >= 3
+
+
+class TestReshardRefresh:
+    """Round-5 capability beyond reference parity: the writer re-discovers
+    the shard map when a reshard surfaces (error-triggered or periodic), so
+    a long-running sink never keeps routing to closed parents."""
+
+    def _no_sleep(self, _s):
+        pass
+
+    def test_reshard_error_refreshes_and_reroutes_to_children(self):
+        client = FakeKinesisClient(num_shards=2)
+        writer = KinesisStreamWriter("s", client, sleep=self._no_sleep)
+        old_mids = set(writer.router.midpoints)
+        assert len(old_mids) == 2
+
+        client.split_all_shards()  # both parents close, 4 children open
+        client.fail_next_put_with = "ResourceInUseException: shard is closed"
+        payloads = [b"x" * 400_000 for _ in range(12)]  # several ~1 MiB flushes
+        assert writer.write(payloads) == 12  # zero lost records
+
+        new_mids = set(writer.router.midpoints)
+        assert len(new_mids) == 4 and new_mids.isdisjoint(old_mids)
+        # the failed put re-sent: every record landed despite the reshard
+        assert len(client.received) == len(client.put_requests) - 1
+        # EHKs drawn after the refresh target live child shards. One batch
+        # may still carry a pre-refresh key: the overflow record that seeds
+        # the next builder was keyed before the refresh, and the aggregated
+        # record inherits its FIRST record's EHK — that key stays valid
+        # (children cover the parent's hash range), it just lands via the
+        # child that owns it. Everything after migrates fully.
+        post = [
+            r["Records"][0]["ExplicitHashKey"] for r in client.put_requests[1:]
+        ]
+        assert post[0] in new_mids  # the retry itself re-routed
+        stale = [ehk for ehk in post if ehk not in new_mids]
+        assert len(stale) <= 1
+        assert post[-1] in new_mids
+
+    def test_periodic_refresh_without_errors(self):
+        client = FakeKinesisClient(num_shards=2)
+        writer = KinesisStreamWriter(
+            "s", client, sleep=self._no_sleep, refresh_every_flushes=1
+        )
+        client.split_all_shards()
+        # silent reshard: no error ever raised, refresh cadence picks it up
+        assert writer.write([b"y" * 400_000 for _ in range(6)]) == 6
+        assert len(set(writer.router.midpoints)) == 4
+
+    def test_discovery_failure_keeps_previous_map(self):
+        client = FakeKinesisClient(num_shards=2)
+        writer = KinesisStreamWriter("s", client, sleep=self._no_sleep)
+        before = writer.router.midpoints
+        orig = client.describe_stream
+        client.describe_stream = lambda **kw: (_ for _ in ()).throw(
+            RuntimeError("transient describe failure")
+        )
+        writer.refresh_shard_map()  # must not raise, must not clear the map
+        assert writer.router.midpoints == before
+        client.describe_stream = orig
