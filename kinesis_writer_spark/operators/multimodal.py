@@ -218,6 +218,7 @@ def q82_grouped_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PPM_W, _PPM_H = 10, 5
 _PPM_PIX = _PPM_W * _PPM_H * 3
 _PPM_HEADER = f"P6\n{_PPM_W} {_PPM_H}\n255\n"
+_BMP_STRIDE = (_PPM_W * 3 + 3) & ~3  # BMP rows pad to 4-byte boundaries
 
 
 @register(
@@ -232,8 +233,10 @@ _PPM_HEADER = f"P6\n{_PPM_W} {_PPM_H}\n255\n"
         FROM documents
     )
     SELECT doc_id,
-           {len(_PPM_HEADER) + _PPM_PIX} AS n_bytes,
-           {_PPM_W} AS width, {_PPM_H} AS height, 255 AS maxval,
+           CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS kind,
+           CASE WHEN doc_id % 2 = 0 THEN {len(_PPM_HEADER) + _PPM_PIX}
+                ELSE {54 + _BMP_STRIDE * _PPM_H} END AS n_bytes,
+           {_PPM_W} AS width, {_PPM_H} AS height,
            list_sum(list_transform(range(0, {_PPM_PIX // 3}),
                k -> ascii(substr(pix, k * 3 + 1, 1))))::BIGINT AS sum_r,
            list_sum(list_transform(range(0, {_PPM_PIX // 3}),
@@ -245,32 +248,51 @@ _PPM_HEADER = f"P6\n{_PPM_W} {_PPM_H}\n255\n"
 )
 def q81_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-decode pipeline over REAL bytes end-to-end: each document
-    becomes a genuine binary P6 PPM raster (header + 10x5 RGB pixels drawn
-    from the doc's text bytes, synthesized JVM-side), and the decode stage
-    parses the actual format — header token grammar, comment handling,
-    raster bounds — via functions/codecs.parse_ppm inside Arrow-batched
-    mapInPandas, emitting width/height/maxval and exact per-channel sums.
+    becomes a genuine 10x5 raster whose pixels are the doc's text bytes —
+    even doc_ids as binary P6 PPM (synthesized JVM-side), odd doc_ids as
+    24-bit BMP (write_bmp in the synth stage: bottom-up BGR rows, 4-byte
+    stride padding) — and the decode stage dispatches by magic and parses
+    the actual formats via functions/codecs inside Arrow-batched
+    mapInPandas, emitting dimensions and exact per-channel sums.
 
     The oracle recomputes what a correct decoder MUST extract from pure
     byte arithmetic over the same text (fixture text is ASCII, so byte ==
-    codepoint): any header mis-parse, channel transposition, or off-by-one
-    in the raster offset flips the hash. The fake structural codec is no
-    longer on this path — it remains only as the documented fallback for
-    formats needing external libraries.
+    codepoint): both formats carry IDENTICAL pixel content, so the channel
+    sums must agree with the arithmetic regardless of format — any header
+    mis-parse, BGR/RGB transposition, row-order flip, or stride-padding
+    leak flips the hash. The fake structural codec is no longer on this
+    path — it remains only as the documented fallback for formats needing
+    external libraries.
     """
     import pandas as pd
 
+    from ..functions.codecs import write_bmp
+
     (documents,) = tables(spark, sf_dir, "documents")
-    pad = F.when(F.length("text") == 0, F.lit(" ")).otherwise(F.col("text"))
     pix = F.expr(
         f"substring(repeat(CASE WHEN length(text) = 0 THEN ' ' ELSE text END, "
         f"CAST({_PPM_PIX} / length(CASE WHEN length(text) = 0 THEN ' ' ELSE text END) "
         f"+ 1 AS INT)), 1, {_PPM_PIX})"
     )
-    payloads = documents.select(
-        "doc_id",
-        F.encode(F.concat(F.lit(_PPM_HEADER), pix), "utf-8").alias("payload"),
-    )
+    src = documents.select("doc_id", F.encode(pix, "utf-8").alias("pix"))
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        (
+                            _PPM_HEADER.encode("ascii") + bytes(px)
+                            if did % 2 == 0
+                            else write_bmp(_PPM_W, _PPM_H, bytes(px))
+                        )
+                        for did, px in zip(pdf["doc_id"], pdf["pix"])
+                    ],
+                }
+            )
+
+    payloads = src.mapInPandas(synth, "doc_id long, payload binary")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -278,10 +300,10 @@ def q81_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
+                    "kind": feats.map(lambda d: d["kind"]),
                     "n_bytes": feats.map(lambda d: d["n_bytes"]),
                     "width": feats.map(lambda d: d["width"]),
                     "height": feats.map(lambda d: d["height"]),
-                    "maxval": feats.map(lambda d: d["maxval"]),
                     "sum_r": feats.map(lambda d: d["sum_r"]),
                     "sum_g": feats.map(lambda d: d["sum_g"]),
                     "sum_b": feats.map(lambda d: d["sum_b"]),
@@ -290,7 +312,7 @@ def q81_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return payloads.mapInPandas(
         decode,
-        "doc_id long, n_bytes long, width int, height int, maxval int, "
+        "doc_id long, kind string, n_bytes long, width int, height int, "
         "sum_r long, sum_g long, sum_b long",
     )
 
