@@ -947,20 +947,26 @@ def q178_model_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket=F.floor(F.col("logit") * F.lit(-1000.0)).cast("bigint"),
         order_by=[F.col("logit").desc(), F.col("vec_id").asc()],
     )
-    n_total = ranked.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    # count over the NARROW projection, not over `ranked` — the latter
+    # would re-execute the whole rank pipeline just to count rows
+    n_total = scored.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
     binned = ranked.crossJoin(F.broadcast(n_total)).select(
         "positive", ntile_from_rank(F.col("rn"), F.col("n_total"), 10).alias("decile")
     )
     per_decile = binned.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("positive").alias("n_pos")
     )
+    # both the running capture and its normalizer are windows over the
+    # COLLAPSED 10-row decile table (single partition by design, sanctioned
+    # by the plan guard) — no 1-row-broadcast join that would re-derive the
+    # per-decile lineage a second time
     w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
-    total_pos = per_decile.agg(F.sum("n_pos").alias("tp"))
-    with_cum = per_decile.crossJoin(F.broadcast(total_pos)).select(
+    w_all = Window.partitionBy()
+    with_cum = per_decile.select(
         "decile",
         "n",
         "n_pos",
-        "tp",
+        F.sum("n_pos").over(w_all).alias("tp"),
         F.sum("n_pos").over(w_cum).alias("cum_pos"),
     )
     return with_cum.select(
