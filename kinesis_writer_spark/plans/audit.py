@@ -27,6 +27,50 @@ def formatted_plan(df: DataFrame) -> str:
     return jdf.queryExecution().explainString(mode)
 
 
+def single_partition_scan_violations(plan: str) -> list[str]:
+    """Node-ids of parquet Scans that feed an ``Exchange SinglePartition``
+    without an intervening aggregate — corpus-sized rows funneling through
+    ONE task (the global-NTILE anti-shape).
+
+    Walks the formatted-plan tree: for every Exchange whose detail block
+    says ``Arguments: SinglePartition``, every Scan leaf in its subtree
+    must have a HashAggregate/SortAggregate/ObjectHashAggregate ancestor
+    INSIDE that subtree. Collapsed inputs (count tables, 1-row totals)
+    pass; raw table rows do not. Enforced registry-wide by
+    tests/test_plans.py; reported here so the CLI shows the same fact.
+    """
+    tree, _, details = plan.partition("\n\n")
+    single = set(
+        re.findall(
+            r"\((\d+)\) Exchange[^\n]*\n(?:[^\n]*\n)??Arguments: SinglePartition",
+            details,
+        )
+    )
+    if not single:
+        return []
+    node_re = re.compile(r"^([:+\-\s]*)(?:\+\-|\:\-)?\s*([A-Za-z][A-Za-z ]*?)\s*\((\d+)\)")
+    rows = []
+    for line in tree.splitlines():
+        m = node_re.match(line)
+        if m:
+            rows.append((len(m.group(1)), m.group(2).strip(), m.group(3)))
+    aggs = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
+    violations: list[str] = []
+    for i, (d0, name, nid) in enumerate(rows):
+        if name != "Exchange" or nid not in single:
+            continue
+        stack: list[tuple[int, str]] = []
+        for d, n, sub_id in rows[i + 1 :]:
+            if d <= d0:
+                break
+            while stack and stack[-1][0] >= d:
+                stack.pop()
+            if n.startswith("Scan") and not any(a[1].startswith(aggs) for a in stack):
+                violations.append(f"scan({sub_id})<-exchange({nid})")
+            stack.append((d, n))
+    return violations
+
+
 @dataclass
 class PlanAudit:
     """Scale-relevant facts extracted from one physical plan."""
@@ -44,6 +88,7 @@ class PlanAudit:
     pushed_filters: list[str] = field(default_factory=list)
     read_schemas: list[str] = field(default_factory=list)
     partition_filters: list[str] = field(default_factory=list)
+    single_task_scans: list[str] = field(default_factory=list)
 
     @property
     def warnings(self) -> list[str]:
@@ -56,6 +101,11 @@ class PlanAudit:
             out.append(
                 f"{self.global_sorts} global Sort node(s) without TakeOrdered: "
                 "full-data range shuffle; verify it is required"
+            )
+        if self.single_task_scans:
+            out.append(
+                "raw scan rows funnel through Exchange SinglePartition "
+                f"({', '.join(self.single_task_scans)}): single-task sort/window at scale"
             )
         return out
 
@@ -113,6 +163,7 @@ def audit(df: DataFrame) -> PlanAudit:
         m.strip() for m in re.findall(r"PartitionFilters: \[(.*?)\]", plan) if m.strip()
     ]
     a.read_schemas = [m.strip() for m in re.findall(r"ReadSchema: (.*)", plan)]
+    a.single_task_scans = single_partition_scan_violations(plan)
     return a
 
 

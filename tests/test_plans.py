@@ -357,52 +357,9 @@ class TestPipelineOpsShapes:
         assert "SQRT" not in p and "POWER" not in p
 
 
-def _single_partition_scan_violations(plan: str) -> list[str]:
-    """Node-ids of parquet Scans that feed an Exchange SinglePartition
-    without an intervening aggregate — i.e. corpus-sized rows funneling
-    through one task (the global-NTILE anti-shape).
-
-    Parses the formatted-plan tree: for every `Exchange` whose detail block
-    says `Arguments: SinglePartition`, walk its subtree; every `Scan` leaf
-    must have a HashAggregate/SortAggregate/ObjectHashAggregate ancestor
-    INSIDE that subtree (a collapsed, group-cardinality input is fine —
-    count tables, 1-row totals; raw table rows are not).
-    """
-    import re
-
-    tree, _, details = plan.partition("\n\n")
-    single = set(
-        re.findall(
-            r"\((\d+)\) Exchange[^\n]*\n(?:[^\n]*\n)??Arguments: SinglePartition",
-            details,
-        )
-    )
-    if not single:
-        return []
-    # (depth, node_id, name) per tree line
-    node_re = re.compile(r"^([:+\-\s]*)(?:\+\-|\:\-)?\s*([A-Za-z][A-Za-z ]*?)\s*\((\d+)\)")
-    rows = []
-    for line in tree.splitlines():
-        m = node_re.match(line)
-        if not m:
-            continue
-        rows.append((len(m.group(1)), m.group(2).strip(), m.group(3)))
-    AGGS = ("HashAggregate", "SortAggregate", "ObjectHashAggregate")
-    violations: list[str] = []
-    for i, (d0, name, nid) in enumerate(rows):
-        if name != "Exchange" or nid not in single:
-            continue
-        # walk the subtree keeping an ancestor stack relative to the exchange
-        stack: list[tuple[int, str]] = []
-        for d, n, sub_id in rows[i + 1 :]:
-            if d <= d0:
-                break
-            while stack and stack[-1][0] >= d:
-                stack.pop()
-            if n.startswith("Scan") and not any(a[1].startswith(AGGS) for a in stack):
-                violations.append(f"scan({sub_id})<-exchange({nid})")
-            stack.append((d, n))
-    return violations
+from kinesis_writer_spark.plans.audit import (  # noqa: E402
+    single_partition_scan_violations as _single_partition_scan_violations,
+)
 
 
 class TestNoCorpusSingleTaskSorts:
