@@ -668,3 +668,39 @@ class TestKinesisToIncrementalDedup:
         )
         q.awaitTermination(180)
         assert sorted(collected) == expected
+
+
+class TestSinkOptionValidation:
+    """Sink writer options fail LOUD at plan time (driver-side), not on the
+    first executor send: a '0' rate is truthy as a string but builds a
+    bucket that can never refill (round-5 advice fix)."""
+
+    def _writer(self, **opts):
+        base = {"stream_name": "s"}
+        base.update(opts)
+        return kinesis_stream.KinesisStreamSinkWriter(base, ["data"])
+
+    def test_zero_rate_rejected(self):
+        with pytest.raises(ValueError, match="rate_limit_bytes_per_sec must be > 0"):
+            self._writer(rate_limit_bytes_per_sec="0")
+        with pytest.raises(ValueError, match="rate_limit_puts_per_sec must be > 0"):
+            self._writer(rate_limit_puts_per_sec="-5")
+        with pytest.raises(ValueError, match="rate_limit_burst_seconds must be > 0"):
+            self._writer(rate_limit_bytes_per_sec="1000", rate_limit_burst_seconds="0")
+
+    def test_refresh_cadence_validated(self):
+        with pytest.raises(ValueError, match="shard_map_refresh_flushes must be >= 1"):
+            self._writer(shard_map_refresh_flushes="0")
+        w = self._writer(shard_map_refresh_flushes="5")
+        assert w._refresh_flushes == 5
+
+    def test_absent_rates_mean_no_limiter(self):
+        w = self._writer()
+        assert w._rl_bytes is None and w._rl_puts is None
+
+    def test_limiter_shared_per_process_per_budget(self):
+        a = kinesis_stream._shared_sink_limiter("s", 1000.0, 10.0, 1.0)
+        b = kinesis_stream._shared_sink_limiter("s", 1000.0, 10.0, 1.0)
+        c = kinesis_stream._shared_sink_limiter("s", 2000.0, 10.0, 1.0)
+        assert a is b  # bucket state survives across microbatches
+        assert a is not c  # different budget, different bucket
