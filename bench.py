@@ -144,29 +144,31 @@ def main() -> None:
         # regressions anywhere show up round over round. A single cold shot
         # conflates steady-state cost with one-time JIT/codegen/training —
         # exactly the noise behind the r3->r4 "regression" (q97 5.2 s cold
-        # vs 1.9 s steady) — so any query slower than 1 s gets a second run
-        # and reports the min; both raw runs land in the artifact.
+        # vs 1.9 s steady). Queries slower than 0.5 s get a second shot in
+        # a SEPARATE full pass (transient machine-load spikes cluster in
+        # time, so immediate back-to-back re-runs can both land inside the
+        # same spike — measured r5: q184 [1.63, 1.78] under load vs 0.62
+        # idle); the min of the decorrelated runs is reported and both raw
+        # values land in the artifact.
+        non_headline = [
+            n for n in queries if n not in timings and n not in warm_failed
+        ]
         for name in queries:
-            if name in all_timings or name in warm_failed:
-                continue
             if name in timings:
                 all_timings[name] = timings[name]
-                continue
-            try:
-                t0 = time.time()
-                _run_once(queries, name, spark, sf_dir)
-                t1 = round(time.time() - t0, 3)
-                spark.catalog.clearCache()
-                runs = [t1]
-                if t1 > 1.0:
+        for pass_i in range(2):
+            for name in non_headline:
+                if pass_i == 1 and all_runs.get(name, [2.0])[0] <= 0.5:
+                    continue  # fast and stable; a second shot is noise-chasing
+                try:
                     t0 = time.time()
                     _run_once(queries, name, spark, sf_dir)
-                    runs.append(round(time.time() - t0, 3))
+                    t1 = round(time.time() - t0, 3)
                     spark.catalog.clearCache()
-                all_runs[name] = runs
-                all_timings[name] = min(runs)
-            except Exception:
-                errors[name] = traceback.format_exc(limit=3)
+                    all_runs.setdefault(name, []).append(t1)
+                    all_timings[name] = min(all_runs[name])
+                except Exception:
+                    errors[name] = traceback.format_exc(limit=3)
     except Exception:
         errors["harness"] = traceback.format_exc(limit=5)
 
