@@ -1,17 +1,18 @@
-"""Dependency-free real-format media codecs: binary PPM (P6) images, BMP
-(24-bit uncompressed) images, and WAV (PCM) audio.
+"""Dependency-free real-format media codecs: binary PPM (P6), BMP (24-bit
+uncompressed), and PNG (8-bit RGB/RGBA, deflate) images, and WAV (PCM) audio.
 
 These are complete, honest byte-format implementations — header grammar,
-endianness, row padding, chunk walking — not fakes: ``parse_*`` rejects
-malformed input with precise errors and round-trips ``write_*`` output
-bit-for-bit (property-tested in tests/test_multimodal_codecs.py). They back
-the engine's multimodal decode stage (operators/multimodal.py): the Spark
+endianness, row padding, chunk walking, CRC verification, all five PNG
+scanline filters — not fakes: ``parse_*`` rejects malformed input with
+precise errors and round-trips ``write_*`` output bit-for-bit
+(property-tested in tests/test_multimodal_codecs.py). They back the
+engine's multimodal decode stage (operators/multimodal.py): the Spark
 plumbing streams payloads through Arrow-batched ``mapInPandas`` and these
 parsers run per batch, exactly where PIL/libsndfile would sit. Formats that
-need external libraries (JPEG/PNG/MP3/H.264) still fall back to the marked
+need external libraries (JPEG/MP3/H.264) still fall back to the marked
 structural-feature fake.
 
-Pure stdlib (struct only); deterministic; no I/O.
+Pure stdlib (struct + zlib); deterministic; no I/O.
 """
 
 from __future__ import annotations
@@ -182,6 +183,165 @@ def parse_bmp(payload: bytes) -> BmpImage:
             b, g, r = payload[base + 3 * x : base + 3 * x + 3]
             out[dst + 3 * x : dst + 3 * x + 3] = bytes((r, g, b))
     return BmpImage(width, height, bytes(out))
+
+
+# ---------------------------------------------------------------------------
+# PNG — real deflate-compressed rasters (zlib is stdlib): chunk walking with
+# CRC verification, IHDR validation, and full scanline un-filtering
+# ---------------------------------------------------------------------------
+
+_PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+@dataclass(frozen=True)
+class PngImage:
+    width: int
+    height: int
+    #: 3 for RGB (color type 2), 4 for RGBA (color type 6)
+    n_channels: int
+    #: un-filtered samples, row-major top-down, len == width*height*n_channels
+    pixels: bytes
+
+    def channel_sums(self) -> tuple[int, int, int]:
+        """Exact per-RGB-channel sums (alpha excluded for RGBA)."""
+        nc = self.n_channels
+        return (
+            sum(self.pixels[0::nc]),
+            sum(self.pixels[1::nc]),
+            sum(self.pixels[2::nc]),
+        )
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def write_png(width: int, height: int, pixels: bytes, n_channels: int = 3) -> bytes:
+    """8-bit RGB/RGBA PNG from top-down samples (filter 0 scanlines)."""
+    import zlib
+
+    if n_channels not in (3, 4):
+        raise CodecError(f"only RGB/RGBA supported ({n_channels} channels)")
+    if len(pixels) != width * height * n_channels:
+        raise CodecError(
+            f"pixel buffer is {len(pixels)} bytes, need {width * height * n_channels}"
+        )
+    color_type = 2 if n_channels == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * n_channels
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
+    """Reverse the five PNG scanline filters (None/Sub/Up/Average/Paeth)."""
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        raise CodecError(
+            f"PNG raster is {len(raw)} bytes, need {(stride + 1) * height}"
+        )
+    out = bytearray(stride * height)
+    prev_row_start = -1
+    for y in range(height):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        row = raw[base + 1 : base + 1 + stride]
+        dst = y * stride
+        if ftype == 0:  # None
+            out[dst : dst + stride] = row
+        elif ftype == 1:  # Sub
+            for x in range(stride):
+                a = out[dst + x - bpp] if x >= bpp else 0
+                out[dst + x] = (row[x] + a) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                b = out[prev_row_start + x] if y > 0 else 0
+                out[dst + x] = (row[x] + b) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = out[dst + x - bpp] if x >= bpp else 0
+                b = out[prev_row_start + x] if y > 0 else 0
+                out[dst + x] = (row[x] + (a + b) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = out[dst + x - bpp] if x >= bpp else 0
+                b = out[prev_row_start + x] if y > 0 else 0
+                c = out[prev_row_start + x - bpp] if (y > 0 and x >= bpp) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out[dst + x] = (row[x] + pred) & 0xFF
+        else:
+            raise CodecError(f"unknown PNG filter type {ftype} on row {y}")
+        prev_row_start = dst
+    return bytes(out)
+
+
+def parse_png(payload: bytes) -> PngImage:
+    import zlib
+
+    if payload[:8] != _PNG_SIGNATURE:
+        raise CodecError(f"not a PNG (signature {payload[:8]!r})")
+    pos = 8
+    ihdr: tuple | None = None
+    idat = bytearray()
+    ended = False
+    while pos + 8 <= len(payload) and not ended:
+        (size,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size or pos + 12 + size > len(payload):
+            raise CodecError(f"PNG chunk {ctype!r} truncated")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + size)
+        if crc != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
+            raise CodecError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            ended = True
+        pos += 12 + size
+    if ihdr is None:
+        raise CodecError("PNG has no IHDR chunk")
+    if not ended:
+        raise CodecError("PNG has no IEND chunk")
+    width, height, bit_depth, color_type, compression, filter_m, interlace = ihdr
+    if bit_depth != 8 or color_type not in (2, 6):
+        raise CodecError(
+            f"only 8-bit RGB/RGBA PNG supported (depth={bit_depth}, color={color_type})"
+        )
+    if compression != 0 or filter_m != 0 or interlace != 0:
+        raise CodecError(
+            f"unsupported PNG encoding (compression={compression}, "
+            f"filter={filter_m}, interlace={interlace})"
+        )
+    if width <= 0 or height <= 0:
+        raise CodecError(f"bad PNG dimensions {width}x{height}")
+    if not idat:
+        raise CodecError("PNG has no IDAT data")
+    n_channels = 3 if color_type == 2 else 4
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise CodecError(f"PNG IDAT inflate failed: {exc}") from exc
+    return PngImage(
+        width, height, n_channels, _png_unfilter(raw, width, height, n_channels)
+    )
 
 
 # ---------------------------------------------------------------------------

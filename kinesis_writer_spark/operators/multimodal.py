@@ -1,12 +1,12 @@
 """Multimodal column operators: opaque ``binary`` payloads with typed
 metadata, decoded/feature-extracted via Arrow-batched ``mapInPandas``.
 
-The decode step is REAL for PPM/BMP images and PCM WAV audio — complete
+The decode step is REAL for PPM/BMP/PNG images and PCM WAV audio — complete
 dependency-free byte-format parsers in functions/codecs.py (header grammar,
 endianness, BMP row padding, RIFF chunk walking), golden- and
 round-trip-tested. q81 decodes genuine P6 rasters; q93 walks genuine RIFF
 chunks before frame-sampling the data chunk. Formats that require external
-libraries (JPEG/PNG/MP3) fall back to the clearly-marked structural-feature
+libraries (JPEG/MP3) fall back to the clearly-marked structural-feature
 fake (``_fake_decode``) until a real codec is installed.
 
 Scale notes: binary payloads ride inside Tungsten rows; mapInPandas streams
@@ -63,8 +63,8 @@ def q80_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic FALLBACK for formats whose codecs need external
-    libraries (JPEG/PNG/MP3): structural byte features an oracle can
-    recompute. PPM/BMP/WAV payloads never reach this — ``decode_media``
+    libraries (JPEG/MP3): structural byte features an oracle can
+    recompute. PPM/BMP/PNG/WAV payloads never reach this — ``decode_media``
     routes them to the real parsers in functions/codecs.py. Raises on None
     like a real codec would.
     """
@@ -111,6 +111,20 @@ def decode_media(payload: bytes) -> dict:
             "width": img.width,
             "height": img.height,
             "maxval": 255,
+            "sum_r": sr,
+            "sum_g": sg,
+            "sum_b": sb,
+        }
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        img = C.parse_png(bytes(payload))
+        sr, sg, sb = img.channel_sums()
+        return {
+            "kind": "png",
+            "n_bytes": len(payload),
+            "width": img.width,
+            "height": img.height,
+            "maxval": 255,
+            "n_channels": img.n_channels,
             "sum_r": sr,
             "sum_g": sg,
             "sum_b": sb,

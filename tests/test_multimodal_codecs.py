@@ -167,3 +167,135 @@ class TestDecodeMediaDispatch:
         assert wav["kind"] == "wav" and wav["n_frames"] == 1
         other = decode_media(b"\x89PNG rest-of-payload")
         assert other["kind"] == "unknown" and other["n_bytes"] == 20
+
+
+class TestPng:
+    def _roundtrip(self, w, h, pixels, nc=3):
+        from kinesis_writer_spark.functions.codecs import parse_png, write_png
+
+        img = parse_png(write_png(w, h, pixels, n_channels=nc))
+        assert (img.width, img.height, img.n_channels) == (w, h, nc)
+        assert img.pixels == pixels
+        return img
+
+    def test_roundtrip_rgb_and_sums(self):
+        pixels = bytes((i * 7) % 256 for i in range(4 * 3 * 3))
+        img = self._roundtrip(4, 3, pixels)
+        assert img.channel_sums() == (
+            sum(pixels[0::3]),
+            sum(pixels[1::3]),
+            sum(pixels[2::3]),
+        )
+
+    def test_roundtrip_rgba_sums_exclude_alpha(self):
+        pixels = bytes((i * 11) % 256 for i in range(2 * 2 * 4))
+        img = self._roundtrip(2, 2, pixels, nc=4)
+        assert img.channel_sums() == (
+            sum(pixels[0::4]),
+            sum(pixels[1::4]),
+            sum(pixels[2::4]),
+        )
+
+    def test_all_five_filters_unfilter_correctly(self):
+        # handcraft one scanline per filter type and verify reconstruction
+        import struct as st
+        import zlib
+
+        from kinesis_writer_spark.functions.codecs import (
+            _png_chunk,
+            _PNG_SIGNATURE,
+            parse_png,
+        )
+
+        w, h, bpp = 3, 5, 3
+        rows = [bytes((y * 40 + x * 9) % 256 for x in range(w * bpp)) for y in range(h)]
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+        # encode each row with filter type == its index, from the true pixels
+        filtered = bytearray()
+        for y, row in enumerate(rows):
+            prev = rows[y - 1] if y > 0 else bytes(w * bpp)
+            ft = y % 5
+            filtered.append(ft)
+            for x, v in enumerate(row):
+                a = row[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2, 4: paeth(a, b, c)}[ft]
+                filtered.append((v - pred) & 0xFF)
+        ihdr = st.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        raw_png = (
+            _PNG_SIGNATURE
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(filtered)))
+            + _png_chunk(b"IEND", b"")
+        )
+        img = parse_png(raw_png)
+        assert img.pixels == b"".join(rows)
+
+    def test_multiple_idat_chunks_concatenate(self):
+        import struct as st
+        import zlib
+
+        from kinesis_writer_spark.functions.codecs import (
+            _png_chunk,
+            _PNG_SIGNATURE,
+            parse_png,
+            write_png,
+        )
+
+        pixels = bytes(range(2 * 2 * 3))
+        base = write_png(2, 2, pixels)
+        # re-emit with the IDAT stream split into two chunks
+        raw = b"\x00" + pixels[:6] + b"\x00" + pixels[6:]
+        z = zlib.compress(raw)
+        split = len(z) // 2
+        ihdr = st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        two = (
+            _PNG_SIGNATURE
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", z[:split])
+            + _png_chunk(b"IDAT", z[split:])
+            + _png_chunk(b"IEND", b"")
+        )
+        assert parse_png(two).pixels == parse_png(base).pixels == pixels
+
+    @pytest.mark.parametrize(
+        "mutate",
+        [
+            lambda b: b"\x88PNG\r\n\x1a\n" + b[8:],  # bad signature
+            lambda b: b[:20] + bytes([b[20] ^ 0xFF]) + b[21:],  # IHDR corrupt -> CRC
+            lambda b: b[:-12],  # IEND missing
+            lambda b: b[:24] + bytes([16]) + b[25:],  # bit depth 16 (also CRC)
+            lambda b: b[:-20],  # truncated chunk
+        ],
+    )
+    def test_malformed_rejected(self, mutate):
+        from kinesis_writer_spark.functions.codecs import CodecError, parse_png, write_png
+
+        raw = write_png(2, 2, bytes(12))
+        with pytest.raises(CodecError):
+            parse_png(mutate(raw))
+
+    @given(w=st.integers(1, 6), h=st.integers(1, 6), data=st.data())
+    @settings(max_examples=20, deadline=None)
+    def test_roundtrip_property(self, w, h, data):
+        from kinesis_writer_spark.functions.codecs import parse_png, write_png
+
+        pixels = bytes(
+            data.draw(st.lists(st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3))
+        )
+        assert parse_png(write_png(w, h, pixels)).pixels == pixels
+
+    def test_decode_media_dispatches_png(self):
+        from kinesis_writer_spark.functions.codecs import write_png
+        from kinesis_writer_spark.operators.multimodal import decode_media
+
+        d = decode_media(write_png(1, 1, bytes([9, 8, 7])))
+        assert d["kind"] == "png"
+        assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (9, 8, 7)
+        assert d["n_channels"] == 3
