@@ -362,14 +362,14 @@ def frame_sample(
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                payload = bytes(row[payload_col])
+            keep_vals = [pdf[c].tolist() for c in keep_cols]
+            for i, raw in enumerate(pdf[payload_col]):
+                payload = bytes(raw)
+                keys = tuple(col[i] for col in keep_vals)
                 n_frames = (len(payload) + FRAME_BYTES - 1) // FRAME_BYTES
                 for idx in range(0, n_frames, every_n):
                     frame = payload[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
-                    rows.append(
-                        tuple(row[c] for c in keep_cols) + (idx, len(frame), frame)
-                    )
+                    rows.append(keys + (idx, len(frame), frame))
             yield pd.DataFrame(rows, columns=keep_cols + ["frame_idx", "frame_len", "frame"])
 
     return df.mapInPandas(sample, schema)
@@ -422,15 +422,16 @@ def frame_sample_wav(
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                wav = parse_wav(bytes(row[payload_col]))
+            keep_vals = [pdf[c].tolist() for c in keep_cols]
+            for i, payload in enumerate(pdf[payload_col]):
+                wav = parse_wav(bytes(payload))
                 data = wav.data
+                keys = tuple(col[i] for col in keep_vals)
                 n_frames = (len(data) + FRAME_BYTES - 1) // FRAME_BYTES
                 for idx in range(0, n_frames, every_n):
                     frame = data[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
                     rows.append(
-                        tuple(row[c] for c in keep_cols)
-                        + (wav.sample_rate, wav.duration_ms, idx, len(frame), frame)
+                        keys + (wav.sample_rate, wav.duration_ms, idx, len(frame), frame)
                     )
             yield pd.DataFrame(
                 rows,
