@@ -1364,7 +1364,7 @@ def q215_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = F.transform(
         "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
     )
-    w_arr = F.array(*[F.lit(w).cast("bigint") for w in _LM_W])
+    w_arr = F.lit([int(w) for w in _LM_W])  # one array<bigint> literal node
     zero = F.lit(0).cast("bigint")
     scored = embeddings.select(
         F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("pos"),
@@ -2100,7 +2100,7 @@ def _pct_train(spark: SparkSession, sf_dir: str):
     zero = F.lit(0).cast("bigint")
     counts, weights = [], []
     for _epoch in range(_PCT_EPOCHS):
-        w_arr = F.array(*[F.lit(int(v)).cast("bigint") for v in w])
+        w_arr = F.lit([int(v) for v in w])  # one array<bigint> literal node
         margin = F.col("y") * F.aggregate(
             F.zip_with("qv", w_arr, lambda x, wv: x * wv), zero, lambda a, v: a + v
         )
@@ -2204,7 +2204,7 @@ def q222_perceptron_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qv"),
     )
     zero = F.lit(0).cast("bigint")
-    w_final = F.array(*[F.lit(int(v)).cast("bigint") for v in weights[-1]])
+    w_final = F.lit([int(v) for v in weights[-1]])  # one array<bigint> literal
     margin = F.col("y") * F.aggregate(
         F.zip_with("qv", w_final, lambda x, wv: x * wv), zero, lambda a, v: a + v
     )
@@ -2944,7 +2944,7 @@ def q229_optimal_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = F.transform(
         "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
     )
-    w_arr = F.array(*[F.lit(w).cast("bigint") for w in _LM_W])
+    w_arr = F.lit([int(w) for w in _LM_W])  # one array<bigint> literal node
     zero = F.lit(0).cast("bigint")
     scored_rows = embeddings.select(
         F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("pos"),

@@ -297,7 +297,10 @@ def _km_best_struct(centroid_rows: list[tuple[int, list[int]]], col="embedding")
     column = F.col(col) if isinstance(col, str) else col
     structs = []
     for cid, cvec in sorted(centroid_rows):
-        lit_vec = F.array(*[F.lit(int(v)) for v in cvec])
+        # ONE array literal, not k*dim Literal nodes: Catalyst analysis +
+        # codegen cost scales with expression-tree size, and the k-literal
+        # distance folds dominated cold-start (measured on q97)
+        lit_vec = F.lit([int(v) for v in cvec])
         d2 = F.aggregate(
             F.zip_with(
                 column,
@@ -865,7 +868,7 @@ def q160_linear_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights table is the same shape one operator later.
     """
     (embeddings,) = tables(spark, sf_dir, "embeddings")
-    w_lit = F.array(*[F.lit(w) for w in _LM_W])
+    w_lit = F.lit([int(w) for w in _LM_W])  # one array literal (see _km_best_struct)
     dot = F.aggregate(
         F.zip_with("embedding", w_lit, lambda x, w: x.cast("double") * w.cast("double")),
         F.lit(0.0),
@@ -930,7 +933,7 @@ def q178_model_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._util import distributed_row_number, ntile_from_rank
 
     (embeddings,) = tables(spark, sf_dir, "embeddings")
-    w_lit = F.array(*[F.lit(w) for w in _LM_W])
+    w_lit = F.lit([int(w) for w in _LM_W])  # one array literal (see _km_best_struct)
     dot = F.aggregate(
         F.zip_with("embedding", w_lit, lambda x, w: x.cast("double") * w.cast("double")),
         F.lit(0.0),
