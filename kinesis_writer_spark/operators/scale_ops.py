@@ -253,7 +253,9 @@ def q194_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket=(F.col("zval") / F.lit(1024)).cast("bigint"),
         order_by=[F.col("zval").asc(), F.col("o_orderkey").asc()],
     )
-    n_total = z.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    # count the RAW table (column-pruned empty-schema scan), not `z`: the
+    # count doesn't need the ~20-op Morton interleave evaluated per row
+    n_total = orders.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
     filed = ranked.crossJoin(F.broadcast(n_total)).select(
         "x",
         "y",

@@ -950,9 +950,9 @@ def q178_model_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket=F.floor(F.col("logit") * F.lit(-1000.0)).cast("bigint"),
         order_by=[F.col("logit").desc(), F.col("vec_id").asc()],
     )
-    # count over the NARROW projection, not over `ranked` — the latter
-    # would re-execute the whole rank pipeline just to count rows
-    n_total = scored.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
+    # count the RAW table — counting `scored` would evaluate the 64-dim
+    # dot product per row, and counting `ranked` the whole rank pipeline
+    n_total = embeddings.groupBy().agg(F.count(F.lit(1)).alias("n_total"))
     binned = ranked.crossJoin(F.broadcast(n_total)).select(
         "positive", ntile_from_rank(F.col("rn"), F.col("n_total"), 10).alias("decile")
     )
