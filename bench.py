@@ -99,6 +99,11 @@ def main() -> None:
         from kinesis_writer_spark.session import get_spark
 
         spark = get_spark("bench")
+        # ERROR-level logs for the bench run only: the sanctioned collapsed-
+        # table window ops (bucket-count tables etc.) emit hundreds of
+        # "No Partition Defined for Window" WARNs that could push the JSON
+        # summary line out of the driver's 2000-char stdout tail.
+        spark.sparkContext.setLogLevel("ERROR")
         queries = registry.all_queries()
 
         # warm the JVM + file listing outside the measurement
@@ -150,6 +155,19 @@ def main() -> None:
         # same spike — measured r5: q184 [1.63, 1.78] under load vs 0.62
         # idle); the min of the decorrelated runs is reported and both raw
         # values land in the artifact.
+        #
+        # Memoization honesty (r5 verdict "What's wrong #1"): the cross-
+        # query memo caches (SimHash pair table / components, IVF codebooks,
+        # perceptron weights) are cleared before EVERY measured shot here,
+        # so each per-query figure reflects that query's own full cost and a
+        # regression in a shared intermediate is visible in every consumer —
+        # r5 recorded q96 at 0.076 s because it read q54's memo. The memo
+        # path itself stays on in production/tests; this is measurement
+        # policy only. Consequence: `all_queries_total` intentionally
+        # DOUBLE-COUNTS shared work relative to a real pipeline run (which
+        # computes the duplicate graph once) and is NOT comparable with
+        # r2-r5 artifacts (r6+ methodology: memo_cold).
+        from kinesis_writer_spark.memo import clear_all as _clear_memos
         non_headline = [
             n for n in queries if n not in timings and n not in warm_failed
         ]
@@ -161,6 +179,7 @@ def main() -> None:
                 if pass_i == 1 and all_runs.get(name, [2.0])[0] <= 0.5:
                     continue  # fast and stable; a second shot is noise-chasing
                 try:
+                    _clear_memos()
                     t0 = time.time()
                     _run_once(queries, name, spark, sf_dir)
                     t1 = round(time.time() - t0, 3)
@@ -188,6 +207,18 @@ def main() -> None:
         "load_end": list(os.getloadavg()),
         "sf": sf,
         "errors": errors,
+        # Methodology stamp so cross-round deltas are interpretable
+        # (timing changed r4->r5: cold single-shot -> warm median/min;
+        # r5->r6: all_queries now memo-cold, see comment above the pass).
+        "timing_method": {
+            "queries": "steady-state median of 3 (JVM warmed, memos as-is)",
+            "all_queries": (
+                "memo-cold min of up to 2 decorrelated runs; shared memo "
+                "caches cleared before every shot, so all_queries_total "
+                "double-counts shared intermediates vs a real pipeline run "
+                "and is not comparable with r2-r5 artifacts"
+            ),
+        },
     }
     art_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
     try:
@@ -206,6 +237,8 @@ def main() -> None:
         "all_queries_n": len(all_timings),
         "load1m": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
         "sf": sf,
+        # compact stamp; full prose in artifacts/bench_full.json
+        "timing_method": "hl=median3-steady;aq=min2-memocold",
     }
     if errors:
         out["errors_n"] = len(errors)

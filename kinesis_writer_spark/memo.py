@@ -1,0 +1,37 @@
+"""Central registry of cross-query memo caches.
+
+Several operators memoize expensive shared intermediates per
+(application, dataset) — the SimHash duplicate graph that q96/q144/q148/
+q239/q243/q255 all consume, the trained IVF/PQ codebooks, the perceptron
+model weights. That sharing is the *production* shape (a real pipeline
+computes the duplicate graph once), but it muddies per-query benchmark
+attribution: the first consumer pays, every later one reads the memo in
+milliseconds, and a regression in the shared computation becomes invisible
+in any later consumer's number (r5 verdict "What's wrong #1": q96 recorded
+0.076 s memo-warm vs 5.5 s cold).
+
+Cache-owning modules call :func:`register` at definition time;
+``bench.py`` calls :func:`clear_all` before each measured query so every
+per-query figure reflects that query's own full cost (memo-cold), while
+the memo path stays on for production and tests.
+"""
+
+from __future__ import annotations
+
+from typing import MutableMapping
+
+_CACHES: list[MutableMapping] = []
+
+
+def register(cache: MutableMapping) -> MutableMapping:
+    """Record a module-level memo cache; returns it for inline use."""
+    _CACHES.append(cache)
+    return cache
+
+
+def clear_all() -> int:
+    """Empty every registered memo cache; returns how many held entries."""
+    n = sum(1 for c in _CACHES if c)
+    for c in _CACHES:
+        c.clear()
+    return n

@@ -633,8 +633,10 @@ def connected_components(
 #: every downstream decision from it. Entries are localCheckpointed (tiny:
 #: duplicate-density-sized), so repeated queries skip the signature pass and
 #: the label-propagation rounds entirely.
-_NEARDUP_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
-_NEARDUP_COMPS_CACHE: dict[tuple[str, str], DataFrame] = {}
+from ..memo import register as _register_memo
+
+_NEARDUP_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = _register_memo({})
+_NEARDUP_COMPS_CACHE: dict[tuple[str, str], DataFrame] = _register_memo({})
 
 
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

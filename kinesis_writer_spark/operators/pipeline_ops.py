@@ -2077,8 +2077,10 @@ def q221_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PCT_EPOCHS = 2
 _PCT_DIM = 64
 
+from ..memo import register as _register_memo
+
 #: (sf_dir) -> (per-epoch error counts, per-epoch weight vectors)
-_PCT_CACHE: dict = {}
+_PCT_CACHE: dict = _register_memo({})
 
 
 def _pct_train(spark: SparkSession, sf_dir: str):

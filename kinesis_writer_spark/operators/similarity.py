@@ -382,7 +382,9 @@ def _km_sql_assign(vec_src: str, cent_src: str) -> str:
 #: (q134 docstring): q102/q134/q135 share one training run per dataset, and
 #: repeated executions (bench passes, interactive sessions) skip the driver-
 #: side Lloyd jobs entirely. The model is k tiny integer arrays.
-_CODEBOOK_CACHE: dict[tuple[str, int], list[tuple[int, list[int]]]] = {}
+from ..memo import register as _register_memo
+
+_CODEBOOK_CACHE: dict[tuple[str, int], list[tuple[int, list[int]]]] = _register_memo({})
 
 
 def ivf_train_centroids(
