@@ -1,18 +1,23 @@
 """Dependency-free real-format media codecs: binary PPM (P6), BMP (24-bit
-uncompressed), and PNG (8-bit RGB/RGBA, deflate) images, and WAV (PCM) audio.
+uncompressed), PNG (8-bit RGB/RGBA, deflate), and baseline JFIF JPEG
+(huffman + DCT, 4:4:4/4:2:2/4:2:0) images, and WAV (PCM) audio.
 
 These are complete, honest byte-format implementations — header grammar,
 endianness, row padding, chunk walking, CRC verification, all five PNG
-scanline filters — not fakes: ``parse_*`` rejects malformed input with
-precise errors and round-trips ``write_*`` output bit-for-bit
-(property-tested in tests/test_multimodal_codecs.py). They back the
-engine's multimodal decode stage (operators/multimodal.py): the Spark
-plumbing streams payloads through Arrow-batched ``mapInPandas`` and these
-parsers run per batch, exactly where PIL/libsndfile would sit. Formats that
-need external libraries (JPEG/MP3/H.264) still fall back to the marked
+scanline filters, JPEG marker segments / canonical huffman decode /
+dequant + IDCT + chroma upsampling — not fakes: ``parse_*`` rejects
+malformed input with precise errors and round-trips ``write_*`` output
+(bit-for-bit for the lossless formats, within quantization error for
+JPEG; property-tested in tests/test_multimodal_codecs.py and
+tests/test_jpeg_codec.py). They back the engine's multimodal decode stage
+(operators/multimodal.py): the Spark plumbing streams payloads through
+Arrow-batched ``mapInPandas`` and these parsers run per batch, exactly
+where PIL/libsndfile would sit. Only formats whose codecs genuinely need
+external libraries (MP3, H.264) still fall back to the marked
 structural-feature fake.
 
-Pure stdlib (struct + zlib); deterministic; no I/O.
+Pure stdlib (struct + zlib) plus numpy for the JPEG DCT; deterministic;
+no I/O.
 """
 
 from __future__ import annotations
@@ -419,3 +424,682 @@ def parse_wav(payload: bytes) -> WavAudio:
     if n_ch < 1 or rate < 1 or bits not in (8, 16, 24, 32):
         raise CodecError(f"bad WAV fmt (channels={n_ch}, rate={rate}, bits={bits})")
     return WavAudio(n_ch, rate, bits, data)
+
+
+# ---------------------------------------------------------------------------
+# JPEG — baseline JFIF (SOF0): marker walking, DQT/DHT/DRI/SOS parsing,
+# canonical huffman decode, dequantize + dezigzag + IDCT, general sampling
+# factors (4:4:4 / 4:2:2 / 4:2:0) with chroma upsampling, restart markers.
+# The encoder emits standard Annex K huffman tables and either
+# quality-scaled Annex K quantization or (quality=None) all-ones tables —
+# the latter makes flat-color images decode EXACTLY (the DCT of a constant
+# block is a lone DC coefficient, which survives quantize/dequantize/IDCT
+# bit-exactly), the property the oracle-checked decode query relies on.
+# ---------------------------------------------------------------------------
+
+#: zigzag scan order: the k-th coefficient in the entropy stream lands at
+#: raster position _JPEG_ZIGZAG[k] of the 8x8 block
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+#: ITU-T T.81 Annex K quantization tables (raster order)
+_JPEG_STD_LUMA_Q = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+_JPEG_STD_CHROMA_Q = (
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+)
+
+#: Annex K huffman table specs: (BITS[1..16], HUFFVAL)
+_JPEG_STD_DC_LUMA = (
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_JPEG_STD_DC_CHROMA = (
+    (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+_JPEG_STD_AC_LUMA = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    (
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+_JPEG_STD_AC_CHROMA = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    (
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+
+_JPEG_SUBSAMPLING = {
+    # (luma_h, luma_v); chroma is always (1, 1)
+    "4:4:4": (1, 1),
+    "4:2:2": (2, 1),
+    "4:2:0": (2, 2),
+}
+
+
+@dataclass(frozen=True)
+class JpegImage:
+    width: int
+    height: int
+    #: 1 (grayscale) or 3 (YCbCr decoded to RGB)
+    n_components: int
+    #: decoded samples, row-major top-down RGB triples (grayscale is
+    #: replicated to R=G=B so channel_sums is format-uniform)
+    pixels: bytes
+
+    def channel_sums(self) -> tuple[int, int, int]:
+        return (
+            sum(self.pixels[0::3]),
+            sum(self.pixels[1::3]),
+            sum(self.pixels[2::3]),
+        )
+
+
+def _jpeg_dct_matrix():
+    """8x8 orthonormal DCT-II matrix D: FDCT = D @ f @ D.T, IDCT = D.T @ F @ D."""
+    import math
+
+    import numpy as np
+
+    d = np.empty((8, 8), dtype=np.float64)
+    for u in range(8):
+        cu = math.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            d[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return d
+
+
+_DCT_M = None
+
+
+def _dct_m():
+    global _DCT_M
+    if _DCT_M is None:
+        _DCT_M = _jpeg_dct_matrix()
+    return _DCT_M
+
+
+def _jpeg_quality_scale(table: tuple, quality: int) -> list[int]:
+    """libjpeg-compatible linear quality scaling of an Annex K table."""
+    if not 1 <= quality <= 100:
+        raise CodecError(f"JPEG quality out of range: {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - quality * 2
+    return [max(1, min(255, (q * scale + 50) // 100)) for q in table]
+
+
+def _canonical_codes(bits: tuple, values: tuple) -> dict:
+    """JPEG canonical huffman assignment: symbol -> (code, length)."""
+    if len(bits) != 16:
+        raise CodecError("huffman BITS must have 16 entries")
+    if sum(bits) != len(values):
+        raise CodecError(
+            f"huffman spec mismatch: BITS sums to {sum(bits)}, {len(values)} values"
+        )
+    codes = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise CodecError("over-subscribed huffman code lengths")
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _decode_table(bits: tuple, values: tuple) -> dict:
+    """(length, code) -> symbol lookup for bit-serial canonical decode."""
+    return {
+        (length, code): sym
+        for sym, (code, length) in _canonical_codes(bits, values).items()
+    }
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        """Pad the final partial byte with 1-bits (T.81 F.1.2.3)."""
+        if self._n:
+            self.write((1 << (8 - self._n)) - 1, 8 - self._n)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(size category, appended-bits value) for a DC diff / AC coefficient."""
+    size = int(v if v >= 0 else -v).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _jpeg_extend(bits: int, size: int) -> int:
+    """Inverse of _jpeg_magnitude (T.81 F.2.2.1 EXTEND)."""
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+def write_jpeg(
+    width: int,
+    height: int,
+    pixels: bytes,
+    quality: int | None = None,
+    subsampling: str = "4:2:0",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF JPEG from top-down RGB triples.
+
+    ``quality=None`` writes all-ones quantization tables: every DCT
+    coefficient survives quantization unrounded, so flat-color images
+    round-trip EXACTLY and general content round-trips within IDCT
+    rounding (±1/pixel). An integer 1-100 scales the Annex K tables the
+    way libjpeg does. ``subsampling`` picks the luma sampling factors;
+    ``restart_interval`` > 0 emits DRI + RSTn markers every N MCUs.
+    """
+    import numpy as np
+
+    if len(pixels) != width * height * 3:
+        raise CodecError(
+            f"pixel buffer is {len(pixels)} bytes, need {width * height * 3}"
+        )
+    if width <= 0 or height <= 0 or width > 65535 or height > 65535:
+        raise CodecError(f"bad JPEG dimensions {width}x{height}")
+    if subsampling not in _JPEG_SUBSAMPLING:
+        raise CodecError(f"unsupported subsampling {subsampling!r}")
+    hmax, vmax = _JPEG_SUBSAMPLING[subsampling]
+
+    if quality is None:
+        luma_q = [1] * 64
+        chroma_q = [1] * 64
+    else:
+        luma_q = _jpeg_quality_scale(_JPEG_STD_LUMA_Q, quality)
+        chroma_q = _jpeg_quality_scale(_JPEG_STD_CHROMA_Q, quality)
+
+    rgb = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, 3).astype(np.float64)
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    # JFIF color transform; floor(x+0.5) so the rounding rule is the same
+    # closed-form arithmetic an oracle can replicate
+    y = np.clip(np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5), 0, 255)
+    cb = np.clip(np.floor(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0 + 0.5), 0, 255)
+    cr = np.clip(np.floor(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0 + 0.5), 0, 255)
+
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+
+    def pad_to(plane, ph, pw):
+        return np.pad(
+            plane,
+            ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+            mode="edge",
+        )
+
+    y_plane = pad_to(y, mcus_y * mcu_h, mcus_x * mcu_w)
+    # chroma: box-average over the sampling footprint, then round
+    cw, ch = mcus_x * 8, mcus_y * 8
+    if hmax == 1 and vmax == 1:
+        cb_s, cr_s = cb, cr
+    else:
+        ph, pw = mcus_y * mcu_h, mcus_x * mcu_w
+        cb_p, cr_p = pad_to(cb, ph, pw), pad_to(cr, ph, pw)
+        cb_s = np.floor(
+            cb_p.reshape(ph // vmax, vmax, pw // hmax, hmax).mean(axis=(1, 3)) + 0.5
+        )
+        cr_s = np.floor(
+            cr_p.reshape(ph // vmax, vmax, pw // hmax, hmax).mean(axis=(1, 3)) + 0.5
+        )
+    cb_plane = pad_to(cb_s, ch, cw)
+    cr_plane = pad_to(cr_s, ch, cw)
+
+    d = _dct_m()
+    luma_qm = np.array(luma_q, dtype=np.float64).reshape(8, 8)
+    chroma_qm = np.array(chroma_q, dtype=np.float64).reshape(8, 8)
+
+    def encode_block(plane, by, bx, qm):
+        f = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+        coef = d @ f @ d.T
+        q = np.floor(coef / qm + 0.5).astype(np.int64)  # round-to-nearest
+        return q.reshape(64)
+
+    dc_luma = _canonical_codes(*_JPEG_STD_DC_LUMA)
+    ac_luma = _canonical_codes(*_JPEG_STD_AC_LUMA)
+    dc_chroma = _canonical_codes(*_JPEG_STD_DC_CHROMA)
+    ac_chroma = _canonical_codes(*_JPEG_STD_AC_CHROMA)
+
+    w = _JpegBitWriter()
+    pred = [0, 0, 0]  # DC predictors per component
+
+    def emit_block(zz_block, dc_codes, ac_codes, comp):
+        diff = int(zz_block[0]) - pred[comp]
+        pred[comp] = int(zz_block[0])
+        size, bits = _jpeg_magnitude(diff)
+        if size > 11:
+            raise CodecError(f"DC difference {diff} out of baseline range")
+        code, length = dc_codes[size]
+        w.write(code, length)
+        if size:
+            w.write(bits, size)
+        run = 0
+        for k in range(1, 64):
+            v = int(zz_block[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL: 16 zeros
+                w.write(code, length)
+                run -= 16
+            size, bits = _jpeg_magnitude(v)
+            if size > 10:
+                raise CodecError(f"AC coefficient {v} out of baseline range")
+            code, length = ac_codes[(run << 4) | size]
+            w.write(code, length)
+            w.write(bits, size)
+            run = 0
+        if run:
+            code, length = ac_codes[0x00]  # EOB
+            w.write(code, length)
+
+    mcu_index = 0
+    rst_n = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                w.flush()
+                w.out += bytes((0xFF, 0xD0 + rst_n))
+                rst_n = (rst_n + 1) & 7
+                pred[:] = [0, 0, 0]
+            for vy in range(vmax):
+                for vx in range(hmax):
+                    zz = encode_block(y_plane, my * vmax + vy, mx * hmax + vx, luma_qm)
+                    emit_block(zz[list(_JPEG_ZIGZAG)], dc_luma, ac_luma, 0)
+            zz = encode_block(cb_plane, my, mx, chroma_qm)
+            emit_block(zz[list(_JPEG_ZIGZAG)], dc_chroma, ac_chroma, 1)
+            zz = encode_block(cr_plane, my, mx, chroma_qm)
+            emit_block(zz[list(_JPEG_ZIGZAG)], dc_chroma, ac_chroma, 2)
+            mcu_index += 1
+    w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")  # APP0
+    out += seg(0xDB, b"\x00" + bytes(luma_q[z] for z in _JPEG_ZIGZAG))
+    out += seg(0xDB, b"\x01" + bytes(chroma_q[z] for z in _JPEG_ZIGZAG))
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    sof += bytes((1, (hmax << 4) | vmax, 0))  # Y
+    sof += bytes((2, 0x11, 1))  # Cb
+    sof += bytes((3, 0x11, 1))  # Cr
+    out += seg(0xC0, sof)  # SOF0 baseline
+
+    def dht(tc_th: int, spec) -> bytes:
+        bits, values = spec
+        return seg(0xC4, bytes((tc_th,)) + bytes(bits) + bytes(values))
+
+    out += dht(0x00, _JPEG_STD_DC_LUMA)
+    out += dht(0x10, _JPEG_STD_AC_LUMA)
+    out += dht(0x01, _JPEG_STD_DC_CHROMA)
+    out += dht(0x11, _JPEG_STD_AC_CHROMA)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, b"\x03" + bytes((1, 0x00, 2, 0x11, 3, 0x11)) + b"\x00\x3f\x00")
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data: un-stuffs FF 00,
+    stops (raises) at any real marker, byte-aligns for restarts."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self._cur = 0
+        self._n = 0
+
+    def _load_byte(self) -> None:
+        if self.pos >= len(self.buf):
+            raise CodecError("JPEG entropy stream truncated")
+        byte = self.buf[self.pos]
+        if byte == 0xFF:
+            if self.pos + 1 >= len(self.buf):
+                raise CodecError("JPEG entropy stream truncated at 0xFF")
+            nxt = self.buf[self.pos + 1]
+            if nxt != 0x00:
+                raise CodecError(
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                )
+            self.pos += 2
+        else:
+            self.pos += 1
+        self._cur = byte
+        self._n = 8
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            self._load_byte()
+        self._n -= 1
+        return (self._cur >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_symbol(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise CodecError("invalid huffman code in JPEG entropy stream")
+
+    def sync_restart(self, n: int) -> None:
+        """Discard pad bits, consume the expected RSTn marker."""
+        self._n = 0
+        if self.pos + 2 > len(self.buf):
+            raise CodecError("JPEG truncated where RST marker expected")
+        if self.buf[self.pos] != 0xFF or self.buf[self.pos + 1] != 0xD0 + n:
+            raise CodecError(
+                f"expected RST{n} marker, found "
+                f"{self.buf[self.pos]:02X}{self.buf[self.pos + 1]:02X}"
+            )
+        self.pos += 2
+
+
+def parse_jpeg(payload: bytes) -> JpegImage:
+    """Decode a baseline (SOF0) JFIF JPEG to top-down RGB triples.
+
+    Real decode pipeline: marker segment walk -> DQT/DHT/DRI/SOS parsing ->
+    canonical huffman entropy decode with byte un-stuffing and restart
+    handling -> dequantize -> dezigzag -> IDCT -> chroma upsample (nearest
+    neighbor over general h/v sampling factors) -> YCbCr->RGB. Rejects
+    progressive (SOF2) and arithmetic-coded streams explicitly.
+    """
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise CodecError(f"not a JPEG (magic {payload[:2]!r})")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> decode table
+    restart_interval = 0
+    frame = None  # (width, height, [(comp_id, h, v, tq), ...])
+    scan = None  # ([(comp_idx, dc_id, ac_id), ...], data_start)
+
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise CodecError(f"expected marker at offset {pos}, got {payload[pos]:02X}")
+        marker = payload[pos + 1]
+        if marker == 0xD8:  # stray SOI
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before any scan
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            raise CodecError(f"JPEG segment 0xFF{marker:02X} truncated")
+        if marker == 0xDB:  # DQT: one or more tables per segment
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                off += 1
+                if pq not in (0, 1):
+                    raise CodecError(f"bad DQT precision {pq}")
+                n = 64 * (2 if pq else 1)
+                if off + n > len(body):
+                    raise CodecError("DQT table truncated")
+                if pq:
+                    vals = [v for (v,) in struct.iter_unpack(">H", body[off : off + n])]
+                else:
+                    vals = list(body[off : off + n])
+                table = [0] * 64
+                for k, z in enumerate(_JPEG_ZIGZAG):
+                    table[z] = vals[k]
+                qtables[tq] = table
+                off += n
+        elif marker == 0xC4:  # DHT: one or more tables per segment
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = tuple(body[off + 1 : off + 17])
+                count = sum(bits)
+                values = tuple(body[off + 17 : off + 17 + count])
+                if len(values) != count:
+                    raise CodecError("DHT table truncated")
+                htables[(tc, th)] = _decode_table(bits, values)
+                off += 17 + count
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0 baseline / extended seq.
+            precision = body[0]
+            if precision != 8:
+                raise CodecError(f"only 8-bit JPEG supported (precision {precision})")
+            h, w_, ncomp = struct.unpack_from(">HHB", body, 1)
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (w_, h, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise CodecError(
+                f"unsupported JPEG coding process (SOF marker 0xFF{marker:02X}; "
+                "only baseline sequential is supported)"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise CodecError("JPEG SOS before SOF")
+            ns = body[0]
+            comps_in_scan = []
+            frame_ids = [c[0] for c in frame[2]]
+            for i in range(ns):
+                cs, tds = body[1 + 2 * i], body[2 + 2 * i]
+                if cs not in frame_ids:
+                    raise CodecError(f"SOS references unknown component {cs}")
+                comps_in_scan.append((frame_ids.index(cs), tds >> 4, tds & 0x0F))
+            if ns != len(frame[2]):
+                raise CodecError("only single interleaved scan supported")
+            scan = (comps_in_scan, pos + 2 + seg_len)
+            break
+        # APPn / COM / anything else: skip
+        pos += 2 + seg_len
+
+    if frame is None:
+        raise CodecError("JPEG has no SOF frame header")
+    if scan is None:
+        raise CodecError("JPEG has no SOS scan")
+
+    width, height, comps = frame
+    if width <= 0 or height <= 0:
+        raise CodecError(f"bad JPEG dimensions {width}x{height}")
+    if len(comps) not in (1, 3):
+        raise CodecError(f"only 1- or 3-component JPEG supported ({len(comps)})")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or hmax > 4 or vmax > 4:
+        raise CodecError(f"bad sampling factors (hmax={hmax}, vmax={vmax})")
+    for _, hi, vi, tq in comps:
+        if tq not in qtables:
+            raise CodecError(f"missing quantization table {tq}")
+
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    d = _dct_m()
+
+    # per-component coefficient planes (padded to whole MCUs)
+    planes = []
+    for _, hi, vi, tq in comps:
+        planes.append(np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), dtype=np.float64))
+
+    scan_comps, data_start = scan
+    for comp_idx, dc_id, ac_id in scan_comps:
+        if (0, dc_id) not in htables or (1, ac_id) not in htables:
+            raise CodecError(
+                f"missing huffman table (DC {dc_id} / AC {ac_id}) for scan"
+            )
+
+    reader = _JpegBitReader(payload, data_start)
+    pred = [0] * len(comps)
+    rst_n = 0
+    mcu_index = 0
+    qmats = [
+        np.array(qtables[tq], dtype=np.float64).reshape(8, 8)
+        for _, _, _, tq in comps
+    ]
+    zz_pos = list(_JPEG_ZIGZAG)
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                reader.sync_restart(rst_n)
+                rst_n = (rst_n + 1) & 7
+                pred = [0] * len(comps)
+            for comp_idx, dc_id, ac_id in scan_comps:
+                _, hi, vi, _tq = comps[comp_idx]
+                dc_tab = htables[(0, dc_id)]
+                ac_tab = htables[(1, ac_id)]
+                for vy in range(vi):
+                    for vx in range(hi):
+                        zz = [0] * 64
+                        size = reader.read_symbol(dc_tab)
+                        if size > 11:
+                            raise CodecError(f"bad DC size category {size}")
+                        diff = _jpeg_extend(reader.read_bits(size), size)
+                        pred[comp_idx] += diff
+                        zz[0] = pred[comp_idx]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_symbol(ac_tab)
+                            run, size = rs >> 4, rs & 0x0F
+                            if size == 0:
+                                if run == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += run
+                            if k > 63:
+                                raise CodecError("AC run overflows block")
+                            zz[k] = _jpeg_extend(reader.read_bits(size), size)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        for kk in range(64):
+                            block[zz_pos[kk]] = zz[kk]
+                        coef = block.reshape(8, 8) * qmats[comp_idx]
+                        out = d.T @ coef @ d + 128.0
+                        by = (my * vi + vy) * 8
+                        bx = (mx * hi + vx) * 8
+                        planes[comp_idx][by : by + 8, bx : bx + 8] = out
+            mcu_index += 1
+
+    # integer samples; floor(x+0.5) to match the encoder's rounding rule
+    for i in range(len(planes)):
+        planes[i] = np.clip(np.floor(planes[i] + 0.5), 0, 255)
+
+    # the scan must be followed by EOI (possibly after fill bytes)
+    tail = payload[reader.pos :]
+    if b"\xff\xd9" not in tail:
+        raise CodecError("JPEG has no EOI marker after scan data")
+
+    # upsample each component to full resolution (nearest neighbor)
+    full = []
+    for (cid, hi, vi, tq), plane in zip(comps, planes):
+        up = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1) \
+            if (hi != hmax or vi != vmax) else plane
+        full.append(up[:height, :width])
+
+    if len(comps) == 1:
+        ych = full[0]
+        rgb = np.stack([ych, ych, ych], axis=2)
+    else:
+        ych, cbch, crch = full
+        r = np.floor(ych + 1.402 * (crch - 128.0) + 0.5)
+        g = np.floor(ych - 0.344136 * (cbch - 128.0) - 0.714136 * (crch - 128.0) + 0.5)
+        b = np.floor(ych + 1.772 * (cbch - 128.0) + 0.5)
+        rgb = np.stack([r, g, b], axis=2)
+    rgb = np.clip(rgb, 0, 255).astype(np.uint8)
+    return JpegImage(width, height, len(comps), rgb.tobytes())

@@ -1,13 +1,15 @@
 """Multimodal column operators: opaque ``binary`` payloads with typed
 metadata, decoded/feature-extracted via Arrow-batched ``mapInPandas``.
 
-The decode step is REAL for PPM/BMP/PNG images and PCM WAV audio — complete
-dependency-free byte-format parsers in functions/codecs.py (header grammar,
-endianness, BMP row padding, RIFF chunk walking), golden- and
-round-trip-tested. q81 decodes genuine P6 rasters; q93 walks genuine RIFF
-chunks before frame-sampling the data chunk. Formats that require external
-libraries (JPEG/MP3) fall back to the clearly-marked structural-feature
-fake (``_fake_decode``) until a real codec is installed.
+The decode step is REAL for PPM/BMP/PNG/baseline-JPEG images and PCM WAV
+audio — complete dependency-free byte-format parsers in
+functions/codecs.py (header grammar, endianness, BMP row padding, RIFF
+chunk walking, JPEG huffman + IDCT + chroma upsampling), golden- and
+round-trip-tested. q81 decodes genuine P6/BMP rasters; q257 decodes
+genuine baseline JFIF streams; q93 walks genuine RIFF chunks before
+frame-sampling the data chunk. Only formats that require external
+libraries (MP3, H.264) fall back to the clearly-marked
+structural-feature fake (``_fake_decode``).
 
 Scale notes: binary payloads ride inside Tungsten rows; mapInPandas streams
 Arrow record batches (no per-row Python overhead) and preserves partitioning,
@@ -58,15 +60,16 @@ def q80_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- codec dispatch: real parsers for PPM/BMP/WAV, fake fallback otherwise --
+# -- codec dispatch: real parsers for PPM/BMP/PNG/JPEG/WAV, fake fallback
+# -- only for formats whose codecs genuinely need external libs (MP3/H.264)
 
 
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic FALLBACK for formats whose codecs need external
-    libraries (JPEG/MP3): structural byte features an oracle can
-    recompute. PPM/BMP/PNG/WAV payloads never reach this — ``decode_media``
-    routes them to the real parsers in functions/codecs.py. Raises on None
-    like a real codec would.
+    libraries (MP3/H.264): structural byte features an oracle can
+    recompute. PPM/BMP/PNG/JPEG/WAV payloads never reach this —
+    ``decode_media`` routes them to the real parsers in
+    functions/codecs.py. Raises on None like a real codec would.
     """
     if payload is None:
         raise ValueError("cannot decode null payload")
@@ -125,6 +128,20 @@ def decode_media(payload: bytes) -> dict:
             "height": img.height,
             "maxval": 255,
             "n_channels": img.n_channels,
+            "sum_r": sr,
+            "sum_g": sg,
+            "sum_b": sb,
+        }
+    if payload[:2] == b"\xff\xd8":
+        img = C.parse_jpeg(bytes(payload))
+        sr, sg, sb = img.channel_sums()
+        return {
+            "kind": "jpeg",
+            "n_bytes": len(payload),
+            "width": img.width,
+            "height": img.height,
+            "maxval": 255,
+            "n_channels": img.n_components,
             "sum_r": sr,
             "sum_g": sg,
             "sum_b": sb,
@@ -327,6 +344,117 @@ def q81_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return payloads.mapInPandas(
         decode,
         "doc_id long, kind string, n_bytes long, width int, height int, "
+        "sum_r long, sum_g long, sum_b long",
+    )
+
+
+@register(
+    "q257_jpeg_decode",
+    oracle="""
+    WITH src AS (
+        SELECT doc_id,
+               (doc_id * 37) % 256 AS r,
+               (doc_id * 101 + 53) % 256 AS g,
+               (doc_id * 193 + 11) % 256 AS b,
+               9 + doc_id % 24 AS w,
+               7 + doc_id % 19 AS h
+        FROM documents
+    ),
+    yc AS (
+        SELECT *,
+            LEAST(255, GREATEST(0, FLOOR(0.299 * r + 0.587 * g + 0.114 * b + 0.5))) AS yy,
+            LEAST(255, GREATEST(0, FLOOR(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0 + 0.5))) AS cb,
+            LEAST(255, GREATEST(0, FLOOR(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0 + 0.5))) AS cr
+        FROM src
+    ),
+    dec AS (
+        SELECT doc_id, w, h,
+            LEAST(255, GREATEST(0, FLOOR(yy + 1.402 * (cr - 128) + 0.5))) AS dr,
+            LEAST(255, GREATEST(0, FLOOR(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5))) AS dg,
+            LEAST(255, GREATEST(0, FLOOR(yy + 1.772 * (cb - 128) + 0.5))) AS db
+        FROM yc
+    )
+    SELECT doc_id, 'jpeg' AS kind, w AS width, h AS height,
+           CAST(w * h * dr AS BIGINT) AS sum_r,
+           CAST(w * h * dg AS BIGINT) AS sum_g,
+           CAST(w * h * db AS BIGINT) AS sum_b
+    FROM dec
+    """,
+)
+def q257_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG-decode pipeline over REAL baseline JFIF bytes end-to-end: each
+    document becomes a flat-color raster (color and dimensions derived from
+    doc_id) encoded by functions/codecs.write_jpeg — full huffman entropy
+    coding, DCT, chroma subsampling cycling 4:2:0 / 4:2:2 / 4:4:4 by
+    doc_id, restart markers on every 5th doc — and the decode stage
+    dispatches on the FFD8 magic inside Arrow-batched mapInPandas, running
+    the real parse_jpeg (marker walk, canonical huffman decode, dequant,
+    IDCT, chroma upsample, YCbCr->RGB).
+
+    The oracle is exact, not tolerance-banded, because the encoder writes
+    all-ones quantization tables: a flat block's DCT is a lone DC
+    coefficient that survives quantize/dequantize/IDCT bit-exactly, so the
+    decoded color is the closed-form floor(x+0.5) YCbCr round trip the SQL
+    replicates — any huffman mis-decode, dequant slip, IDCT error, row
+    mis-placement, or sampling-factor bug shifts a channel sum and flips
+    the hash. Scale: one tiny CPU-bound codec call per row inside
+    mapInPandas, no shuffle — decode parallelism equals input partitions.
+    """
+    import pandas as pd
+
+    from ..functions.codecs import write_jpeg
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    src = documents.select("doc_id")
+    # The codec stage is CPU-bound Python: its parallelism equals input
+    # partitions. A 100 TB scan has thousands of splits; a small local file
+    # arrives as one, so fan out to the session's parallelism first (a
+    # round-robin exchange of a bare id column — negligible data motion).
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+
+    _SUBS = ("4:2:0", "4:2:2", "4:4:4")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                r, g, b = (did * 37) % 256, (did * 101 + 53) % 256, (did * 193 + 11) % 256
+                w, h = 9 + did % 24, 7 + did % 19
+                payloads.append(
+                    write_jpeg(
+                        w,
+                        h,
+                        bytes((r, g, b)) * (w * h),
+                        quality=None,
+                        subsampling=_SUBS[did % 3],
+                        restart_interval=1 if did % 5 == 0 else 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = src.mapInPandas(synth, "doc_id long, payload binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(decode_media)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kind": feats.map(lambda d: d["kind"]),
+                    "width": feats.map(lambda d: d["width"]),
+                    "height": feats.map(lambda d: d["height"]),
+                    "sum_r": feats.map(lambda d: d["sum_r"]),
+                    "sum_g": feats.map(lambda d: d["sum_g"]),
+                    "sum_b": feats.map(lambda d: d["sum_b"]),
+                }
+            )
+
+    return payloads.mapInPandas(
+        decode,
+        "doc_id long, kind string, width int, height int, "
         "sum_r long, sum_g long, sum_b long",
     )
 

@@ -1,0 +1,245 @@
+"""Baseline JFIF JPEG codec tests: marker structure, exact flat-color
+round trips (the all-ones-quant property the q257 oracle relies on),
+bounded-error round trips for arbitrary content, restart markers, chroma
+subsampling, grayscale decode, and malformed-input rejection."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kinesis_writer_spark.functions.codecs import (
+    CodecError,
+    parse_jpeg,
+    write_jpeg,
+)
+
+
+def _predict_flat(r: int, g: int, b: int) -> tuple[int, int, int]:
+    """Closed-form floor(x+0.5) YCbCr round trip — what a correct decoder
+    MUST return for a flat-color all-ones-quant baseline JPEG (and exactly
+    what the q257 DuckDB oracle computes)."""
+
+    def clamp(v: float) -> int:
+        return min(255, max(0, int(math.floor(v))))
+
+    y = clamp(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    cb = clamp(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0 + 0.5)
+    cr = clamp(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0 + 0.5)
+    return (
+        clamp(y + 1.402 * (cr - 128) + 0.5),
+        clamp(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5),
+        clamp(y + 1.772 * (cb - 128) + 0.5),
+    )
+
+
+class TestMarkers:
+    def test_stream_structure(self):
+        payload = write_jpeg(8, 8, bytes((120, 60, 200)) * 64)
+        assert payload[:2] == b"\xff\xd8"  # SOI
+        assert payload[-2:] == b"\xff\xd9"  # EOI
+        assert payload[2:4] == b"\xff\xe0"  # APP0 first
+        assert b"JFIF\x00" in payload[:20]
+        # one marker of each required kind
+        for marker in (b"\xff\xdb", b"\xff\xc0", b"\xff\xc4", b"\xff\xda"):
+            assert marker in payload
+
+    def test_sof0_geometry(self):
+        payload = write_jpeg(33, 17, bytes(33 * 17 * 3))
+        i = payload.index(b"\xff\xc0")
+        precision, h, w = struct.unpack_from(">BHH", payload, i + 4)
+        assert (precision, w, h) == (8, 33, 17)
+
+    def test_dri_emitted_only_when_requested(self):
+        px = bytes(10 for _ in range(16 * 16 * 3))
+        assert b"\xff\xdd" not in write_jpeg(16, 16, px)
+        with_dri = write_jpeg(16, 16, px, restart_interval=1)
+        i = with_dri.index(b"\xff\xdd")
+        assert struct.unpack_from(">H", with_dri, i + 4)[0] == 1
+
+
+class TestFlatExact:
+    @given(
+        st.integers(0, 255),
+        st.integers(0, 255),
+        st.integers(0, 255),
+        st.integers(1, 37),
+        st.integers(1, 29),
+        st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]),
+    )
+    @settings(max_examples=60, deadline=None)
+    def test_flat_color_roundtrip_exact(self, r, g, b, w, h, sub):
+        payload = write_jpeg(w, h, bytes((r, g, b)) * (w * h), subsampling=sub)
+        img = parse_jpeg(payload)
+        assert (img.width, img.height, img.n_components) == (w, h, 3)
+        pr, pg, pb = _predict_flat(r, g, b)
+        pixel_set = {
+            tuple(img.pixels[i : i + 3]) for i in range(0, len(img.pixels), 3)
+        }
+        assert pixel_set == {(pr, pg, pb)}
+        assert img.channel_sums() == (pr * w * h, pg * w * h, pb * w * h)
+
+
+class TestLossyBounds:
+    @given(st.data())
+    @settings(max_examples=15, deadline=None)
+    def test_arbitrary_content_near_exact_at_ones_quant(self, data):
+        w = data.draw(st.integers(4, 24))
+        h = data.draw(st.integers(4, 24))
+        px = bytes(
+            data.draw(
+                st.lists(
+                    st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+                )
+            )
+        )
+        img = parse_jpeg(write_jpeg(w, h, px, subsampling="4:4:4"))
+        # all-ones quant: the only loss is YCbCr rounding + IDCT rounding
+        assert max(abs(a - b) for a, b in zip(px, img.pixels)) <= 4
+
+    def test_quality_scaled_tables_decode_close(self):
+        w, h = 24, 16
+        px = bytes(
+            (x * 11 + y * 5 + c * 3) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        )
+        img = parse_jpeg(write_jpeg(w, h, px, quality=90, subsampling="4:4:4"))
+        assert (img.width, img.height) == (w, h)
+        errs = [abs(a - b) for a, b in zip(px, img.pixels)]
+        assert sum(errs) / len(errs) < 12  # lossy but sane
+
+    def test_higher_quality_smaller_error(self):
+        w, h = 16, 16
+        px = bytes((x * 13 + y * 7) % 256 for y in range(h) for x in range(w) for _ in range(3))
+        e = {}
+        for q in (25, 95):
+            img = parse_jpeg(write_jpeg(w, h, px, quality=q, subsampling="4:4:4"))
+            e[q] = sum(abs(a - b) for a, b in zip(px, img.pixels))
+        assert e[95] < e[25]
+
+
+class TestRestart:
+    def test_restart_markers_roundtrip(self):
+        w, h = 40, 24  # 4:2:0 -> 3x2 = 6 MCUs -> RST0..RST4 in the stream
+        px = bytes((118, 42, 200)) * (w * h)
+        payload = write_jpeg(w, h, px, restart_interval=1)
+        assert b"\xff\xd0" in payload and b"\xff\xd4" in payload
+        img = parse_jpeg(payload)
+        assert img.channel_sums() == tuple(
+            c * w * h for c in _predict_flat(118, 42, 200)
+        )
+
+    def test_corrupted_restart_rejected(self):
+        payload = bytearray(
+            write_jpeg(32, 32, bytes((10, 20, 30)) * 1024, restart_interval=1)
+        )
+        i = payload.index(b"\xff\xd0")
+        payload[i + 1] = 0xD5  # out-of-sequence restart
+        with pytest.raises(CodecError, match="RST"):
+            parse_jpeg(bytes(payload))
+
+
+class TestGrayscale:
+    def test_single_component_decode(self):
+        # hand-build a 1-component baseline stream via the encoder's private
+        # pieces is overkill: instead strip to grayscale by re-tagging a
+        # 4:4:4 encode is invalid. Build a minimal gray JPEG directly.
+        from kinesis_writer_spark.functions import codecs as C
+
+        w = C._JpegBitWriter()
+        dc = C._canonical_codes(*C._JPEG_STD_DC_LUMA)
+        ac = C._canonical_codes(*C._JPEG_STD_AC_LUMA)
+        # one 8x8 block, flat value 200: DC = 8*(200-128) = 576
+        size, bits = C._jpeg_magnitude(576)
+        code, length = dc[size]
+        w.write(code, length)
+        w.write(bits, size)
+        code, length = ac[0x00]  # EOB
+        w.write(code, length)
+        w.flush()
+
+        def seg(marker, body):
+            return bytes((0xFF, marker)) + struct.pack(">H", len(body) + 2) + body
+
+        q = bytes(1 for _ in range(64))
+        payload = (
+            b"\xff\xd8"
+            + seg(0xDB, b"\x00" + q)
+            + seg(0xC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes((1, 0x11, 0)))
+            + seg(0xC4, b"\x00" + bytes(C._JPEG_STD_DC_LUMA[0]) + bytes(C._JPEG_STD_DC_LUMA[1]))
+            + seg(0xC4, b"\x10" + bytes(C._JPEG_STD_AC_LUMA[0]) + bytes(C._JPEG_STD_AC_LUMA[1]))
+            + seg(0xDA, b"\x01" + bytes((1, 0x00)) + b"\x00\x3f\x00")
+            + bytes(w.out)
+            + b"\xff\xd9"
+        )
+        img = parse_jpeg(payload)
+        assert (img.width, img.height, img.n_components) == (8, 8, 1)
+        assert set(img.pixels) == {200}  # Y replicated to R=G=B
+
+
+class TestRejection:
+    def test_not_a_jpeg(self):
+        with pytest.raises(CodecError, match="not a JPEG"):
+            parse_jpeg(b"\x89PNG\r\n\x1a\nxxxx")
+
+    def test_truncated_segment(self):
+        payload = write_jpeg(8, 8, bytes(8 * 8 * 3))
+        with pytest.raises(CodecError):
+            parse_jpeg(payload[:10])
+
+    def test_progressive_rejected(self):
+        payload = bytearray(write_jpeg(8, 8, bytes(8 * 8 * 3)))
+        i = payload.index(b"\xff\xc0")
+        payload[i + 1] = 0xC2  # SOF2: progressive
+        with pytest.raises(CodecError, match="progressive|baseline|process"):
+            parse_jpeg(bytes(payload))
+
+    def test_missing_eoi(self):
+        payload = write_jpeg(8, 8, bytes((7, 8, 9)) * 64)
+        with pytest.raises(CodecError, match="EOI|truncated"):
+            parse_jpeg(payload[:-2])
+
+    def test_missing_quant_table(self):
+        payload = write_jpeg(8, 8, bytes(192))
+        # drop the first DQT segment (luma table)
+        i = payload.index(b"\xff\xdb")
+        (seg_len,) = struct.unpack_from(">H", payload, i + 2)
+        with pytest.raises(CodecError, match="quantization"):
+            parse_jpeg(payload[:i] + payload[i + 2 + seg_len :])
+
+    def test_entropy_garbage_rejected(self):
+        payload = bytearray(write_jpeg(8, 8, bytes((200, 10, 10)) * 64))
+        i = payload.index(b"\xff\xda")
+        # truncate mid-entropy-stream, keeping a valid-looking prefix
+        with pytest.raises(CodecError):
+            parse_jpeg(bytes(payload[: i + 8]))
+
+    def test_encoder_validates_buffer(self):
+        with pytest.raises(CodecError, match="pixel buffer"):
+            write_jpeg(10, 10, bytes(5))
+        with pytest.raises(CodecError, match="quality"):
+            write_jpeg(2, 2, bytes(12), quality=0)
+        with pytest.raises(CodecError, match="subsampling"):
+            write_jpeg(2, 2, bytes(12), subsampling="4:1:1")
+
+
+class TestDispatch:
+    def test_decode_media_routes_jpeg(self):
+        from kinesis_writer_spark.operators.multimodal import decode_media
+
+        w, h = 11, 9
+        feats = decode_media(write_jpeg(w, h, bytes((50, 100, 150)) * (w * h)))
+        assert feats["kind"] == "jpeg"
+        assert (feats["width"], feats["height"]) == (w, h)
+        pr, pg, pb = _predict_flat(50, 100, 150)
+        assert (feats["sum_r"], feats["sum_g"], feats["sum_b"]) == (
+            pr * w * h,
+            pg * w * h,
+            pb * w * h,
+        )
