@@ -387,6 +387,11 @@ def write_wav(
     )
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) % 2:
+        # RIFF chunks pad to even offsets (reachable with 8-bit mono where
+        # block_align=1); the pad byte counts toward the RIFF size but not
+        # the data chunk's own size field
+        body += b"\x00"
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 

@@ -37,15 +37,31 @@ MAX_RETRIES = 30
 #: Default partition key (routing is done via explicit hash keys).
 DEFAULT_PARTITION_KEY = "a"
 
-#: Error substrings that indicate the shard map may be stale (a reshard
-#: closed the shard we were routing to, or split its capacity): these
-#: trigger a shard-map re-discovery before the retry re-routes.
+#: Error substrings that indicate the shard map is stale because of a
+#: RESHARD (the shard we routed to closed or is being mutated): these
+#: trigger a shard-map re-discovery before the retry re-routes. Throttling
+#: errors (ProvisionedThroughputExceeded / LimitExceeded) are deliberately
+#: NOT here: they usually mean overload, not reshard, and DescribeStream
+#: is itself rate-limited (~10 TPS per stream) — refreshing on every
+#: throttled retry across hundreds of executors would cascade the
+#: throttling into discovery. A reshard that only ever surfaces as reduced
+#: capacity (no error) is covered by the periodic refresh cadence below.
 RESHARD_ERROR_MARKERS = (
     "ResourceInUse",
     "ShardClosed",
-    "ProvisionedThroughputExceeded",
-    "LimitExceeded",
+    "ResourceNotFound",
 )
+
+#: Periodic shard-map re-discovery cadence (flushes between refreshes),
+#: ON by default: a silent split — a capacity change that never raises —
+#: would otherwise halve effective throughput until an error or restart.
+#: At ~1 MiB per flush this is one DescribeStream sweep per ~64 MiB
+#: shipped, far inside the API budget even fleet-wide.
+DEFAULT_REFRESH_EVERY_FLUSHES = 64
+
+#: Minimum seconds between *error-triggered* refreshes: a retry storm from
+#: one stuck shard must not turn into a DescribeStream storm.
+MIN_ERROR_REFRESH_INTERVAL_S = 5.0
 
 
 def retry_delay_seconds(fail_count: int) -> int:
@@ -246,7 +262,9 @@ class KinesisStreamWriter:
         sleep: Callable[[float], None] = time.sleep,
         routing_seed: int = 42,
         rate_limiter: ShardRateLimiter | None = None,
-        refresh_every_flushes: int | None = None,
+        refresh_every_flushes: int | None = DEFAULT_REFRESH_EVERY_FLUSHES,
+        min_error_refresh_interval_s: float = MIN_ERROR_REFRESH_INTERVAL_S,
+        clock: Callable[[], float] = time.monotonic,
     ) -> None:
         self.stream_name = stream_name
         self.client = client
@@ -254,11 +272,16 @@ class KinesisStreamWriter:
         self.max_retries = max_retries
         self._sleep = sleep
         self.rate_limiter = rate_limiter
-        #: optional periodic re-discovery cadence for long-running writers
-        #: (a reshard that never surfaces as an error — e.g. a split that
-        #: merely halves a shard's capacity — is picked up within N flushes)
+        #: periodic re-discovery cadence (None disables): a reshard that
+        #: never surfaces as an error — e.g. a split that merely halves a
+        #: shard's capacity — is picked up within N flushes
         self.refresh_every_flushes = refresh_every_flushes
+        self.min_error_refresh_interval_s = float(min_error_refresh_interval_s)
+        self._clock = clock
         self._flushes_since_discovery = 0
+        #: -inf so the FIRST reshard-shaped error always refreshes; the
+        #: cooldown only collapses the follow-up retries of a storm
+        self._last_error_refresh = float("-inf")
         midpoints = self._with_retry(lambda: open_shard_midpoints(client, stream_name))
         self.router = ShardRouter(midpoints, seed=routing_seed)
 
@@ -286,8 +309,13 @@ class KinesisStreamWriter:
 
     def _maybe_refresh_on_error(self, exc: Exception) -> None:
         msg = str(exc)
-        if any(marker in msg for marker in RESHARD_ERROR_MARKERS):
-            self.refresh_shard_map()
+        if not any(marker in msg for marker in RESHARD_ERROR_MARKERS):
+            return
+        now = self._clock()
+        if now - self._last_error_refresh < self.min_error_refresh_interval_s:
+            return  # a retry storm must not become a DescribeStream storm
+        self._last_error_refresh = now
+        self.refresh_shard_map()
 
     # -- retry plumbing -----------------------------------------------------
 

@@ -299,3 +299,21 @@ class TestPng:
         assert d["kind"] == "png"
         assert (d["sum_r"], d["sum_g"], d["sum_b"]) == (9, 8, 7)
         assert d["n_channels"] == 3
+
+
+class TestWavRiffPadding:
+    def test_odd_data_chunk_gets_riff_pad_byte(self):
+        # 8-bit mono, block_align=1: an odd-length data chunk is reachable
+        wav = write_wav(b"\x01\x02\x03", n_channels=1, sample_rate=8000, bits_per_sample=8)
+        (riff_size,) = struct.unpack_from("<I", wav, 4)
+        assert len(wav) == 8 + riff_size  # RIFF size covers the pad byte
+        assert len(wav) % 2 == 0  # spec: chunks end on even offsets
+        assert wav[-1] == 0  # the pad byte itself
+        parsed = parse_wav(wav)
+        assert parsed.data == b"\x01\x02\x03"  # data size field excludes pad
+
+    def test_even_data_chunk_unpadded(self):
+        wav = write_wav(b"\x01\x02", n_channels=1, sample_rate=8000, bits_per_sample=8)
+        assert parse_wav(wav).data == b"\x01\x02"
+        (riff_size,) = struct.unpack_from("<I", wav, 4)
+        assert len(wav) == 8 + riff_size

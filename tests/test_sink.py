@@ -213,3 +213,66 @@ class TestReshardRefresh:
         writer.refresh_shard_map()  # must not raise, must not clear the map
         assert writer.router.midpoints == before
         client.describe_stream = orig
+
+
+class TestRefreshHygiene:
+    """Round-6 hardening: refresh is ON by default (silent splits are picked
+    up without any error trigger), throttling never triggers discovery, and
+    a reshard-error retry storm can't become a DescribeStream storm."""
+
+    def _no_sleep(self, _s):
+        pass
+
+    @staticmethod
+    def _count_describes(client):
+        calls = {"n": 0}
+        orig = client.describe_stream
+
+        def counting(**kw):
+            calls["n"] += 1
+            return orig(**kw)
+
+        client.describe_stream = counting
+        return calls
+
+    def test_default_on_periodic_refresh_picks_up_silent_split(self):
+        client = FakeKinesisClient(num_shards=2)
+        writer = KinesisStreamWriter("s", client, sleep=self._no_sleep)
+        assert writer.refresh_every_flushes == 64
+        client.split_all_shards()  # NO error will ever be raised
+        # ~3 records per ~1 MiB flush -> 200 payloads is ~66 flushes
+        assert writer.write(b"z" * 400_000 for _ in range(200)) == 200
+        assert len(set(writer.router.midpoints)) == 4  # children discovered
+
+    def test_throttle_error_does_not_trigger_discovery(self):
+        client = FakeKinesisClient(num_shards=2)
+        writer = KinesisStreamWriter("s", client, sleep=self._no_sleep)
+        calls = self._count_describes(client)
+        client.fail_next_put_with = (
+            "ProvisionedThroughputExceededException: rate exceeded"
+        )
+        assert writer.write([b"a" * 1000]) == 1
+        assert calls["n"] == 0  # paced by the rate limiter, not discovery
+
+    def test_error_refresh_cooldown_collapses_retry_storms(self):
+        client = FakeKinesisClient(num_shards=2)
+        now = {"t": 100.0}
+        writer = KinesisStreamWriter(
+            "s", client, sleep=self._no_sleep, clock=lambda: now["t"]
+        )
+        calls = self._count_describes(client)
+
+        # three reshard-shaped errors within the cooldown window: only the
+        # FIRST refreshes (paginated fake: 1 describe call per shard page)
+        for _ in range(3):
+            client.fail_next_put_with = "ResourceInUseException: resharding"
+            writer.write([b"b" * 1000])
+        first_burst = calls["n"]
+        assert first_burst > 0
+        per_sweep = first_burst  # one full pagination sweep
+
+        # past the cooldown, the next reshard error refreshes again
+        now["t"] += writer.min_error_refresh_interval_s + 1
+        client.fail_next_put_with = "ShardClosed: gone"
+        writer.write([b"c" * 1000])
+        assert calls["n"] == per_sweep * 2
