@@ -253,10 +253,18 @@ class CaptureSinkClient:
     deaggregate → original payloads.
     """
 
-    def __init__(self, capture_dir: str, num_shards: int = 1) -> None:
+    def __init__(
+        self, capture_dir: str, num_shards: int = 1, split_after_puts: int = 0
+    ) -> None:
         import os
 
         self._dir = capture_dir
+        #: chaos knob: after N successful put_records calls, every open
+        #: shard closes and splits into two children — a mid-stream
+        #: UpdateShardCount doubling the sink must write through live
+        self.split_after_puts = int(split_after_puts)
+        self._puts_seen = 0
+        self._next_shard_id = num_shards
         space = 1 << 128
         self.shards = []
         for i in range(num_shards):
@@ -272,6 +280,38 @@ class CaptureSinkClient:
             )
             os.makedirs(os.path.join(capture_dir, sid), exist_ok=True)
 
+    def split_all_shards(self) -> None:
+        """Close every open shard and open two children over each half of
+        its hash range (parents stay listed with their EndingSequenceNumber,
+        as the real API keeps them for the retention window)."""
+        import os
+
+        children = []
+        for shard in self.shards:
+            rng = shard["SequenceNumberRange"]
+            if rng.get("EndingSequenceNumber"):
+                continue
+            rng["EndingSequenceNumber"] = str(self._puts_seen)
+            lo = int(shard["HashKeyRange"]["StartingHashKey"])
+            hi = int(shard["HashKeyRange"]["EndingHashKey"])
+            mid = lo + (hi - lo) // 2
+            for c_lo, c_hi in ((lo, mid), (mid + 1, hi)):
+                sid = f"shardId-{self._next_shard_id:012d}"
+                self._next_shard_id += 1
+                children.append(
+                    {
+                        "ShardId": sid,
+                        "ParentShardId": shard["ShardId"],
+                        "HashKeyRange": {
+                            "StartingHashKey": str(c_lo),
+                            "EndingHashKey": str(c_hi),
+                        },
+                        "SequenceNumberRange": {"StartingSequenceNumber": "0"},
+                    }
+                )
+                os.makedirs(os.path.join(self._dir, sid), exist_ok=True)
+        self.shards.extend(children)
+
     def describe_stream(self, StreamName: str, ExclusiveStartShardId: str | None = None, **_):
         shards = self.shards
         if ExclusiveStartShardId is not None:
@@ -286,19 +326,35 @@ class CaptureSinkClient:
         }
 
     def _shard_for(self, ehk: str) -> str:
+        """Route like the service: over OPEN shards only (after a reshard a
+        stale parent-midpoint key still lands — in the child covering it)."""
         v = int(ehk)
-        for s in self.shards:
+        open_shards = [
+            s
+            for s in self.shards
+            if not s["SequenceNumberRange"].get("EndingSequenceNumber")
+        ]
+        for s in open_shards:
             if int(s["HashKeyRange"]["StartingHashKey"]) <= v <= int(
                 s["HashKeyRange"]["EndingHashKey"]
             ):
                 return s["ShardId"]
-        return self.shards[0]["ShardId"]
+        return open_shards[0]["ShardId"]
 
     def put_records(self, StreamName: str, Records: list[dict]):
         import os
         import uuid as _uuid
 
         from .kpl_datasource import write_wire_file
+
+        self._puts_seen += 1
+        if (
+            self.split_after_puts
+            and self._next_shard_id == len(self.shards)  # == until first split
+            and self._puts_seen > self.split_after_puts
+        ):
+            self.split_all_shards()
+            self.split_after_puts = 0  # scripted chaos fires once
 
         out = []
         by_shard: dict[str, list[bytes]] = {}
@@ -313,8 +369,10 @@ class CaptureSinkClient:
         return {"FailedRecordCount": 0, "Records": out}
 
 
-def capture_sink_client_factory(capture_dir: str, num_shards: int = 1):
-    return CaptureSinkClient(capture_dir, num_shards)
+def capture_sink_client_factory(
+    capture_dir: str, num_shards: int = 1, split_after_puts: int = 0
+):
+    return CaptureSinkClient(capture_dir, num_shards, split_after_puts)
 
 
 # ---------------------------------------------------------------------------
@@ -850,13 +908,21 @@ class KinesisStreamSinkWriter(DataSourceStreamWriter):
                 f"rate_limit_burst_seconds must be > 0, got {self._rl_burst!r}"
             )
         # periodic shard-map re-discovery (long-running sinks survive
-        # resharding without a restart); error-triggered refresh is always on
+        # resharding without a restart): ON by default at the sink module's
+        # cadence; '0' disables; error-triggered refresh is always on
+        from ..sink import DEFAULT_REFRESH_EVERY_FLUSHES
+
         raw_refresh = options.get("shard_map_refresh_flushes")
-        self._refresh_flushes = int(raw_refresh) if raw_refresh is not None else None
-        if self._refresh_flushes is not None and self._refresh_flushes < 1:
+        if raw_refresh is None:
+            self._refresh_flushes: int | None = DEFAULT_REFRESH_EVERY_FLUSHES
+        elif int(raw_refresh) == 0:
+            self._refresh_flushes = None
+        elif int(raw_refresh) < 0:
             raise ValueError(
-                f"shard_map_refresh_flushes must be >= 1, got {raw_refresh!r}"
+                f"shard_map_refresh_flushes must be >= 0, got {raw_refresh!r}"
             )
+        else:
+            self._refresh_flushes = int(raw_refresh)
 
     def write(self, iterator):
         from pyspark.sql.datasource import WriterCommitMessage

@@ -689,10 +689,16 @@ class TestSinkOptionValidation:
             self._writer(rate_limit_bytes_per_sec="1000", rate_limit_burst_seconds="0")
 
     def test_refresh_cadence_validated(self):
-        with pytest.raises(ValueError, match="shard_map_refresh_flushes must be >= 1"):
-            self._writer(shard_map_refresh_flushes="0")
+        with pytest.raises(ValueError, match="shard_map_refresh_flushes must be >= 0"):
+            self._writer(shard_map_refresh_flushes="-1")
         w = self._writer(shard_map_refresh_flushes="5")
         assert w._refresh_flushes == 5
+
+    def test_refresh_default_on_and_zero_disables(self):
+        from kinesis_writer_spark.sink import DEFAULT_REFRESH_EVERY_FLUSHES
+
+        assert self._writer()._refresh_flushes == DEFAULT_REFRESH_EVERY_FLUSHES
+        assert self._writer(shard_map_refresh_flushes="0")._refresh_flushes is None
 
     def test_absent_rates_mean_no_limiter(self):
         w = self._writer()
@@ -704,3 +710,108 @@ class TestSinkOptionValidation:
         c = kinesis_stream._shared_sink_limiter("s", 2000.0, 10.0, 1.0)
         assert a is b  # bucket state survives across microbatches
         assert a is not c  # different budget, different bucket
+
+
+class TestReshardChaosEndToEnd:
+    """Mid-writeStream split: the sink writes through a live reshard (the
+    capture client closes its only shard and opens two children after 3
+    puts), the writer's periodic refresh re-discovers and re-routes, and
+    the partitioned source then drains parent-before-child — zero lost
+    records end to end. The sink's refresh and the source's admission rule
+    were previously only tested separately."""
+
+    PARENT = "shardId-000000000000"
+    CHILD_A = "shardId-000000000001"
+    CHILD_B = "shardId-000000000002"
+
+    def test_split_mid_stream_zero_loss_and_child_routing(self, spark, tmp_path):
+        from kinesis_writer_spark.sources import kpl_datasource
+
+        kinesis_stream.register(spark)
+        sink_dir = str(tmp_path / "chaos_capture")
+        src_dir = tmp_path / "chaos_src"
+        os.makedirs(src_dir)
+        # ~400 KB payloads -> ~16 MiB total -> well over a dozen ~1 MiB
+        # flushes, most of them AFTER the split fires at put #4
+        payloads = [
+            (f"payload-{i:03d}-".encode() * 1) + bytes([i % 251]) * 400_000
+            for i in range(40)
+        ]
+        spark.createDataFrame([(p,) for p in payloads], "data binary").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src_dir / "p"))
+        q = (
+            spark.readStream.schema("data binary")
+            .parquet(str(src_dir / "p"))
+            .writeStream.format("kinesis")
+            .option("stream_name", "chaos-stream")
+            .option(
+                "client_factory",
+                "kinesis_writer_spark.sources.kinesis_stream:capture_sink_client_factory",
+            )
+            .option(
+                "client_kwargs",
+                json.dumps(
+                    {"capture_dir": sink_dir, "num_shards": 1, "split_after_puts": 3}
+                ),
+            )
+            .option("shard_map_refresh_flushes", "1")  # fast pickup for the test
+            .option("checkpointLocation", str(tmp_path / "ckpt_chaos"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        # the split actually happened and BOTH children received traffic:
+        # a stale (never-refreshed) router would keep drawing the parent's
+        # midpoint, which the service maps into child A every time — files
+        # in child B prove the writer refreshed and re-drew child keys
+        def kpl_files(shard):
+            d = os.path.join(sink_dir, shard)
+            return [f for f in os.listdir(d)] if os.path.isdir(d) else []
+
+        assert len(kpl_files(self.PARENT)) >= 1  # pre-split flushes landed
+        assert len(kpl_files(self.CHILD_A)) >= 1
+        assert len(kpl_files(self.CHILD_B)) >= 1
+
+        # batch read-back: every payload delivered exactly once
+        kpl_datasource.register(spark)
+        back = spark.read.format("kpl").load(sink_dir + "/*/*.kpl")
+        got = sorted(bytes(r["data"]) for r in back.collect())
+        assert got == sorted(payloads)
+
+        # streaming read-back through the reshard topology: the partitioned
+        # reader must admit the parent fully before its children
+        reshard = {
+            "closed": [self.PARENT],
+            "parents": {self.CHILD_A: self.PARENT, self.CHILD_B: self.PARENT},
+        }
+        raw = (
+            spark.readStream.format("kinesis")
+            .option("reader", "partitioned")
+            .option("stream_name", "chaos-stream")
+            .option(
+                "client_factory",
+                "kinesis_writer_spark.sources.kinesis_stream:capture_client_factory",
+            )
+            .option(
+                "client_kwargs",
+                json.dumps(
+                    {"capture_dir": sink_dir, "opaque": True, "reshard": reshard}
+                ),
+            )
+            .load()
+        )
+        q2 = (
+            deaggregate_records(raw, wire_col="data", strict=False)
+            .writeStream.format("memory")
+            .queryName("chaos_readback")
+            .option("checkpointLocation", str(tmp_path / "ckpt_chaos_read"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        streamed = sorted(
+            bytes(r["data"]) for r in spark.sql("SELECT data FROM chaos_readback").collect()
+        )
+        assert streamed == sorted(payloads)
