@@ -1,0 +1,136 @@
+"""Scale-trajectory spot-bench: the five most expensive registry queries
+(q220, q193, q206, q54, q219) at sf0.1 vs a synthetic sf1.0.
+
+The engine's 100 TB story is plan-shape-based (banded equi-joins, no
+all-pairs, no single-task funnels); this artifact adds a measured point
+one decade up. /root/testdata stops at sf0.1, so sf1.0 is synthesized by
+replicating each input table 10x with SHIFTED KEYS and PERTURBED text:
+
+* documents: doc_id += replica * n_docs; a " ~rK" tag is appended to the
+  text so replicas are not byte-identical — shingle/simhash dup-density
+  stays constant instead of exploding quadratically (10 identical copies
+  of every doc would manufacture O(n^2) near-dup pairs and measure the
+  fixture, not the operator);
+* lineitem: l_orderkey/l_partkey/l_suppkey += replica * (max+1) — the
+  co-purchase graph grows by disjoint replica blocks, keeping basket
+  sizes and degree distribution constant.
+
+Each query runs memo-cold (shared caches cleared), min of 2 decorrelated
+runs, through the noop sink. Output: artifacts/bench_sf1_spot.json with
+per-query sf0.1/sf1.0 seconds and the ratio. Near-linear scaling means
+ratio ≈ 10x data ± shuffle growth; the acceptance bar used in review is
+ratio <= ~12.
+
+Run:  PYTHONPATH=/root/repo python artifacts/bench_sf1_spot.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SPOT = ["q220_lsh_recall_eval", "q193_prefix_filter_join", "q206_incremental_dedup",
+        "q54_simhash_neardup", "q219_random_walks"]
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sf1_spot"
+REPLICAS = 10
+
+
+def build_sf1(src: str, dst: str) -> None:
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    n_docs = con.sql(f"SELECT COUNT(*) FROM '{src}/documents.parquet'").fetchone()[0]
+    con.sql(
+        f"""
+        COPY (
+            SELECT d.doc_id + r.r * {n_docs} AS doc_id,
+                   d.text || ' ~r' || r.r AS text,
+                   d.lang, d.source,
+                   d.n_chars + 4 AS n_chars
+            FROM '{src}/documents.parquet' d, range({REPLICAS}) r(r)
+        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    mo, mp, ms = con.sql(
+        f"SELECT MAX(l_orderkey)+1, MAX(l_partkey)+1, MAX(l_suppkey)+1 "
+        f"FROM '{src}/lineitem.parquet'"
+    ).fetchone()
+    con.sql(
+        f"""
+        COPY (
+            SELECT l_orderkey + r.r * {mo} AS l_orderkey,
+                   l_partkey + r.r * {mp} AS l_partkey,
+                   l_suppkey + r.r * {ms} AS l_suppkey,
+                   l_linenumber, l_quantity, l_extendedprice, l_discount,
+                   l_tax, l_returnflag, l_linestatus, l_shipdate
+            FROM '{src}/lineitem.parquet' l, range({REPLICAS}) r(r)
+        ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
+        """
+    )
+
+
+def main() -> None:
+    if not os.path.exists(os.path.join(DST, "lineitem.parquet")):
+        t0 = time.time()
+        build_sf1(SRC, DST)
+        print(f"built {DST} in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    from kinesis_writer_spark import registry
+    from kinesis_writer_spark.memo import clear_all as clear_memos
+    from kinesis_writer_spark.session import get_spark
+
+    spark = get_spark("bench_sf1_spot")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = registry.all_queries()
+
+    def run(name: str, sf_dir: str) -> None:
+        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    # warm the JVM once per scale on the cheapest spot query
+    for sf_dir in (SRC, DST):
+        run("q54_simhash_neardup", sf_dir)
+        spark.catalog.clearCache()
+        clear_memos()
+
+    results: dict[str, dict] = {}
+    for pass_i in range(2):  # decorrelated second pass
+        for name in SPOT:
+            for label, sf_dir in (("sf0.1", SRC), ("sf1.0", DST)):
+                clear_memos()
+                t0 = time.time()
+                run(name, sf_dir)
+                dt = round(time.time() - t0, 3)
+                spark.catalog.clearCache()
+                entry = results.setdefault(name, {"runs": {"sf0.1": [], "sf1.0": []}})
+                entry["runs"][label].append(dt)
+
+    for name, entry in results.items():
+        lo = min(entry["runs"]["sf0.1"])
+        hi = min(entry["runs"]["sf1.0"])
+        entry["sf0.1_sec"] = lo
+        entry["sf1.0_sec"] = hi
+        entry["ratio"] = round(hi / lo, 2) if lo > 0 else None
+
+    out = {
+        "metric": "sf1_spot_scale_ratio",
+        "replicas": REPLICAS,
+        "timing_method": "memo-cold min of 2 decorrelated runs, JVM warmed",
+        "queries": results,
+        "max_ratio": max(e["ratio"] for e in results.values()),
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_sf1_spot.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
+    for name, e in results.items():
+        print(f"{name}: {e['sf0.1_sec']}s -> {e['sf1.0_sec']}s  ({e['ratio']}x)")
+
+
+if __name__ == "__main__":
+    main()
