@@ -54,6 +54,15 @@ def batch_stats(df: DataFrame, data_col: str = "data") -> DataFrame:
 #: partition key ``"a"`` the pk table costs 3 body bytes once per batch, so a
 #: batch keeps accepting records while the running delta sum stays within
 #: MAX_BYTES_PER_RECORD - FRAME_OVERHEAD - 3.
+#:
+#: PRECONDITION (single-record-fits): every record's framed delta must be
+#: <= _Q90_LIM. The Spark side raises (AggRecordBuilder refuses an
+#: oversized record), but the oracle's recursive CTE would instead get a
+#: NULL from its correlated MAX (no rn satisfies ``ds - b.ds <= lim``),
+#: silently dropping that shard's remaining batches — a confusing hash
+#: mismatch rather than an error. The fixture's JSON payloads are ~24 KB
+#: after the 20x repeat, ~40x inside the bound; revisit only if the
+#: payload synthesis changes.
 _Q90_LIM = 1_048_576 - 20 - 3
 #: Integer/string-only JSON (no floats: Spark and DuckDB format doubles
 #: differently; bigint/string casts are byte-identical in both engines).
