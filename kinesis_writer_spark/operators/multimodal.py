@@ -348,57 +348,94 @@ def q81_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: q257 content grammar, shared verbatim by the Spark synth stage and the
+#: DuckDB oracle below: even doc_ids are FLAT images, odd doc_ids are
+#: 8x8-block MOSAICS (block (bi,bj) is flat with its own color).
+_J_R = "({i} * 37 + {bi} * 59 + {bj} * 83) % 256"
+_J_G = "({i} * 101 + {bi} * 43 + {bj} * 23 + 53) % 256"
+_J_B = "({i} * 193 + {bi} * 7 + {bj} * 11 + 11) % 256"
+
+
+def _jpeg_rgb(did: int, bi: int, bj: int) -> tuple[int, int, int]:
+    return (
+        (did * 37 + bi * 59 + bj * 83) % 256,
+        (did * 101 + bi * 43 + bj * 23 + 53) % 256,
+        (did * 193 + bi * 7 + bj * 11 + 11) % 256,
+    )
+
+
 @register(
     "q257_jpeg_decode",
-    oracle="""
+    oracle=f"""
     WITH src AS (
         SELECT doc_id,
-               (doc_id * 37) % 256 AS r,
-               (doc_id * 101 + 53) % 256 AS g,
-               (doc_id * 193 + 11) % 256 AS b,
                9 + doc_id % 24 AS w,
                7 + doc_id % 19 AS h
         FROM documents
+    ),
+    blocks AS (
+        -- flat docs are a 1-block "mosaic" (bi = bj = 0 covers everything)
+        SELECT s.doc_id, s.w, s.h, rb.bi, cb.bj,
+               CASE WHEN s.doc_id % 2 = 1
+                    THEN LEAST(8, s.w - 8 * cb.bj) ELSE s.w END
+             * CASE WHEN s.doc_id % 2 = 1
+                    THEN LEAST(8, s.h - 8 * rb.bi) ELSE s.h END AS n_px,
+               {_J_R.format(i='s.doc_id', bi='rb.bi', bj='cb.bj')} AS r,
+               {_J_G.format(i='s.doc_id', bi='rb.bi', bj='cb.bj')} AS g,
+               {_J_B.format(i='s.doc_id', bi='rb.bi', bj='cb.bj')} AS b
+        FROM src s,
+             LATERAL (SELECT UNNEST(range(CASE WHEN s.doc_id % 2 = 1
+                 THEN CAST(ceil(s.h / 8.0) AS BIGINT) ELSE 1 END)) AS bi) rb,
+             LATERAL (SELECT UNNEST(range(CASE WHEN s.doc_id % 2 = 1
+                 THEN CAST(ceil(s.w / 8.0) AS BIGINT) ELSE 1 END)) AS bj) cb
     ),
     yc AS (
         SELECT *,
             LEAST(255, GREATEST(0, FLOOR(0.299 * r + 0.587 * g + 0.114 * b + 0.5))) AS yy,
             LEAST(255, GREATEST(0, FLOOR(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0 + 0.5))) AS cb,
             LEAST(255, GREATEST(0, FLOOR(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0 + 0.5))) AS cr
-        FROM src
+        FROM blocks
     ),
     dec AS (
-        SELECT doc_id, w, h,
+        SELECT doc_id, w, h, n_px,
             LEAST(255, GREATEST(0, FLOOR(yy + 1.402 * (cr - 128) + 0.5))) AS dr,
             LEAST(255, GREATEST(0, FLOOR(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5))) AS dg,
             LEAST(255, GREATEST(0, FLOOR(yy + 1.772 * (cb - 128) + 0.5))) AS db
         FROM yc
     )
-    SELECT doc_id, 'jpeg' AS kind, w AS width, h AS height,
-           CAST(w * h * dr AS BIGINT) AS sum_r,
-           CAST(w * h * dg AS BIGINT) AS sum_g,
-           CAST(w * h * db AS BIGINT) AS sum_b
+    SELECT doc_id, 'jpeg' AS kind,
+           MIN(w) AS width, MIN(h) AS height,
+           CAST(SUM(n_px * dr) AS BIGINT) AS sum_r,
+           CAST(SUM(n_px * dg) AS BIGINT) AS sum_g,
+           CAST(SUM(n_px * db) AS BIGINT) AS sum_b
     FROM dec
+    GROUP BY doc_id
     """,
 )
 def q257_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JPEG-decode pipeline over REAL baseline JFIF bytes end-to-end: each
-    document becomes a flat-color raster (color and dimensions derived from
-    doc_id) encoded by functions/codecs.write_jpeg — full huffman entropy
-    coding, DCT, chroma subsampling cycling 4:2:0 / 4:2:2 / 4:4:4 by
-    doc_id, restart markers on every 5th doc — and the decode stage
+    document becomes a raster (geometry and colors derived from doc_id)
+    encoded by functions/codecs.write_jpeg — full huffman entropy coding,
+    DCT, restart markers on every 5th doc — and the decode stage
     dispatches on the FFD8 magic inside Arrow-batched mapInPandas, running
     the real parse_jpeg (marker walk, canonical huffman decode, dequant,
-    IDCT, chroma upsample, YCbCr->RGB).
+    IDCT, chroma upsample, YCbCr->RGB). Even doc_ids are flat-color images
+    cycling 4:2:0 / 4:2:2 / 4:4:4 subsampling; odd doc_ids are 8x8-block
+    mosaics at 4:4:4, whose block-to-block DC jumps exercise the signed
+    DC-difference huffman chain (magnitude categories + EXTEND) that a
+    flat image never leaves zero.
 
     The oracle is exact, not tolerance-banded, because the encoder writes
-    all-ones quantization tables: a flat block's DCT is a lone DC
-    coefficient that survives quantize/dequantize/IDCT bit-exactly, so the
-    decoded color is the closed-form floor(x+0.5) YCbCr round trip the SQL
-    replicates — any huffman mis-decode, dequant slip, IDCT error, row
-    mis-placement, or sampling-factor bug shifts a channel sum and flips
-    the hash. Scale: one tiny CPU-bound codec call per row inside
-    mapInPandas, no shuffle — decode parallelism equals input partitions.
+    all-ones quantization tables and every 8x8 component block is flat by
+    construction (mosaic blocks are aligned to the DCT grid; 4:4:4 keeps
+    chroma blocks aligned too): each block's DCT is a lone DC coefficient
+    that survives quantize/dequantize/IDCT bit-exactly, so the decoded
+    colors are the closed-form floor(x+0.5) YCbCr round trip the SQL
+    replicates per block — any huffman mis-decode, DC-predictor slip,
+    dequant error, IDCT error, block mis-placement, or sampling-factor bug
+    shifts a channel sum and flips the hash. Scale: one tiny CPU-bound
+    codec call per row inside mapInPandas, no shuffle — decode parallelism
+    equals input partitions.
     """
     import pandas as pd
 
@@ -416,20 +453,32 @@ def q257_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _SUBS = ("4:2:0", "4:2:2", "4:4:4")
 
+    def _pixels(did: int, w: int, h: int) -> bytes:
+        import numpy as np
+
+        if did % 2 == 0:  # flat
+            return bytes(_jpeg_rgb(did, 0, 0)) * (w * h)
+        img = np.empty((h, w, 3), dtype=np.uint8)
+        for bi in range((h + 7) // 8):
+            for bj in range((w + 7) // 8):
+                img[bi * 8 : bi * 8 + 8, bj * 8 : bj * 8 + 8] = _jpeg_rgb(
+                    did, bi, bj
+                )
+        return img.tobytes()
+
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                r, g, b = (did * 37) % 256, (did * 101 + 53) % 256, (did * 193 + 11) % 256
                 w, h = 9 + did % 24, 7 + did % 19
                 payloads.append(
                     write_jpeg(
                         w,
                         h,
-                        bytes((r, g, b)) * (w * h),
+                        _pixels(did, w, h),
                         quality=None,
-                        subsampling=_SUBS[did % 3],
+                        subsampling="4:4:4" if did % 2 else _SUBS[did % 3],
                         restart_interval=1 if did % 5 == 0 else 0,
                     )
                 )

@@ -243,3 +243,32 @@ class TestDispatch:
             pg * w * h,
             pb * w * h,
         )
+
+
+class TestMosaicExact:
+    """DCT-grid-aligned block mosaics decode exactly at ones-quant 4:4:4 —
+    every component block is flat, so each DCT is a lone DC coefficient.
+    Unlike flat images this drives the signed DC-difference huffman chain
+    (magnitude categories + EXTEND) through nonzero values."""
+
+    @given(st.integers(0, 10_000), st.integers(9, 33), st.integers(7, 26))
+    @settings(max_examples=25, deadline=None)
+    def test_block_mosaic_roundtrip_exact(self, seed, w, h):
+        import numpy as np
+
+        colors = {}
+        img = np.empty((h, w, 3), dtype=np.uint8)
+        for bi in range((h + 7) // 8):
+            for bj in range((w + 7) // 8):
+                c = (
+                    (seed * 37 + bi * 59 + bj * 83) % 256,
+                    (seed * 101 + bi * 43 + bj * 23 + 53) % 256,
+                    (seed * 193 + bi * 7 + bj * 11 + 11) % 256,
+                )
+                colors[(bi, bj)] = _predict_flat(*c)
+                img[bi * 8 : bi * 8 + 8, bj * 8 : bj * 8 + 8] = c
+        out = parse_jpeg(write_jpeg(w, h, img.tobytes(), subsampling="4:4:4"))
+        got = np.frombuffer(out.pixels, dtype=np.uint8).reshape(h, w, 3)
+        for (bi, bj), want in colors.items():
+            block = got[bi * 8 : bi * 8 + 8, bj * 8 : bj * 8 + 8]
+            assert {tuple(px) for row in block for px in row} == {want}, (bi, bj)
