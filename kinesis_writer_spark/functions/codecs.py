@@ -925,6 +925,12 @@ def parse_jpeg(payload: bytes) -> JpegImage:
             continue
         if marker == 0xD9:  # EOI before any scan
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # TEM / stray RSTn: standalone markers carry NO length field —
+            # reading one would misinterpret adjacent bytes as a segment
+            # length and produce a bogus truncation error.
+            pos += 2
+            continue
         (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + seg_len]
         if len(body) != seg_len - 2:
@@ -1011,6 +1017,13 @@ def parse_jpeg(payload: bytes) -> JpegImage:
     for _, hi, vi, tq in comps:
         if tq not in qtables:
             raise CodecError(f"missing quantization table {tq}")
+        if hmax % hi or vmax % vi:
+            # Non-divisor ratios (e.g. 3x1 luma with 2x1 chroma) would make
+            # the nearest-neighbor upsample produce mis-sized planes and a
+            # raw numpy error downstream of here.
+            raise CodecError(
+                f"unsupported sampling ratio {hi}x{vi} vs max {hmax}x{vmax}"
+            )
 
     mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
     mcus_y = (height + 8 * vmax - 1) // (8 * vmax)

@@ -30,8 +30,21 @@ def register(cache: MutableMapping) -> MutableMapping:
 
 
 def clear_all() -> int:
-    """Empty every registered memo cache; returns how many held entries."""
+    """Empty every registered memo cache; returns how many held entries.
+
+    DataFrame-valued entries may hold localCheckpointed blocks; unpersist
+    them best-effort before dropping the reference, so the memo-cold bench
+    pass does not accumulate orphaned checkpoint blocks (executor memory
+    pressure mid-measurement) while waiting for driver GC.
+    """
     n = sum(1 for c in _CACHES if c)
     for c in _CACHES:
+        for v in list(c.values()):
+            unpersist = getattr(v, "unpersist", None)
+            if callable(unpersist):
+                try:
+                    unpersist()
+                except Exception:
+                    pass
         c.clear()
     return n

@@ -49,8 +49,13 @@ DEFAULT_PARTITION_KEY = "a"
 RESHARD_ERROR_MARKERS = (
     "ResourceInUse",
     "ShardClosed",
-    "ResourceNotFound",
 )
+
+#: ResourceNotFound means the stream itself is gone (deleted or never
+#: created) — NOT a reshard. Triggering a DescribeStream refresh would
+#: also fail, burning a second retry budget and surfacing a discovery
+#: error in place of the original fatal put error, so it is deliberately
+#: excluded from the refresh markers above.
 
 #: Periodic shard-map re-discovery cadence (flushes between refreshes),
 #: ON by default: a silent split — a capacity change that never raises —

@@ -58,3 +58,25 @@ def test_neardup_caches_match_fresh_computation(spark):
         ).collect()
     }
     assert cached_comps == fresh_comps
+
+
+def test_clear_all_unpersists_dataframe_entries():
+    """clear_all must release checkpoint/cache blocks held by memoized
+    DataFrames before dropping the reference (ADVICE r6: orphaned blocks
+    linger until driver GC, pressuring executors mid-bench)."""
+    from kinesis_writer_spark import memo
+
+    calls = {"n": 0}
+
+    class FakeDF:
+        def unpersist(self):
+            calls["n"] += 1
+
+    cache = memo.register({})
+    try:
+        cache["k"] = FakeDF()
+        cache["plain"] = 42  # non-DataFrame values must not break clearing
+        memo.clear_all()
+        assert calls["n"] == 1 and not cache
+    finally:
+        memo._CACHES.remove(cache)

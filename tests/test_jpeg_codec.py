@@ -272,3 +272,28 @@ class TestMosaicExact:
         for (bi, bj), want in colors.items():
             block = got[bi * 8 : bi * 8 + 8, bj * 8 : bj * 8 + 8]
             assert {tuple(px) for row in block for px in row} == {want}, (bi, bj)
+
+
+class TestStandaloneMarkers:
+    def test_tem_and_stray_rst_before_sos_are_skipped(self):
+        # TEM (0xFF01) and RSTn (0xFFD0-D7) are standalone: no length field.
+        # A compliant walker must step over them instead of reading entropy
+        # bytes as a segment length (ADVICE r6).
+        base = write_jpeg(8, 8, bytes((40, 90, 200)) * 64)
+        want = parse_jpeg(base).pixels
+        for standalone in (b"\xff\x01", b"\xff\xd3"):
+            patched = base[:2] + standalone + base[2:]
+            assert parse_jpeg(patched).pixels == want
+
+    def test_non_divisor_sampling_ratio_rejected(self):
+        # 3x1 luma with 2x1 chroma: 2 does not divide hmax=3 — must raise a
+        # CodecError, not a raw numpy shape error (ADVICE r6).
+        payload = bytearray(write_jpeg(16, 16, bytes(16 * 16 * 3)))
+        i = payload.index(b"\xff\xc0")
+        # SOF0 body: len(2) prec(1) H(2) W(2) ncomp(1) then per-comp
+        # (id, h<<4|v, tq): patch Y -> 3x1, Cb -> 2x1
+        comp0 = i + 2 + 2 + 1 + 2 + 2 + 1
+        payload[comp0 + 1] = (3 << 4) | 1
+        payload[comp0 + 4] = (2 << 4) | 1
+        with pytest.raises(CodecError, match="sampling ratio"):
+            parse_jpeg(bytes(payload))

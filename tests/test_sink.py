@@ -276,3 +276,17 @@ class TestRefreshHygiene:
         client.fail_next_put_with = "ShardClosed: gone"
         writer.write([b"c" * 1000])
         assert calls["n"] == per_sweep * 2
+
+    def test_resource_not_found_does_not_trigger_refresh(self):
+        # ResourceNotFound = the stream is GONE, not resharded; re-discovery
+        # cannot succeed, so the error path must not burn a DescribeStream
+        # sweep (ADVICE r6: a deleted stream would otherwise surface a
+        # discovery error in place of the original fatal put error).
+        client = FakeKinesisClient(num_shards=2)
+        writer = KinesisStreamWriter("s", client, sleep=self._no_sleep)
+        calls = self._count_describes(client)
+        client.fail_next_put_with = (
+            "ResourceNotFoundException: Stream s under account not found"
+        )
+        writer.write([b"d" * 1000])  # put fails once, retry succeeds
+        assert calls["n"] == 0
