@@ -82,12 +82,20 @@ def main() -> None:
         print(f"built {DST} in {time.time() - t0:.1f}s", file=sys.stderr)
 
     from kinesis_writer_spark import registry
+    from kinesis_writer_spark.calibration import calibrate, load_gate
     from kinesis_writer_spark.memo import clear_all as clear_memos
     from kinesis_writer_spark.session import get_spark
+
+    # The sf0.1/sf1.0 RATIO is drift-immune (both sides measured in one
+    # run), but the raw seconds are not: r6 saw q220 at 7.9 s here vs
+    # 4.4 s in bench_full the same day. Gate out transient load and stamp
+    # a fixed-probe calibration so raw seconds normalize across rounds.
+    gate = load_gate()
 
     spark = get_spark("bench_sf1_spot")
     spark.sparkContext.setLogLevel("ERROR")
     queries = registry.all_queries()
+    calib = calibrate(spark)
 
     def run(name: str, sf_dir: str) -> None:
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -123,6 +131,9 @@ def main() -> None:
         "timing_method": "memo-cold min of 2 decorrelated runs, JVM warmed",
         "queries": results,
         "max_ratio": max(e["ratio"] for e in results.values()),
+        "calibration": calib,
+        "calibration_end": calibrate(spark),
+        "load_gate": gate,
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_sf1_spot.json")
     with open(path, "w") as f:

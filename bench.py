@@ -90,13 +90,22 @@ def main() -> None:
     all_timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     headline_runs: dict[str, list[float]] = {}
+    calib: dict = {}
+    calib_end: dict = {}
+    gate: dict = {}
     # environment fingerprint: separates a code regression from a loaded
     # machine in one artifact (1/5/15-min loadavg before and after)
     load_start = list(os.getloadavg())
 
     try:
         from kinesis_writer_spark import registry
+        from kinesis_writer_spark.calibration import calibrate, load_gate
         from kinesis_writer_spark.session import get_spark
+
+        # r6 lesson: loadavg stamps are not enough — wait out transient
+        # co-tenant spikes (bounded), then measure host throughput with a
+        # fixed probe so raw seconds can be normalized across rounds.
+        gate = load_gate()
 
         spark = get_spark("bench")
         # ERROR-level logs for the bench run only: the sanctioned collapsed-
@@ -114,6 +123,14 @@ def main() -> None:
                 kio.load(spark, sf_dir, t).count()
             except Exception:
                 errors[f"warmup:{t}"] = traceback.format_exc(limit=3)
+
+        # host-throughput calibration (fixed pure-Spark probe, median of 3
+        # after its own warm-up): cross-round consumers should compare
+        # value/calib_seconds, not raw value — see BASELINE.md.
+        try:
+            calib = calibrate(spark)
+        except Exception:
+            errors["calibration"] = traceback.format_exc(limit=3)
 
         # one unmeasured pass first: JVM JIT + codegen caches warm up, so the
         # measured pass reports steady-state throughput (the regime a long-
@@ -188,6 +205,14 @@ def main() -> None:
                     all_timings[name] = min(all_runs[name])
                 except Exception:
                     errors[name] = traceback.format_exc(limit=3)
+
+        # closing probe: catches throughput drift WITHIN this run (a calib
+        # delta start->end means the per-query figures straddle two host
+        # epochs and intra-run comparisons are suspect too)
+        try:
+            calib_end = calibrate(spark)  # same median-of-3, comparable
+        except Exception:
+            errors["calibration_end"] = traceback.format_exc(limit=3)
     except Exception:
         errors["harness"] = traceback.format_exc(limit=5)
 
@@ -203,6 +228,9 @@ def main() -> None:
         "headline_runs": headline_runs,
         "all_queries": all_timings,
         "all_runs": all_runs,
+        "calibration": calib,
+        "calibration_end": calib_end,
+        "load_gate": gate,
         "load_start": load_start,
         "load_end": list(os.getloadavg()),
         "sf": sf,
@@ -235,6 +263,11 @@ def main() -> None:
         "queries": timings,
         "all_queries_total": round(sum(all_timings.values()), 3),
         "all_queries_n": len(all_timings),
+        # host-throughput probe (start/end): normalize cross-round deltas
+        # as value/calib_sec — raw seconds drift with the sandbox epoch
+        # (r6: +26% with byte-identical code). See BASELINE.md.
+        "calib_sec": calib.get("calib_seconds"),
+        "calib_end_sec": calib_end.get("calib_seconds"),
         "load1m": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
         "sf": sf,
         # compact stamp; full prose in artifacts/bench_full.json

@@ -1,0 +1,99 @@
+"""Host-throughput calibration probe + load gate for the bench harness.
+
+Motivation (r6 verdict, "What's wrong #1"): this sandbox's effective CPU
+throughput drifts between rounds — r6's headline read +26% with zero
+relevant code change, and loadavg capture could not see it because the
+drift is host-level (noisy neighbors / frequency scaling), not run-local
+load. A judge session had to adjudicate the "regression" by hand.
+
+Fix: time a FIXED, deterministic, pure-in-memory Spark workload (no disk
+scan, no Python UDF, constant row count and partition count) in the same
+process right before the measured passes. The probe's seconds move with
+the host epoch exactly like every query's seconds do, so cross-round
+comparisons should read ``query_sec / calib_sec`` (or equivalently
+``headline_total / calib_seconds``), not raw seconds. See BASELINE.md
+"Reading bench numbers across rounds".
+
+The workload is a two-stage shuffle aggregate over ``spark.range`` —
+wholly inside whole-stage codegen, exercising the same executor-thread
+CPU + shuffle machinery the real queries use, sized to ~2-4 s nominal on
+an idle local[32].
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+#: Fixed probe size. NEVER change these without a methodology note in
+#: BASELINE.md — cross-round normalization depends on the workload being
+#: byte-identical round over round.
+CALIB_ROWS = 200_000_000
+CALIB_PARTITIONS = 64
+
+
+def _probe_once(spark) -> float:
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    (
+        spark.range(0, CALIB_ROWS, 1, CALIB_PARTITIONS)
+        .select(
+            (F.col("id") % 9973).alias("k"),
+            (F.col("id") % 31).alias("g"),
+        )
+        .groupBy("k", "g")
+        .agg(F.count("*").alias("c"), F.sum("k").alias("s"))
+        .groupBy("g")
+        .agg(F.sum("c").alias("n"), F.sum("s").alias("t"))
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    return round(time.time() - t0, 3)
+
+
+def calibrate(spark, rounds: int = 3) -> dict:
+    """Run the fixed probe; returns a dict to merge into a bench artifact.
+
+    One unmeasured warm-up shot (JIT + codegen cache) then ``rounds``
+    measured shots; ``calib_seconds`` is the median — the same
+    steady-state methodology as the headline suite, so the ratio
+    headline/calib cancels the host epoch.
+    """
+    warm = _probe_once(spark)
+    runs = [_probe_once(spark) for _ in range(rounds)]
+    return {
+        "calib_seconds": sorted(runs)[len(runs) // 2],
+        "calib_runs": runs,
+        "calib_warm_run": warm,
+        "calib_workload": (
+            f"range({CALIB_ROWS}) -> (%9973,%31) two-stage shuffle agg, "
+            f"{CALIB_PARTITIONS} input partitions, noop sink"
+        ),
+    }
+
+
+def load_gate(
+    threshold: float = 8.0, max_wait_s: float = 180.0, poll_s: float = 15.0
+) -> dict:
+    """Defer measurement while the 1-min loadavg exceeds ``threshold``.
+
+    Transient co-tenant spikes are the one drift source loadavg CAN see;
+    waiting them out (bounded by ``max_wait_s``) keeps them out of the
+    measurement entirely instead of merely stamping them. If the gate
+    times out the bench proceeds anyway — ``gate_expired`` records that
+    the numbers were taken under load.
+    """
+    t0 = time.time()
+    entry_load = os.getloadavg()[0]
+    while os.getloadavg()[0] > threshold and (time.time() - t0) < max_wait_s:
+        time.sleep(poll_s)
+    final = os.getloadavg()[0]
+    return {
+        "gate_threshold": threshold,
+        "gate_load_entry": round(entry_load, 2),
+        "gate_load_exit": round(final, 2),
+        "gate_waited_s": round(time.time() - t0, 1),
+        "gate_expired": final > threshold,
+    }

@@ -9,12 +9,16 @@ dequant + IDCT + chroma upsampling — not fakes: ``parse_*`` rejects
 malformed input with precise errors and round-trips ``write_*`` output
 (bit-for-bit for the lossless formats, within quantization error for
 JPEG; property-tested in tests/test_multimodal_codecs.py and
-tests/test_jpeg_codec.py). They back the engine's multimodal decode stage
-(operators/multimodal.py): the Spark plumbing streams payloads through
-Arrow-batched ``mapInPandas`` and these parsers run per batch, exactly
-where PIL/libsndfile would sit. Only formats whose codecs genuinely need
-external libraries (MP3, H.264) still fall back to the marked
-structural-feature fake.
+tests/test_jpeg_codec.py), plus an MP3 (MPEG-1/2/2.5 Layer III)
+frame-header parser — sync scan, public bitrate/samplerate tables,
+frame-length walk, ID3v1/v2 tag handling — covering everything a data
+pipeline extracts from an MP3 (duration, bitrate, CBR/VBR, channels)
+without the external-library-bound audio decode. They back the engine's
+multimodal decode stage (operators/multimodal.py): the Spark plumbing
+streams payloads through Arrow-batched ``mapInPandas`` and these parsers
+run per batch, exactly where PIL/libsndfile would sit. Only H.264, whose
+decode genuinely needs an external library, still falls back to the
+marked structural-feature fake.
 
 Pure stdlib (struct + zlib) plus numpy for the JPEG DCT; deterministic;
 no I/O.
@@ -1121,3 +1125,215 @@ def parse_jpeg(payload: bytes) -> JpegImage:
         rgb = np.stack([r, g, b], axis=2)
     rgb = np.clip(rgb, 0, 255).astype(np.uint8)
     return JpegImage(width, height, len(comps), rgb.tobytes())
+
+
+# ---------------------------------------------------------------------------
+# MP3 — MPEG-1/2/2.5 Audio Layer III frame headers (sync scan + frame walk)
+# ---------------------------------------------------------------------------
+# Honest header-level parser: full audio decode (huffman spectral data,
+# IMDCT, synthesis filterbank) genuinely needs an external library and
+# stays out of scope, but everything a data pipeline extracts from an MP3
+# — duration, bitrate, sample rate, channel mode, CBR/VBR-ness, frame
+# count — lives in the 4-byte frame headers, which are pure-stdlib
+# parseable: 11-bit sync scan, version/layer fields, the public
+# bitrate/samplerate tables, and the frame-length walk.
+
+#: Layer III bitrate tables, kbps, indexed by the 4-bit bitrate field.
+#: Index 0 = "free format" (unsupported: frame length is undefined),
+#: index 15 = invalid.  (Public ISO/IEC 11172-3 / 13818-3 tables.)
+_MP3_BITRATE_KBPS = {
+    "1": (None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, None),
+    "2": (None, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, None),
+}
+_MP3_BITRATE_KBPS["2.5"] = _MP3_BITRATE_KBPS["2"]
+
+#: Sample-rate tables, Hz, indexed by the 2-bit samplerate field
+#: (index 3 reserved).
+_MP3_SAMPLE_RATE = {
+    "1": (44100, 48000, 32000, None),
+    "2": (22050, 24000, 16000, None),
+    "2.5": (11025, 12000, 8000, None),
+}
+
+_MP3_VERSION = {0b00: "2.5", 0b01: None, 0b10: "2", 0b11: "1"}
+_MP3_CHANNEL_MODE = ("stereo", "joint_stereo", "dual_channel", "mono")
+
+#: Samples per Layer III frame: 1152 (MPEG-1) / 576 (MPEG-2 & 2.5).
+_MP3_SAMPLES = {"1": 1152, "2": 576, "2.5": 576}
+
+
+@dataclass(frozen=True)
+class Mp3Frame:
+    offset: int
+    version: str  # "1" | "2" | "2.5"
+    bitrate_kbps: int
+    sample_rate: int
+    padding: int  # 0|1
+    channel_mode: str
+    crc_protected: bool
+    frame_bytes: int
+    samples: int
+
+
+@dataclass(frozen=True)
+class Mp3Info:
+    n_frames: int
+    sample_rate: int
+    channel_mode: str
+    duration_ms: int
+    avg_bitrate_kbps: int  # rounded; == nominal bitrate for CBR streams
+    is_vbr: bool  # more than one distinct frame bitrate
+    frames: tuple  # tuple[Mp3Frame, ...]
+
+
+def _mp3_frame_len(version: str, bitrate_kbps: int, sample_rate: int, padding: int) -> int:
+    # Layer III: floor(samples/8 * bitrate / samplerate) + padding
+    # = floor(144 * bps / rate) for MPEG-1, floor(72 * bps / rate) for 2/2.5
+    coeff = _MP3_SAMPLES[version] // 8
+    return (coeff * bitrate_kbps * 1000) // sample_rate + padding
+
+
+def _mp3_parse_header(payload: bytes, pos: int):
+    """Decode the 4 header bytes at ``pos``; returns an Mp3Frame or None
+    if the bytes are not a valid Layer III header (callers use None to
+    distinguish 'not a frame' during the initial sync scan from a
+    malformed stream mid-walk)."""
+    b0, b1, b2, b3 = payload[pos : pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        return None
+    version = _MP3_VERSION[(b1 >> 3) & 0b11]
+    layer = (b1 >> 1) & 0b11  # 0b01 = Layer III
+    if version is None or layer != 0b01:
+        return None
+    bitrate = _MP3_BITRATE_KBPS[version][(b2 >> 4) & 0xF]
+    sample_rate = _MP3_SAMPLE_RATE[version][(b2 >> 2) & 0b11]
+    if bitrate is None or sample_rate is None:
+        return None
+    padding = (b2 >> 1) & 1
+    return Mp3Frame(
+        offset=pos,
+        version=version,
+        bitrate_kbps=bitrate,
+        sample_rate=sample_rate,
+        padding=padding,
+        channel_mode=_MP3_CHANNEL_MODE[(b3 >> 6) & 0b11],
+        crc_protected=(b1 & 1) == 0,
+        frame_bytes=_mp3_frame_len(version, bitrate, sample_rate, padding),
+        samples=_MP3_SAMPLES[version],
+    )
+
+
+def _mp3_skip_id3v2(payload: bytes) -> int:
+    """Return the offset just past a leading ID3v2 tag (0 if absent).
+    ID3v2 header: 'ID3' + version(2) + flags(1) + 4-byte SYNCSAFE size
+    (7 bits per byte) counting the tag body after the 10-byte header."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return 0
+    size_bytes = payload[6:10]
+    if any(b & 0x80 for b in size_bytes):
+        raise CodecError("ID3v2 size bytes must be syncsafe (high bit clear)")
+    size = 0
+    for b in size_bytes:
+        size = (size << 7) | b
+    end = 10 + size
+    if end > len(payload):
+        raise CodecError(f"ID3v2 tag claims {end} bytes, payload has {len(payload)}")
+    return end
+
+
+def write_mp3_frames(
+    n_frames: int,
+    bitrate_kbps: int = 128,
+    sample_rate: int = 44100,
+    version: str = "1",
+    channel_mode: str = "joint_stereo",
+    bitrates: list | None = None,
+    id3v2_bytes: int = 0,
+) -> bytes:
+    """Synthesize a structurally-valid Layer III frame sequence (headers
+    real, frame bodies zero-filled — the parser never reads bodies).
+    ``bitrates`` (one entry per frame) overrides ``bitrate_kbps`` to
+    build VBR streams; ``id3v2_bytes`` prepends a real ID3v2 tag with a
+    zero-filled body of that size."""
+    out = bytearray()
+    if id3v2_bytes:
+        if id3v2_bytes >= 1 << 28:
+            raise CodecError("ID3v2 tag too large for syncsafe size")
+        out += b"ID3\x03\x00\x00" + bytes(
+            ((id3v2_bytes >> s) & 0x7F) for s in (21, 14, 7, 0)
+        )
+        out += bytes(id3v2_bytes)
+    per_frame = bitrates if bitrates is not None else [bitrate_kbps] * n_frames
+    if len(per_frame) != n_frames:
+        raise CodecError(f"bitrates has {len(per_frame)} entries for {n_frames} frames")
+    ver_bits = {"1": 0b11, "2": 0b10, "2.5": 0b00}[version]
+    sr_table = _MP3_SAMPLE_RATE[version]
+    if sample_rate not in sr_table:
+        raise CodecError(f"sample rate {sample_rate} invalid for MPEG-{version}")
+    sr_idx = sr_table.index(sample_rate)
+    mode_idx = _MP3_CHANNEL_MODE.index(channel_mode)
+    for kbps in per_frame:
+        if kbps not in _MP3_BITRATE_KBPS[version]:
+            raise CodecError(f"bitrate {kbps} kbps invalid for MPEG-{version} Layer III")
+        br_idx = _MP3_BITRATE_KBPS[version].index(kbps)
+        b1 = 0xE0 | (ver_bits << 3) | (0b01 << 1) | 1  # Layer III, no CRC
+        b2 = (br_idx << 4) | (sr_idx << 2)  # padding=0, private=0
+        b3 = mode_idx << 6
+        frame_len = _mp3_frame_len(version, kbps, sample_rate, 0)
+        out += bytes((0xFF, b1, b2, b3)) + bytes(frame_len - 4)
+    return bytes(out)
+
+
+def parse_mp3_frames(payload: bytes) -> Mp3Info:
+    """Sync-scan to the first Layer III frame header, then walk the frame
+    chain using the table-derived frame lengths; skips a leading ID3v2
+    tag and stops cleanly at EOF or a trailing ID3v1 'TAG' block.
+
+    The duration/bitrate estimates come from summing real per-frame
+    header fields (the standard header-walk method players use for VBR
+    files without a Xing header), NOT from file size — so a VBR stream's
+    avg_bitrate_kbps is exact over the walked frames.
+    """
+    if payload is None:
+        raise CodecError("cannot decode null payload")
+    payload = bytes(payload)
+    pos = _mp3_skip_id3v2(payload)
+    # sync scan: tolerate leading junk before the first valid header
+    first = None
+    while pos + 4 <= len(payload):
+        frame = _mp3_parse_header(payload, pos)
+        if frame is not None:
+            first = frame
+            break
+        pos += 1
+    if first is None:
+        raise CodecError("no MPEG Layer III sync found")
+    frames = []
+    while pos + 4 <= len(payload):
+        if payload[pos : pos + 3] == b"TAG":  # trailing ID3v1 block
+            break
+        frame = _mp3_parse_header(payload, pos)
+        if frame is None:
+            raise CodecError(f"lost frame sync at offset {pos}")
+        if pos + frame.frame_bytes > len(payload):
+            raise CodecError(
+                f"truncated frame at offset {pos}: header says "
+                f"{frame.frame_bytes} bytes, {len(payload) - pos} remain"
+            )
+        frames.append(frame)
+        pos += frame.frame_bytes
+    if pos + 4 > len(payload) and pos != len(payload) and payload[pos:pos+3] != b"TAG":
+        raise CodecError(f"{len(payload) - pos} trailing bytes after last frame")
+    total_samples = sum(f.samples for f in frames)
+    sample_rate = frames[0].sample_rate
+    duration_s = total_samples / sample_rate
+    total_payload_bits = sum(f.frame_bytes for f in frames) * 8
+    return Mp3Info(
+        n_frames=len(frames),
+        sample_rate=sample_rate,
+        channel_mode=frames[0].channel_mode,
+        duration_ms=round(duration_s * 1000),
+        avg_bitrate_kbps=round(total_payload_bits / duration_s / 1000),
+        is_vbr=len({f.bitrate_kbps for f in frames}) > 1,
+        frames=tuple(frames),
+    )

@@ -1,15 +1,16 @@
 """Multimodal column operators: opaque ``binary`` payloads with typed
 metadata, decoded/feature-extracted via Arrow-batched ``mapInPandas``.
 
-The decode step is REAL for PPM/BMP/PNG/baseline-JPEG images and PCM WAV
-audio — complete dependency-free byte-format parsers in
-functions/codecs.py (header grammar, endianness, BMP row padding, RIFF
-chunk walking, JPEG huffman + IDCT + chroma upsampling), golden- and
-round-trip-tested. q81 decodes genuine P6/BMP rasters; q257 decodes
-genuine baseline JFIF streams; q93 walks genuine RIFF chunks before
-frame-sampling the data chunk. Only formats that require external
-libraries (MP3, H.264) fall back to the clearly-marked
-structural-feature fake (``_fake_decode``).
+The decode step is REAL for PPM/BMP/PNG/baseline-JPEG images, PCM WAV
+audio, and MP3 frame headers — complete dependency-free byte-format
+parsers in functions/codecs.py (header grammar, endianness, BMP row
+padding, RIFF chunk walking, JPEG huffman + IDCT + chroma upsampling,
+MPEG Layer III sync scan + frame walk), golden- and round-trip-tested.
+q81 decodes genuine P6/BMP rasters; q257 decodes genuine baseline JFIF
+streams; q93 walks genuine RIFF chunks before frame-sampling the data
+chunk; q258 walks genuine MP3 frame chains. Only H.264 — whose decode
+genuinely requires an external library — falls back to the
+clearly-marked structural-feature fake (``_fake_decode``).
 
 Scale notes: binary payloads ride inside Tungsten rows; mapInPandas streams
 Arrow record batches (no per-row Python overhead) and preserves partitioning,
@@ -60,16 +61,17 @@ def q80_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- codec dispatch: real parsers for PPM/BMP/PNG/JPEG/WAV, fake fallback
-# -- only for formats whose codecs genuinely need external libs (MP3/H.264)
+# -- codec dispatch: real parsers for PPM/BMP/PNG/JPEG/WAV/MP3, fake
+# -- fallback only for H.264 (the one codec genuinely needing external libs)
 
 
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic FALLBACK for formats whose codecs need external
-    libraries (MP3/H.264): structural byte features an oracle can
-    recompute. PPM/BMP/PNG/JPEG/WAV payloads never reach this —
-    ``decode_media`` routes them to the real parsers in
-    functions/codecs.py. Raises on None like a real codec would.
+    libraries (now H.264 ONLY — MP3 got a real header-walk parser in r7):
+    structural byte features an oracle can recompute. PPM/BMP/PNG/JPEG/
+    WAV/MP3 payloads never reach this — ``decode_media`` routes them to
+    the real parsers in functions/codecs.py. Raises on None like a real
+    codec would.
     """
     if payload is None:
         raise ValueError("cannot decode null payload")
@@ -156,6 +158,22 @@ def decode_media(payload: bytes) -> dict:
             "bits_per_sample": wav.bits_per_sample,
             "n_frames": wav.n_frames,
             "duration_ms": wav.duration_ms,
+        }
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and payload[1] & 0xE0 == 0xE0
+    ):
+        # ID3v2 tag or raw MPEG frame sync (0xFFD8 = JPEG already matched
+        # above; the JPEG SOI byte 0xD8 fails the 0xE0 sync mask anyway)
+        mp3 = C.parse_mp3_frames(bytes(payload))
+        return {
+            "kind": "mp3",
+            "n_bytes": len(payload),
+            "n_frames": mp3.n_frames,
+            "sample_rate": mp3.sample_rate,
+            "channel_mode": mp3.channel_mode,
+            "duration_ms": mp3.duration_ms,
+            "avg_bitrate_kbps": mp3.avg_bitrate_kbps,
+            "is_vbr": mp3.is_vbr,
         }
     return {"kind": "unknown", **_fake_decode(payload)}
 
@@ -680,3 +698,141 @@ def q93_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     auds = src.mapInPandas(synth, "doc_id long, payload binary")
     frames = frame_sample_wav(auds, keep=("doc_id",), every_n=4)
     return frames.select("doc_id", "sample_rate", "duration_ms", "frame_idx", "frame_len")
+
+
+# ---------------------------------------------------------------------------
+# q258: MP3 frame-header decode over real MPEG Layer III byte streams
+# ---------------------------------------------------------------------------
+
+#: q258 content grammar, shared by the Spark synth stage and the oracle:
+#: MPEG-1 Layer III @ 44100 Hz; n_frames from n_chars; docs where
+#: doc_id % 5 == 0 are CBR, the rest VBR with a per-frame bitrate-index
+#: formula; ID3v2 tag body length from doc_id (0 = no tag).
+_MP3_KBPS_LIST = "[32,40,48,56,64,80,96,112,128,160,192,224,256,320]"
+
+
+@register(
+    "q258_mp3_decode",
+    oracle=f"""
+    WITH src AS (
+        SELECT doc_id,
+               n_chars % 13 + 2 AS n_frames,
+               CASE WHEN (doc_id * 31) % 200 = 0 THEN 0
+                    ELSE 10 + (doc_id * 31) % 200 END AS tag_len
+        FROM documents
+    ),
+    fr AS (
+        SELECT s.doc_id, s.n_frames, s.tag_len,
+               {_MP3_KBPS_LIST}[CAST(
+                   CASE WHEN s.doc_id % 5 = 0 THEN (s.doc_id * 7) % 14
+                        ELSE (s.doc_id * 7 + f.i * 3) % 14 END AS INT) + 1]
+                   AS kbps
+        FROM src s, LATERAL (SELECT UNNEST(range(s.n_frames)) AS i) f
+    ),
+    per AS (
+        SELECT doc_id, n_frames, tag_len,
+               SUM(144000 * kbps // 44100) AS total_frame_bytes,
+               COUNT(DISTINCT kbps) AS n_rates
+        FROM fr GROUP BY doc_id, n_frames, tag_len
+    )
+    SELECT doc_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(ROUND(n_frames * 1152000.0 / 44100) AS BIGINT) AS duration_ms,
+           CAST(total_frame_bytes AS BIGINT) AS total_frame_bytes,
+           CAST(total_frame_bytes * 8 * 44100 // (n_frames * 1152000)
+                AS BIGINT) AS avg_kbps_floor,
+           n_rates > 1 AS is_vbr,
+           ['stereo','joint_stereo','dual_channel','mono']
+               [CAST(doc_id % 4 AS INT) + 1] AS channel_mode,
+           CAST(tag_len + total_frame_bytes AS BIGINT) AS n_bytes
+    FROM per
+    """,
+)
+def q258_mp3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 metadata extraction over REAL MPEG-1 Layer III byte streams
+    end-to-end: each document becomes a genuine frame chain
+    (functions/codecs.write_mp3_frames — real 4-byte headers with the
+    public bitrate/samplerate tables, zero-filled bodies, an ID3v2 tag
+    with a syncsafe size on most docs) and the decode stage runs the real
+    parse_mp3_frames walk (tag skip, 11-bit sync scan, per-frame
+    table-derived lengths) inside Arrow-batched mapInPandas.
+
+    The oracle predicts every output with pure integer arithmetic from
+    the same grammar: frame count from n_chars, per-frame bitrates from
+    the doc_id formula, frame length = floor(144000*kbps/44100), duration
+    from samples/rate, floor-average bitrate over whole frames — so a
+    table slip, a frame-length off-by-one, a tag mis-skip (wrong n_bytes
+    accounting), or a lost sync flips the hash. avg_kbps_floor is floor
+    arithmetic (not the parser's rounded estimate) so Spark and DuckDB
+    agree bit-exactly. Scale: like q257 — one tiny CPU-bound codec call
+    per row, no shuffle, parallelism = input partitions (fanned to
+    defaultParallelism for small local files).
+    """
+    import pandas as pd
+
+    from ..functions.codecs import _MP3_BITRATE_KBPS, parse_mp3_frames, write_mp3_frames
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    src = documents.select("doc_id", "n_chars")
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+
+    table = _MP3_BITRATE_KBPS["1"]
+    modes = ("stereo", "joint_stereo", "dual_channel", "mono")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                n = nc % 13 + 2
+                if did % 5 == 0:  # CBR
+                    rates = [table[(did * 7) % 14 + 1]] * n
+                else:  # VBR: per-frame index formula
+                    rates = [table[(did * 7 + i * 3) % 14 + 1] for i in range(n)]
+                payloads.append(
+                    write_mp3_frames(
+                        n,
+                        bitrates=rates,
+                        channel_mode=modes[did % 4],
+                        id3v2_bytes=(did * 31) % 200,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = src.mapInPandas(synth, "doc_id long, payload binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                info = parse_mp3_frames(bytes(payload))
+                total_fb = sum(f.frame_bytes for f in info.frames)
+                total_samples = info.n_frames * info.frames[0].samples
+                rows.append(
+                    (
+                        int(did),
+                        info.n_frames,
+                        info.duration_ms,
+                        total_fb,
+                        total_fb * 8 * info.sample_rate
+                        // (total_samples * 1000),
+                        info.is_vbr,
+                        info.channel_mode,
+                        len(payload),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "duration_ms", "total_frame_bytes",
+                    "avg_kbps_floor", "is_vbr", "channel_mode", "n_bytes",
+                ],
+            )
+
+    return payloads.mapInPandas(
+        decode,
+        "doc_id long, n_frames long, duration_ms long, total_frame_bytes long,"
+        " avg_kbps_floor long, is_vbr boolean, channel_mode string, n_bytes long",
+    )

@@ -1,0 +1,57 @@
+"""Tests for the bench host-throughput calibration probe (r6 verdict
+task #1: raw bench seconds drift with the sandbox epoch; the probe makes
+them normalizable)."""
+
+import time
+
+import pytest
+
+from kinesis_writer_spark import calibration
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from kinesis_writer_spark.session import get_spark
+
+    return get_spark("test_calibration")
+
+
+def test_calibrate_shape_and_median(spark, monkeypatch):
+    # shrink the probe so the unit test is fast; the workload SHAPE
+    # (two-stage shuffle agg -> noop) is what we exercise here
+    monkeypatch.setattr(calibration, "CALIB_ROWS", 100_000)
+    monkeypatch.setattr(calibration, "CALIB_PARTITIONS", 4)
+    out = calibration.calibrate(spark)
+    assert len(out["calib_runs"]) == 3
+    assert out["calib_seconds"] == sorted(out["calib_runs"])[1]
+    assert out["calib_seconds"] > 0 and out["calib_warm_run"] > 0
+    assert "100000" in out["calib_workload"]
+
+
+def test_load_gate_passes_when_idle(monkeypatch):
+    monkeypatch.setattr(calibration.os, "getloadavg", lambda: (0.5, 0.5, 0.5))
+    out = calibration.load_gate(threshold=8.0, max_wait_s=1.0, poll_s=0.01)
+    assert out["gate_waited_s"] < 0.5
+    assert not out["gate_expired"]
+
+
+def test_load_gate_waits_then_expires_under_sustained_load(monkeypatch):
+    monkeypatch.setattr(calibration.os, "getloadavg", lambda: (99.0, 9.0, 9.0))
+    t0 = time.time()
+    out = calibration.load_gate(threshold=8.0, max_wait_s=0.2, poll_s=0.05)
+    assert time.time() - t0 >= 0.2
+    assert out["gate_expired"] and out["gate_load_entry"] == 99.0
+
+
+def test_load_gate_releases_when_load_decays(monkeypatch):
+    loads = iter([(20.0,) * 3, (20.0,) * 3, (1.0,) * 3, (1.0,) * 3])
+    last = [(20.0,) * 3]
+
+    def fake_loadavg():
+        last[0] = next(loads, last[0])
+        return last[0]
+
+    monkeypatch.setattr(calibration.os, "getloadavg", fake_loadavg)
+    out = calibration.load_gate(threshold=8.0, max_wait_s=10.0, poll_s=0.01)
+    assert not out["gate_expired"]
+    assert out["gate_load_exit"] == 1.0

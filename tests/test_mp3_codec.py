@@ -1,0 +1,129 @@
+"""MP3 (MPEG Layer III) frame-header parser tests: synthesize real frame
+chains with write_mp3_frames and walk them back with parse_mp3_frames
+(r6 verdict task #4 — retire the MP3 structural fake)."""
+
+import pytest
+
+from kinesis_writer_spark.functions.codecs import (
+    CodecError,
+    parse_mp3_frames,
+    write_mp3_frames,
+)
+
+
+class TestRoundTrip:
+    def test_cbr_mpeg1(self):
+        payload = write_mp3_frames(10, bitrate_kbps=128, sample_rate=44100)
+        info = parse_mp3_frames(payload)
+        assert info.n_frames == 10
+        assert info.sample_rate == 44100
+        assert info.channel_mode == "joint_stereo"
+        assert not info.is_vbr
+        # 10 frames x 1152 samples @ 44100 Hz = 261.22 ms
+        assert info.duration_ms == round(10 * 1152 / 44100 * 1000)
+        # every frame: floor(144 * 128000 / 44100) = 417 bytes
+        assert all(f.frame_bytes == 417 for f in info.frames)
+        assert len(payload) == 10 * 417
+        # header-walk bitrate over whole frames reconstructs the nominal
+        # rate within the floor()-truncation error of the frame length
+        assert abs(info.avg_bitrate_kbps - 128) <= 1
+
+    @pytest.mark.parametrize("version,rate,kbps,samples", [
+        ("1", 48000, 320, 1152),
+        ("1", 32000, 32, 1152),
+        ("2", 22050, 64, 576),
+        ("2", 16000, 8, 576),
+        ("2.5", 8000, 40, 576),
+        ("2.5", 11025, 160, 576),
+    ])
+    def test_versions_and_tables(self, version, rate, kbps, samples):
+        info = parse_mp3_frames(
+            write_mp3_frames(5, bitrate_kbps=kbps, sample_rate=rate, version=version)
+        )
+        assert info.n_frames == 5
+        assert info.sample_rate == rate
+        assert info.frames[0].version == version
+        assert info.frames[0].samples == samples
+        assert info.frames[0].bitrate_kbps == kbps
+        coeff = samples // 8
+        assert info.frames[0].frame_bytes == coeff * kbps * 1000 // rate
+
+    def test_vbr_per_frame_bitrates(self):
+        rates = [64, 128, 192, 128, 320]
+        info = parse_mp3_frames(write_mp3_frames(5, bitrates=rates))
+        assert info.is_vbr
+        assert [f.bitrate_kbps for f in info.frames] == rates
+        # duration depends only on frame count, not bitrate
+        assert info.duration_ms == round(5 * 1152 / 44100 * 1000)
+        # avg must sit strictly between min and max frame rates
+        assert 64 < info.avg_bitrate_kbps < 320
+
+    @pytest.mark.parametrize("mode", ["stereo", "joint_stereo", "dual_channel", "mono"])
+    def test_channel_modes(self, mode):
+        info = parse_mp3_frames(write_mp3_frames(2, channel_mode=mode))
+        assert info.channel_mode == mode
+
+
+class TestTagsAndJunk:
+    def test_id3v2_skipped(self):
+        # 200-byte tag body: syncsafe size = 0x00 0x00 0x01 0x48
+        payload = write_mp3_frames(4, id3v2_bytes=200)
+        assert payload[:3] == b"ID3"
+        info = parse_mp3_frames(payload)
+        assert info.n_frames == 4
+
+    def test_id3v2_syncsafe_multibyte(self):
+        # >127 bytes forces the 7-bit carry into the second size byte
+        payload = write_mp3_frames(1, id3v2_bytes=300)
+        assert parse_mp3_frames(payload).n_frames == 1
+
+    def test_leading_junk_sync_scan(self):
+        payload = b"\x00\x12junk\xfa" + write_mp3_frames(3)
+        assert parse_mp3_frames(payload).n_frames == 3
+
+    def test_trailing_id3v1_tag_stops_walk(self):
+        payload = write_mp3_frames(3) + b"TAG" + bytes(125)
+        assert parse_mp3_frames(payload).n_frames == 3
+
+
+class TestMalformed:
+    def test_no_sync_raises(self):
+        with pytest.raises(CodecError, match="no MPEG"):
+            parse_mp3_frames(b"\x00" * 64)
+
+    def test_truncated_frame_raises(self):
+        payload = write_mp3_frames(2)
+        with pytest.raises(CodecError, match="truncated frame"):
+            parse_mp3_frames(payload[:-10])
+
+    def test_lost_sync_mid_walk_raises(self):
+        payload = bytearray(write_mp3_frames(2))
+        payload[417] = 0x00  # clobber the 2nd frame's sync byte
+        with pytest.raises(CodecError, match="lost frame sync"):
+            parse_mp3_frames(bytes(payload))
+
+    def test_trailing_garbage_raises(self):
+        with pytest.raises(CodecError, match="trailing bytes"):
+            parse_mp3_frames(write_mp3_frames(2) + b"\x01\x02")
+
+    def test_oversized_id3v2_claim_raises(self):
+        bad = b"ID3\x03\x00\x00\x00\x00\x07\x68" + bytes(10)  # claims 1000
+        with pytest.raises(CodecError, match="ID3v2"):
+            parse_mp3_frames(bad)
+
+    def test_jpeg_soi_is_not_mp3_sync(self):
+        # 0xFFD8: byte2 top-3 bits are 110, not 111 — must not sync
+        with pytest.raises(CodecError, match="no MPEG"):
+            parse_mp3_frames(b"\xff\xd8\xff\xe0" + bytes(2))
+
+
+class TestDecodeMediaRoute:
+    def test_decode_media_routes_mp3(self):
+        from kinesis_writer_spark.operators.multimodal import decode_media
+
+        d = decode_media(write_mp3_frames(6, bitrate_kbps=192, id3v2_bytes=64))
+        assert d["kind"] == "mp3"
+        assert d["n_frames"] == 6
+        assert d["sample_rate"] == 44100
+        assert not d["is_vbr"]
+        assert d["duration_ms"] == round(6 * 1152 / 44100 * 1000)
