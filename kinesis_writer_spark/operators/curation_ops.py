@@ -508,13 +508,9 @@ def q254_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _q255_oracle() -> str:
-    from .dedup import NEARDUP_COMPONENTS_SQL
-
+def _q255_oracle_suffix() -> str:
     bucket = duckdb_md5_60bit("CAST(rep_id AS VARCHAR)", salt="leakage")
-    return (
-        NEARDUP_COMPONENTS_SQL
-        + f"""
+    return f"""
     , rep AS (
         SELECT d.doc_id,
                COALESCE(c.comp_id, d.doc_id) AS rep_id,
@@ -534,10 +530,25 @@ def _q255_oracle() -> str:
            COUNT(DISTINCT CASE WHEN in_cluster = 1 THEN rep_id END)::BIGINT AS n_clusters
     FROM assigned GROUP BY split
     """
-    )
 
 
-@register("q255_cluster_aware_split", oracle=_q255_oracle())
+def _q255_oracle() -> str:
+    from .dedup import NEARDUP_COMPONENTS_SQL
+
+    return NEARDUP_COMPONENTS_SQL + _q255_oracle_suffix()
+
+
+def _q255_fast_oracle():
+    from .dedup import _fast_components_oracle
+
+    return _fast_components_oracle(_q255_oracle_suffix())
+
+
+@register(
+    "q255_cluster_aware_split",
+    oracle=_q255_oracle(),
+    fast_oracle=_q255_fast_oracle(),
+)
 def q255_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free train/valid/test split: the split bucket is hashed from
     the document's near-dup CLUSTER representative (q96's components), not

@@ -657,12 +657,11 @@ def _neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _NEARDUP_COMPS_CACHE[key]
 
 
-#: Recursive-CTE transitive closure of the SimHash near-dup graph, ending in
-#: ``comp(node, comp_id)`` — the oracle twin of
-#: :func:`_neardup_components`. Shared by q96 and the cluster-aware split
-#: (curation_ops q255).
-NEARDUP_COMPONENTS_SQL = (
-    _SIMHASH_TABLE_SQL.replace("WITH w", "WITH RECURSIVE w", 1)
+#: WITH-chain prefix building the bidirectional SimHash near-dup edge list
+#: ``bi(a, b)`` — shared by the recursive closure below and the iterative
+#: fast-oracle materialization (:func:`materialize_neardup_components`).
+_NEARDUP_BI_SQL = (
+    _SIMHASH_TABLE_SQL
     + f"""
     , chunks AS (
         SELECT doc_id, simhash, unnest(range(0, {_SIMHASH_CHUNKS})) AS c FROM sh
@@ -683,8 +682,22 @@ NEARDUP_COMPONENTS_SQL = (
         SELECT doc_a AS a, doc_b AS b FROM pairs
         UNION
         SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(a, b) AS (
+    )
+"""
+)
+
+#: Recursive-CTE transitive closure of the SimHash near-dup graph, ending in
+#: ``comp(node, comp_id)`` — the oracle twin of
+#: :func:`_neardup_components`. Shared by q96, q144, and the cluster-aware
+#: split (curation_ops q255). This is the DRIVER-facing single-statement
+#: oracle; it is correct at any scale but the full closure materializes
+#: Σ size² reachability rows (245 s at sf0.1 where the dup graph is a set
+#: of ~200-degree near-cliques) — the local sweep uses the fixpoint-
+#: equivalent iterative form below instead.
+NEARDUP_COMPONENTS_SQL = (
+    _NEARDUP_BI_SQL.replace("WITH w", "WITH RECURSIVE w", 1)
+    + """
+    , reach(a, b) AS (
         SELECT a, b FROM bi
         UNION
         SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a
@@ -696,13 +709,84 @@ NEARDUP_COMPONENTS_SQL = (
 )
 
 
-@register(
-    "q96_dedup_clusters",
-    oracle=NEARDUP_COMPONENTS_SQL
-    + """
+def _propagate_components(con) -> int:
+    """Iterative min-label propagation over an existing DuckDB temp table
+    ``nd_edges(a, b)`` (directed both ways), materializing
+    ``comp_fast(node, comp_id)`` at the same fixpoint as the recursive
+    closure: every node's label converges to the min node id reachable
+    from it. Each round is one edges⋈labels join + per-node MIN — O(|E|)
+    rows materialized per round instead of the closure's Σ size²
+    reachability pairs. Returns the number of rounds run.
+    """
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE comp_fast AS "
+        "SELECT a AS node, LEAST(a, MIN(b)) AS comp_id FROM nd_edges GROUP BY a"
+    )
+    rounds = 0
+    while True:
+        rounds += 1
+        con.execute(
+            """
+            CREATE OR REPLACE TEMP TABLE comp_next AS
+            SELECT c.node, LEAST(c.comp_id, MIN(cn.comp_id)) AS comp_id
+            FROM comp_fast c
+            JOIN nd_edges e ON e.a = c.node
+            JOIN comp_fast cn ON cn.node = e.b
+            GROUP BY c.node, c.comp_id
+            """
+        )
+        changed = con.sql(
+            "SELECT COUNT(*) FROM comp_next n JOIN comp_fast c USING (node) "
+            "WHERE n.comp_id <> c.comp_id"
+        ).fetchone()[0]
+        con.execute(
+            "CREATE OR REPLACE TEMP TABLE comp_fast AS "
+            "SELECT node, comp_id FROM comp_next"
+        )
+        if changed == 0:
+            return rounds
+
+
+def materialize_neardup_components(con) -> None:
+    """Fast-oracle twin of NEARDUP_COMPONENTS_SQL: build the near-dup edge
+    list once, then iterate min-label propagation with materialized rounds
+    (DuckDB 1.0 has no ``USING KEY`` recursion, so the loop lives in
+    Python; the fixpoint — and therefore the check's strength — is
+    identical, asserted by tests/test_fast_oracles.py). Leaves
+    ``comp_fast(node, comp_id)`` as a temp table.
+    """
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE nd_edges AS "
+        + _NEARDUP_BI_SQL
+        + " SELECT a, b FROM bi"
+    )
+    _propagate_components(con)
+
+
+def _fast_components_oracle(suffix: str):
+    """Build a fast-oracle callable: materialize components iteratively,
+    then run the query-specific WITH-chain ``suffix`` against them (the
+    same suffix string the canonical oracle appends after ``comp``)."""
+
+    def run(con):
+        materialize_neardup_components(con)
+        return con.execute(
+            "WITH comp AS (SELECT node, comp_id FROM comp_fast)" + suffix
+        ).fetchdf()
+
+    return run
+
+
+_Q96_ORACLE_SUFFIX = """
     SELECT comp_id, COUNT(*) AS n_docs, MAX(node) AS max_doc
     FROM comp GROUP BY comp_id
-    """,
+    """
+
+
+@register(
+    "q96_dedup_clusters",
+    oracle=NEARDUP_COMPONENTS_SQL + _Q96_ORACLE_SUFFIX,
+    fast_oracle=_fast_components_oracle(_Q96_ORACLE_SUFFIX),
 )
 def q96_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster assembly: SimHash candidate pairs (q54) stitched
@@ -828,39 +912,8 @@ def q118_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q144_cluster_representatives",
-    oracle=_SIMHASH_TABLE_SQL.replace("WITH w", "WITH RECURSIVE w", 1)
-    + f"""
-    , chunks AS (
-        SELECT doc_id, simhash, unnest(range(0, {_SIMHASH_CHUNKS})) AS c FROM sh
-    ),
-    keyed AS (
-        SELECT doc_id, simhash, c, (simhash >> (15 * c::INT)) & 32767 AS chunk_key FROM chunks
-    ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a, b.doc_id AS doc_b, b.simhash AS sh_b
-        FROM keyed a JOIN keyed b
-          ON a.c = b.c AND a.chunk_key = b.chunk_key AND a.doc_id < b.doc_id
-    ),
-    pairs AS (
-        SELECT doc_a, doc_b FROM cand
-        WHERE bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) <= {_HAMMING_MAX}
-    ),
-    bi AS (
-        SELECT doc_a AS a, doc_b AS b FROM pairs
-        UNION
-        SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(a, b) AS (
-        SELECT a, b FROM bi
-        UNION
-        SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a
-    ),
-    comp AS (
-        SELECT a AS node, LEAST(a, MIN(b)) AS comp_id FROM reach GROUP BY a
-    ),
-    scored AS (
+_Q144_ORACLE_SUFFIX = """
+    , scored AS (
         SELECT c.comp_id, c.node,
                len(list_distinct(string_split(d.text, ' '))) AS quality
         FROM comp c JOIN documents d ON d.doc_id = c.node
@@ -875,7 +928,13 @@ def q118_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM scored
     )
     GROUP BY comp_id
-    """,
+    """
+
+
+@register(
+    "q144_cluster_representatives",
+    oracle=NEARDUP_COMPONENTS_SQL + _Q144_ORACLE_SUFFIX,
+    fast_oracle=_fast_components_oracle(_Q144_ORACLE_SUFFIX),
 )
 def q144_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster RESOLUTION — the decision step after q96's cluster

@@ -23,18 +23,28 @@ class RegisteredQuery:
     fn: QueryFn
     oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
     doc: str = ""
+    #: Optional LOCAL-SWEEP accelerator: a callable(duckdb_con) -> pandas
+    #: DataFrame computing the SAME result as ``oracle`` via multi-statement
+    #: execution (e.g. iterative temp-table fixpoints a single recursive CTE
+    #: can only express as a full transitive closure). The driver contract
+    #: is untouched — ``oracle_sql()`` always ships the single-statement
+    #: SQL; only tests/oracle_check.py uses this, and
+    #: tests/test_fast_oracles.py pins fast == canonical.
+    fast_oracle: Callable | None = None
 
 
 _REGISTRY: dict[str, RegisteredQuery] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | None = None, fast_oracle: Callable | None = None):
     """Decorator: register a (spark, sf_dir) -> DataFrame builder."""
 
     def wrap(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = RegisteredQuery(name, fn, oracle, (fn.__doc__ or "").strip())
+        _REGISTRY[name] = RegisteredQuery(
+            name, fn, oracle, (fn.__doc__ or "").strip(), fast_oracle
+        )
         return fn
 
     return wrap

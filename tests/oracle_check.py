@@ -98,6 +98,9 @@ def main() -> int:
     ap.add_argument("--only", default=None)
     ap.add_argument("--strict", action="store_true",
                     help="also fail on driver-canonicalizer hazards (int-vs-float dtype, array cells)")
+    ap.add_argument("--canonical-oracle", action="store_true",
+                    help="ignore registered fast_oracle accelerators and run every "
+                         "query's single-statement SQL (the driver's exact path)")
     args = ap.parse_args()
 
     from kinesis_writer_spark import registry
@@ -130,8 +133,13 @@ def main() -> int:
             print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             n_rows_only += 1
             continue
+        # Fast-oracle accelerators: same result via multi-statement DuckDB
+        # (iterative temp-table fixpoints) — the driver always runs the
+        # single-statement SQL; equality of the two forms is pinned by
+        # tests/test_fast_oracles.py. --canonical-oracle forces the SQL.
+        fast = None if args.canonical_oracle else registry.get(name).fast_oracle
         try:
-            odf = con.execute(oracles[name]).fetchdf()
+            odf = fast(con) if fast is not None else con.execute(oracles[name]).fetchdf()
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {exc}")
             n_fail += 1
@@ -156,7 +164,8 @@ def main() -> int:
                 print(f"FAIL  {name}: values equal but driver hazards: {hz}")
                 n_fail += 1
             else:
-                print(f"PASS  {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+                tag = " (fast-oracle)" if fast is not None else ""
+                print(f"PASS  {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]{tag}")
                 n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     return 1 if n_fail else 0

@@ -1,0 +1,84 @@
+"""Fast-oracle accelerators must compute EXACTLY what the canonical
+single-statement SQL computes (r6 verdict task #3: the q96-family
+recursive-closure oracles cost 245 s each at sf0.1; the iterative
+temp-table form is the same fixpoint at O(|E|) per round).
+
+The driver only ever sees the canonical SQL — these tests are what lets
+the local sweep use the fast path without weakening the check."""
+
+import duckdb
+import pytest
+
+from kinesis_writer_spark import registry
+from kinesis_writer_spark.operators.dedup import _propagate_components
+
+SF_DIR = "/root/testdata/sf0.001"
+FAST_QUERIES = ["q96_dedup_clusters", "q144_cluster_representatives",
+                "q255_cluster_aware_split"]
+
+
+def _connect(sf_dir=SF_DIR):
+    con = duckdb.connect()
+    from kinesis_writer_spark.io import TABLES
+
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return sorted(tuple(str(v) for v in row) for row in df.itertuples(index=False, name=None))
+
+
+@pytest.mark.parametrize("name", FAST_QUERIES)
+def test_fast_oracle_equals_canonical_sql(name):
+    q = registry.get(name)
+    assert q.fast_oracle is not None
+    con = _connect()
+    canonical = con.execute(q.oracle).fetchdf()
+    fast = q.fast_oracle(_connect())  # fresh con: no temp-table leakage
+    assert list(sorted(fast.columns)) == list(sorted(canonical.columns))
+    assert _norm(fast) == _norm(canonical)
+
+
+def test_only_expected_queries_have_fast_oracles():
+    # every fast oracle must be pinned by the parametrized test above —
+    # fail loudly if one is added without extending FAST_QUERIES
+    have = [n for n, fn in registry.all_queries().items()
+            if registry.get(n).fast_oracle is not None]
+    assert sorted(have) == sorted(FAST_QUERIES)
+
+
+class TestPropagation:
+    """_propagate_components on hand-built graphs: the iterative fixpoint
+    must handle multi-round convergence (chains), not just dense cliques."""
+
+    def _run(self, edges):
+        con = duckdb.connect()
+        con.execute("CREATE TEMP TABLE nd_edges (a BIGINT, b BIGINT)")
+        con.executemany("INSERT INTO nd_edges VALUES (?, ?)", edges)
+        con.execute(  # mirror the oracle's bidirectional edge convention
+            "INSERT INTO nd_edges SELECT b, a FROM nd_edges"
+        )
+        rounds = _propagate_components(con)
+        comp = dict(con.sql("SELECT node, comp_id FROM comp_fast").fetchall())
+        return comp, rounds
+
+    def test_path_graph_needs_multiple_rounds(self):
+        # 0-1-2-...-9: labels must walk the whole chain to reach 0
+        comp, rounds = self._run([(i, i + 1) for i in range(9)])
+        assert comp == {i: 0 for i in range(10)}
+        assert rounds > 1  # a single round would be the closure-free bug
+
+    def test_two_components_stay_separate(self):
+        comp, _ = self._run([(1, 2), (2, 3), (10, 11)])
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_clique_converges_fast(self):
+        edges = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+        comp, rounds = self._run(edges)
+        assert comp == {i: 0 for i in range(5)}
+        assert rounds <= 2
