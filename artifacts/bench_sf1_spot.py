@@ -6,11 +6,18 @@ all-pairs, no single-task funnels); this artifact adds a measured point
 one decade up. /root/testdata stops at sf0.1, so sf1.0 is synthesized by
 replicating each input table 10x with SHIFTED KEYS and PERTURBED text:
 
-* documents: doc_id += replica * n_docs; a " ~rK" tag is appended to the
-  text so replicas are not byte-identical — shingle/simhash dup-density
-  stays constant instead of exploding quadratically (10 identical copies
-  of every doc would manufacture O(n^2) near-dup pairs and measure the
-  fixture, not the operator);
+* documents: doc_id += replica * n_docs; every 4th word (1, 5, 9, ...)
+  gets a per-replica "~rK" suffix so replicas of the same doc are NOT
+  near-duplicates — with period-4 mutation, 3 of every 4 word-3-gram
+  shingles contain a mutated word, collapsing cross-replica Jaccard to
+  ~0.14 (and SimHash distance far past the pairing threshold), while
+  within-replica near-dup pairs keep their similarity because both docs
+  receive the same positional mutations. FIXTURE v2: r6's fixture only
+  appended one trailing " ~rK" tag, which does NOT break Jaccard>=0.8 for
+  docs longer than ~30 words — replica families formed genuine 10-cliques
+  and q220's truth set grew ~970x at 10x data (measured r7), so the r6
+  ratios partly measured the fixture's quadratic pair growth, not the
+  operators. v2 ratios are NOT comparable with the r6 artifact.
 * lineitem: l_orderkey/l_partkey/l_suppkey += replica * (max+1) — the
   co-purchase graph grows by disjoint replica blocks, keeping basket
   sizes and degree distribution constant.
@@ -36,7 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SPOT = ["q220_lsh_recall_eval", "q193_prefix_filter_join", "q206_incremental_dedup",
         "q54_simhash_neardup", "q219_random_walks"]
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sf1_spot"
+DST = "/tmp/sf1_spot_v2"  # v2: per-replica word mutation, see module docstring
 REPLICAS = 10
 
 
@@ -49,11 +56,19 @@ def build_sf1(src: str, dst: str) -> None:
     con.sql(
         f"""
         COPY (
-            SELECT d.doc_id + r.r * {n_docs} AS doc_id,
-                   d.text || ' ~r' || r.r AS text,
-                   d.lang, d.source,
-                   d.n_chars + 4 AS n_chars
-            FROM '{src}/documents.parquet' d, range({REPLICAS}) r(r)
+            WITH rep AS (
+                SELECT d.doc_id + r.r * {n_docs} AS doc_id,
+                       array_to_string(
+                           list_transform(string_split(d.text, ' '),
+                               (w, i) -> CASE WHEN i % 4 = 1
+                                              THEN w || '~r' || r.r
+                                              ELSE w END),
+                           ' ') AS text,
+                       d.lang, d.source
+                FROM '{src}/documents.parquet' d, range({REPLICAS}) r(r)
+            )
+            SELECT doc_id, text, lang, source, length(text) AS n_chars
+            FROM rep
         ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
         """
     )
@@ -128,6 +143,7 @@ def main() -> None:
     out = {
         "metric": "sf1_spot_scale_ratio",
         "replicas": REPLICAS,
+        "fixture_version": 2,  # per-replica word mutation; NOT comparable w/ r6
         "timing_method": "memo-cold min of 2 decorrelated runs, JVM warmed",
         "queries": results,
         "max_ratio": max(e["ratio"] for e in results.values()),

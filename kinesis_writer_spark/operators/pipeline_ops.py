@@ -1957,26 +1957,37 @@ def q220_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
     )
-    # three 1-row aggregates cross-joined — fully lazy, no driver action;
-    # the sanctioned 1-row-broadcast BNL pattern (see test_plans allowlist)
-    t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
-    c = cands.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
-    h = (
-        cands.join(truth, ["doc_a", "doc_b"])
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
-    )
-    return (
-        h.crossJoin(F.broadcast(t))
-        .crossJoin(F.broadcast(c))
-        .select(
-            "n_truth",
-            "n_candidates",
-            "n_hit",
-            F.expr("CAST(n_hit * 1000000 DIV n_truth AS BIGINT)").alias("recall_ppm"),
-            F.expr("CAST(n_hit * 1000000 DIV n_candidates AS BIGINT)").alias(
-                "precision_ppm"
-            ),
+    # Single-pass comparison: a FULL OUTER join of the two (unique) pair
+    # sets with presence flags, folded by one global aggregate. The prior
+    # shape (three separate 1-row aggregates cross-joined) planned `truth`
+    # and `cands` as TWO subtrees each — both expensive inputs were
+    # computed twice, and the duplication was the dominant superlinear
+    # term in the r6 sf1.0 spot-bench (q220 ratio 11.76x vs 6.2x for the
+    # truth operator alone). Here each input is computed once, shuffled
+    # once on the pair key, and everything downstream is one exchange.
+    flagged = (
+        cands.withColumn("is_cand", F.lit(1))
+        .join(
+            truth.withColumn("is_truth", F.lit(1)),
+            ["doc_a", "doc_b"],
+            "full_outer",
         )
+    )
+    stats = flagged.agg(
+        F.sum("is_truth").cast("bigint").alias("n_truth"),
+        F.sum("is_cand").cast("bigint").alias("n_candidates"),
+        F.count(F.when(F.col("is_cand").isNotNull() & F.col("is_truth").isNotNull(), 1))
+        .cast("bigint")
+        .alias("n_hit"),
+    )
+    return stats.select(
+        "n_truth",
+        "n_candidates",
+        "n_hit",
+        F.expr("CAST(n_hit * 1000000 DIV n_truth AS BIGINT)").alias("recall_ppm"),
+        F.expr("CAST(n_hit * 1000000 DIV n_candidates AS BIGINT)").alias(
+            "precision_ppm"
+        ),
     )
 
 
