@@ -79,7 +79,6 @@ class TestJoinStrategies:
             "q192_source_kl_divergence",  # 1-row corpus-total broadcast
             "q198_welch_ttest",  # 1-row grand-total moment broadcast
             "q200_token_budget_allocation",  # 1-row normalizing-total broadcast
-            "q220_lsh_recall_eval",  # three 1-row count-aggregate broadcasts
             "q221_table_stats",  # 1-row exact-NDV gate pass broadcast
             "q224_ks_statistic",  # 1-row (na, nb) totals broadcast
             "q225_rrf_hybrid",  # 1-row query-vector broadcast (q60 pattern)
