@@ -836,3 +836,119 @@ def q258_mp3_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_frames long, duration_ms long, total_frame_bytes long,"
         " avg_kbps_floor long, is_vbr boolean, channel_mode string, n_bytes long",
     )
+
+
+# ---------------------------------------------------------------------------
+# q259: per-frame audio features (energy + zero-crossing rate) over real WAV
+# ---------------------------------------------------------------------------
+
+#: q259 grammar, shared by the Spark synth stage and the oracle: one int16
+#: sample per text CHARACTER (fixture text is ASCII, so char == byte),
+#: value (byte - 100) * 257 — spanning both signs so zero-crossing counts
+#: are non-degenerate. Frames are FRAME_BYTES bytes = FRAME_BYTES/2 samples.
+_Q259_SAMPLES_PER_FRAME = FRAME_BYTES // 2
+
+
+@register(
+    "q259_audio_features",
+    oracle=f"""
+    WITH s AS (
+        SELECT d.doc_id, g.i,
+               (ord(substr(d.text, g.i::INT, 1)) - 100) * 257 AS v
+        FROM documents d,
+             LATERAL (SELECT unnest(range(1, length(d.text) + 1)) AS i) g
+    ),
+    fr AS (
+        SELECT doc_id, (i - 1) // {_Q259_SAMPLES_PER_FRAME} AS frame_idx, v,
+               LAG(v) OVER (PARTITION BY doc_id, (i - 1) // {_Q259_SAMPLES_PER_FRAME}
+                            ORDER BY i) AS pv
+        FROM s
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           COUNT(*)::BIGINT AS n_samples,
+           CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS sum_sq,
+           CAST(COUNT(CASE WHEN v * pv < 0 THEN 1 END) AS BIGINT)
+               AS zero_crossings
+    FROM fr GROUP BY doc_id, frame_idx
+    """,
+)
+def q259_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio feature extraction over REAL RIFF/WAVE containers —
+    the voice-activity/quality-gate stage of an audio training pipeline:
+    each document's text bytes become a genuine 16-bit mono PCM WAV
+    (samples (byte-100)*257, crossing zero), the extractor WALKS THE
+    CONTAINER (functions/codecs.parse_wav) to the data chunk, then emits
+    per {_Q259_SAMPLES_PER_FRAME}-sample frame the exact integer features
+    a silence/noise filter gates on: sample count, energy (sum of squared
+    samples — RMS without the sqrt so the oracle is exact), and the
+    strict-sign zero-crossing count (adjacent within-frame pairs with
+    v[i-1]*v[i] < 0).
+
+    The oracle recomputes every number with pure integer arithmetic from
+    the same text (ASCII fixture: char == byte), so an endianness slip, a
+    signed/unsigned confusion, an off-by-one at a frame boundary, or a
+    cross-frame crossing leak flips the hash. Scale: decode + feature
+    extraction is one Arrow-batched mapInPandas pass, frame expansion
+    happens executor-side per batch, no shuffle — parallelism = input
+    partitions (fanned to defaultParallelism for small local files).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.codecs import parse_wav, write_wav
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    src = documents.select("doc_id", F.encode("text", "utf-8").alias("txt"))
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for txt in pdf["txt"]:
+                samples = (
+                    np.frombuffer(bytes(txt), dtype=np.uint8).astype(np.int16) - 100
+                ) * 257
+                payloads.append(
+                    write_wav(
+                        samples.astype("<i2").tobytes(),
+                        n_channels=1,
+                        sample_rate=16000,
+                        bits_per_sample=16,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = src.mapInPandas(synth, "doc_id long, payload binary")
+    spf = _Q259_SAMPLES_PER_FRAME
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = parse_wav(bytes(payload)).data
+                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                for f in range(0, len(s), spf):
+                    fs = s[f : f + spf]
+                    rows.append(
+                        (
+                            int(did),
+                            f // spf,
+                            len(fs),
+                            int(np.sum(fs * fs)),
+                            int(np.sum(fs[1:] * fs[:-1] < 0)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "frame_idx", "n_samples", "sum_sq",
+                         "zero_crossings"],
+            )
+
+    return payloads.mapInPandas(
+        extract,
+        "doc_id long, frame_idx long, n_samples long, sum_sq long,"
+        " zero_crossings long",
+    )
