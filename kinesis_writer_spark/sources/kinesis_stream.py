@@ -137,9 +137,11 @@ class CaptureReplayClient:
         real boto3 shape) so readers must treat positions as opaque and go
         through the probe/AFTER_SEQUENCE_NUMBER path. ``reshard`` simulates a
         split/merge topology: ``{"closed": [shard_id, ...], "parents":
-        {child_id: parent_id}}`` — closed shards report an
-        ``EndingSequenceNumber`` and hit SHARD_END (``NextShardIterator ==
-        None``) when drained."""
+        {child_id: parent_id | [parent_id, adjacent_parent_id]}}`` — a
+        two-element list models a MERGE child (the real API reports
+        ``ParentShardId`` + ``AdjacentParentShardId``); closed shards report
+        an ``EndingSequenceNumber`` and hit SHARD_END
+        (``NextShardIterator == None``) when drained."""
         import glob as _glob
         import os
 
@@ -179,7 +181,13 @@ class CaptureReplayClient:
         for sid in sorted(self._shards):
             s: dict = {"ShardId": sid}
             if sid in self._parents:
-                s["ParentShardId"] = self._parents[sid]
+                p = self._parents[sid]
+                if isinstance(p, (list, tuple)):  # merge child: two parents
+                    s["ParentShardId"] = p[0]
+                    if len(p) > 1:
+                        s["AdjacentParentShardId"] = p[1]
+                else:
+                    s["ParentShardId"] = p
             rng: dict = {"StartingSequenceNumber": "0"}
             if sid in self._closed:
                 rng["EndingSequenceNumber"] = str(len(self._shards[sid]) - 1)
@@ -254,7 +262,11 @@ class CaptureSinkClient:
     """
 
     def __init__(
-        self, capture_dir: str, num_shards: int = 1, split_after_puts: int = 0
+        self,
+        capture_dir: str,
+        num_shards: int = 1,
+        split_after_puts: int = 0,
+        merge_after_puts: int = 0,
     ) -> None:
         import os
 
@@ -263,6 +275,10 @@ class CaptureSinkClient:
         #: shard closes and splits into two children — a mid-stream
         #: UpdateShardCount doubling the sink must write through live
         self.split_after_puts = int(split_after_puts)
+        #: chaos knob: after N puts, adjacent open-shard pairs each MERGE
+        #: into one child spanning both hash ranges (the real MergeShards
+        #: topology: child carries ParentShardId + AdjacentParentShardId)
+        self.merge_after_puts = int(merge_after_puts)
         self._puts_seen = 0
         self._next_shard_id = num_shards
         space = 1 << 128
@@ -312,6 +328,43 @@ class CaptureSinkClient:
                 os.makedirs(os.path.join(self._dir, sid), exist_ok=True)
         self.shards.extend(children)
 
+    def merge_adjacent_shards(self) -> None:
+        """Close open shards pairwise (adjacent in hash space) and open ONE
+        child spanning each pair's combined range — MergeShards semantics:
+        both parents stay listed with an EndingSequenceNumber and the child
+        carries ``ParentShardId`` + ``AdjacentParentShardId``, so consumers
+        must drain BOTH parents before admitting the child."""
+        import os
+
+        open_shards = sorted(
+            (
+                s
+                for s in self.shards
+                if not s["SequenceNumberRange"].get("EndingSequenceNumber")
+            ),
+            key=lambda s: int(s["HashKeyRange"]["StartingHashKey"]),
+        )
+        children = []
+        for a, b in zip(open_shards[::2], open_shards[1::2]):
+            for s in (a, b):
+                s["SequenceNumberRange"]["EndingSequenceNumber"] = str(self._puts_seen)
+            sid = f"shardId-{self._next_shard_id:012d}"
+            self._next_shard_id += 1
+            children.append(
+                {
+                    "ShardId": sid,
+                    "ParentShardId": a["ShardId"],
+                    "AdjacentParentShardId": b["ShardId"],
+                    "HashKeyRange": {
+                        "StartingHashKey": a["HashKeyRange"]["StartingHashKey"],
+                        "EndingHashKey": b["HashKeyRange"]["EndingHashKey"],
+                    },
+                    "SequenceNumberRange": {"StartingSequenceNumber": "0"},
+                }
+            )
+            os.makedirs(os.path.join(self._dir, sid), exist_ok=True)
+        self.shards.extend(children)
+
     def describe_stream(self, StreamName: str, ExclusiveStartShardId: str | None = None, **_):
         shards = self.shards
         if ExclusiveStartShardId is not None:
@@ -355,6 +408,9 @@ class CaptureSinkClient:
         ):
             self.split_all_shards()
             self.split_after_puts = 0  # scripted chaos fires once
+        if self.merge_after_puts and self._puts_seen > self.merge_after_puts:
+            self.merge_adjacent_shards()
+            self.merge_after_puts = 0  # scripted chaos fires once
 
         out = []
         by_shard: dict[str, list[bytes]] = {}
@@ -370,9 +426,14 @@ class CaptureSinkClient:
 
 
 def capture_sink_client_factory(
-    capture_dir: str, num_shards: int = 1, split_after_puts: int = 0
+    capture_dir: str,
+    num_shards: int = 1,
+    split_after_puts: int = 0,
+    merge_after_puts: int = 0,
 ):
-    return CaptureSinkClient(capture_dir, num_shards, split_after_puts)
+    return CaptureSinkClient(
+        capture_dir, num_shards, split_after_puts, merge_after_puts
+    )
 
 
 # ---------------------------------------------------------------------------

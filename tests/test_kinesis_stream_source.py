@@ -815,3 +815,218 @@ class TestReshardChaosEndToEnd:
             bytes(r["data"]) for r in spark.sql("SELECT data FROM chaos_readback").collect()
         )
         assert streamed == sorted(payloads)
+
+
+class TestMergeTopology:
+    """A shard MERGE: two parents close and ONE child spans their combined
+    hash range. The child carries ParentShardId + AdjacentParentShardId and
+    must not be admitted until BOTH parents are drained — the gating path
+    (_parents_done's AdjacentParentShardId key) a split never exercises."""
+
+    PARENT_A = "shardId-000000000000"
+    PARENT_B = "shardId-000000000001"
+    CHILD = "shardId-000000000002"
+
+    @pytest.fixture()
+    def merge_capture(self, tmp_path):
+        root = tmp_path / "merge_capture"
+        for sid, payloads in {
+            self.PARENT_A: _payloads(0, 10),
+            self.PARENT_B: _payloads(1, 7),
+            self.CHILD: _payloads(2, 5),
+        }.items():
+            os.makedirs(root / sid)
+            for i, p in enumerate(payloads):
+                agg = RecordAggregator()
+                agg.add_user_record("pk", p)
+                rec = agg.clear_and_get()
+                write_wire_file(str(root / sid / f"part-{i:04d}.kpl"), [rec.to_bytes()])
+        reshard = {
+            "closed": [self.PARENT_A, self.PARENT_B],
+            "parents": {self.CHILD: [self.PARENT_A, self.PARENT_B]},
+        }
+        return str(root), reshard
+
+    def _opts(self, capture, reshard, **extra):
+        kw = {"capture_dir": capture, "opaque": True, "reshard": reshard}
+        o = {
+            "stream_name": "events",
+            "client_factory": "kinesis_writer_spark.sources.kinesis_stream:capture_client_factory",
+            "client_kwargs": json.dumps(kw),
+        }
+        o.update(extra)
+        return o
+
+    def test_list_shards_reports_both_parent_ids(self, merge_capture):
+        from kinesis_writer_spark.sources.kinesis_stream import (
+            capture_client_factory,
+        )
+
+        capture, reshard = merge_capture
+        client = capture_client_factory(capture, opaque=True, reshard=reshard)
+        by_id = {s["ShardId"]: s for s in client.list_shards(StreamName="events")["Shards"]}
+        child = by_id[self.CHILD]
+        assert child["ParentShardId"] == self.PARENT_A
+        assert child["AdjacentParentShardId"] == self.PARENT_B
+        assert "EndingSequenceNumber" in by_id[self.PARENT_A]["SequenceNumberRange"]
+        assert "EndingSequenceNumber" in by_id[self.PARENT_B]["SequenceNumberRange"]
+
+    def test_child_waits_for_both_parents(self, merge_capture):
+        from kinesis_writer_spark.sources.kinesis_stream import (
+            KinesisPartitionedStreamReader,
+        )
+
+        capture, reshard = merge_capture
+        r = KinesisPartitionedStreamReader(
+            self._opts(capture, reshard, max_records_per_batch="4")
+        )
+        r.initialOffset()
+        e1 = r.latestOffset()  # A 4/10, B 4/7 — neither done
+        assert e1[self.PARENT_A]["done"] is False
+        assert e1[self.PARENT_B]["done"] is False
+        assert e1[self.CHILD]["seq"] is None
+        e2 = r.latestOffset()  # B drains (7<=8); A at 8/10 — child MUST
+        assert e2[self.PARENT_B]["done"] is True  # still be blocked on the
+        assert e2[self.PARENT_A]["done"] is False  # ADJACENT parent A
+        assert e2[self.CHILD]["seq"] is None
+        e3 = r.latestOffset()  # A drains
+        assert e3[self.PARENT_A]["done"] is True
+        e4 = r.latestOffset()  # both parents done -> child admitted
+        assert e4[self.CHILD]["seq"] is not None
+
+    def test_partitioned_drains_parents_then_child(self, merge_capture):
+        from kinesis_writer_spark.sources.kinesis_stream import (
+            KinesisPartitionedStreamReader,
+        )
+
+        capture, reshard = merge_capture
+        r = KinesisPartitionedStreamReader(self._opts(capture, reshard))
+        start, end = r.initialOffset(), r.latestOffset()
+        assert end[self.PARENT_A]["done"] is True
+        assert end[self.PARENT_B]["done"] is True
+        rows = [t for p in r.partitions(start, end) for t in r.read(p)]
+        assert len(rows) == 10 + 7 + 5  # no loss, no duplication
+
+    def test_streaming_merge_exactly_once(self, spark, merge_capture, tmp_path):
+        kinesis_stream.register(spark)
+        capture, reshard = merge_capture
+        raw = (
+            spark.readStream.format("kinesis")
+            .option("reader", "partitioned")
+            .options(**self._opts(capture, reshard))
+            .load()
+        )
+        q = (
+            deaggregate_records(raw, wire_col="data", strict=False)
+            .writeStream.format("memory")
+            .queryName("kinesis_merge")
+            .option("checkpointLocation", str(tmp_path / "ckpt_mg"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql("SELECT * FROM kinesis_merge").collect()
+        users = sorted(json.loads(bytes(r["data"]))["user_id"] for r in got)
+        assert users == sorted(
+            list(range(0, 10)) + list(range(1000, 1007)) + list(range(2000, 2005))
+        )
+
+
+class TestMergeChaosEndToEnd:
+    """Mid-writeStream MERGE: the sink writes through a live MergeShards
+    (two open shards close into one child after 3 puts), the writer's
+    periodic refresh re-discovers and re-routes onto the merged child, and
+    the partitioned source then drains BOTH parents before the child —
+    zero lost records end to end."""
+
+    SHARD_A = "shardId-000000000000"
+    SHARD_B = "shardId-000000000001"
+    MERGED = "shardId-000000000002"
+
+    def test_merge_mid_stream_zero_loss(self, spark, tmp_path):
+        from kinesis_writer_spark.sources import kpl_datasource
+
+        kinesis_stream.register(spark)
+        sink_dir = str(tmp_path / "merge_chaos_capture")
+        src_dir = tmp_path / "merge_chaos_src"
+        os.makedirs(src_dir)
+        payloads = [
+            (f"payload-{i:03d}-".encode() * 1) + bytes([i % 251]) * 400_000
+            for i in range(40)
+        ]
+        spark.createDataFrame([(p,) for p in payloads], "data binary").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src_dir / "p"))
+        q = (
+            spark.readStream.schema("data binary")
+            .parquet(str(src_dir / "p"))
+            .writeStream.format("kinesis")
+            .option("stream_name", "merge-chaos-stream")
+            .option(
+                "client_factory",
+                "kinesis_writer_spark.sources.kinesis_stream:capture_sink_client_factory",
+            )
+            .option(
+                "client_kwargs",
+                json.dumps(
+                    {"capture_dir": sink_dir, "num_shards": 2, "merge_after_puts": 3}
+                ),
+            )
+            .option("shard_map_refresh_flushes", "1")
+            .option("checkpointLocation", str(tmp_path / "ckpt_merge_chaos"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+        def kpl_files(shard):
+            d = os.path.join(sink_dir, shard)
+            return [f for f in os.listdir(d)] if os.path.isdir(d) else []
+
+        # pre-merge traffic landed in the parents, post-merge traffic in
+        # the single merged child (a stale router drawing closed-parent
+        # midpoints would still route into the child's combined range —
+        # files in MERGED prove the refresh + the service-side routing)
+        assert len(kpl_files(self.SHARD_A)) + len(kpl_files(self.SHARD_B)) >= 1
+        assert len(kpl_files(self.MERGED)) >= 1
+
+        kpl_datasource.register(spark)
+        back = spark.read.format("kpl").load(sink_dir + "/*/*.kpl")
+        got = sorted(bytes(r["data"]) for r in back.collect())
+        assert got == sorted(payloads)
+
+        # streaming read-back through the merge topology
+        reshard = {
+            "closed": [self.SHARD_A, self.SHARD_B],
+            "parents": {self.MERGED: [self.SHARD_A, self.SHARD_B]},
+        }
+        raw = (
+            spark.readStream.format("kinesis")
+            .option("reader", "partitioned")
+            .option("stream_name", "merge-chaos-stream")
+            .option(
+                "client_factory",
+                "kinesis_writer_spark.sources.kinesis_stream:capture_client_factory",
+            )
+            .option(
+                "client_kwargs",
+                json.dumps(
+                    {"capture_dir": sink_dir, "opaque": True, "reshard": reshard}
+                ),
+            )
+            .load()
+        )
+        q2 = (
+            deaggregate_records(raw, wire_col="data", strict=False)
+            .writeStream.format("memory")
+            .queryName("merge_chaos_readback")
+            .option("checkpointLocation", str(tmp_path / "ckpt_merge_read"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        streamed = sorted(
+            bytes(r["data"])
+            for r in spark.sql("SELECT data FROM merge_chaos_readback").collect()
+        )
+        assert streamed == sorted(payloads)
