@@ -127,3 +127,77 @@ class TestDecodeMediaRoute:
         assert d["sample_rate"] == 44100
         assert not d["is_vbr"]
         assert d["duration_ms"] == round(6 * 1152 / 44100 * 1000)
+
+
+# -- property tests ---------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kinesis_writer_spark.functions.codecs import (
+    _MP3_BITRATE_KBPS,
+    _MP3_SAMPLE_RATE,
+)
+
+
+@st.composite
+def mp3_params(draw):
+    version = draw(st.sampled_from(["1", "2", "2.5"]))
+    rate = draw(st.sampled_from([r for r in _MP3_SAMPLE_RATE[version] if r]))
+    n = draw(st.integers(min_value=1, max_value=12))
+    table = [b for b in _MP3_BITRATE_KBPS[version] if b]
+    bitrates = draw(st.lists(st.sampled_from(table), min_size=n, max_size=n))
+    mode = draw(st.sampled_from(["stereo", "joint_stereo", "dual_channel", "mono"]))
+    id3 = draw(st.sampled_from([0, 1, 127, 128, 300]))
+    # junk must not itself contain a sync byte (0xFF) or a tag magic —
+    # a random 0xFF could legitimately start a parseable-then-truncated
+    # header, which is correct rejection behavior but not this property
+    junk = draw(
+        st.binary(max_size=8)
+        .map(lambda b: b.replace(b"\xff", b"\x7f"))
+        .filter(lambda b: b[:3] not in (b"ID3", b"TAG"))
+    )
+    return version, rate, n, bitrates, mode, id3, junk
+
+
+class TestRoundTripProperties:
+    @given(mp3_params())
+    @settings(max_examples=60, deadline=None)
+    def test_walk_reconstructs_every_header_field(self, params):
+        version, rate, n, bitrates, mode, id3, junk = params
+        payload = junk + write_mp3_frames(
+            n, bitrates=bitrates, sample_rate=rate, version=version,
+            channel_mode=mode, id3v2_bytes=0,
+        ) if junk else write_mp3_frames(
+            n, bitrates=bitrates, sample_rate=rate, version=version,
+            channel_mode=mode, id3v2_bytes=id3,
+        )
+        info = parse_mp3_frames(payload)
+        assert info.n_frames == n
+        assert info.sample_rate == rate
+        assert info.channel_mode == mode
+        assert [f.bitrate_kbps for f in info.frames] == bitrates
+        assert info.is_vbr == (len(set(bitrates)) > 1)
+        samples = info.frames[0].samples
+        assert info.duration_ms == round(n * samples / rate * 1000)
+        # every frame length matches the table formula exactly
+        for f in info.frames:
+            assert f.frame_bytes == (samples // 8) * f.bitrate_kbps * 1000 // rate
+
+    @given(mp3_params())
+    @settings(max_examples=30, deadline=None)
+    def test_truncation_anywhere_is_detected_not_misparsed(self, params):
+        version, rate, n, bitrates, mode, id3, _ = params
+        payload = write_mp3_frames(
+            n, bitrates=bitrates, sample_rate=rate, version=version,
+            channel_mode=mode, id3v2_bytes=id3,
+        )
+        cut = payload[: len(payload) - 1]  # drop the final byte
+        try:
+            info = parse_mp3_frames(cut)
+            # acceptable only if the walk stopped BEFORE the damaged frame
+            assert info.n_frames < n
+        except Exception as exc:
+            from kinesis_writer_spark.functions.codecs import CodecError
+
+            assert isinstance(exc, CodecError)  # precise error, never garbage
