@@ -1,5 +1,7 @@
-"""Scale-trajectory spot-bench: the five most expensive registry queries
-(q220, q193, q206, q54, q219) at sf0.1 vs a synthetic sf1.0.
+"""Scale-trajectory spot-bench: the most expensive registry queries
+(q220, q193, q206, q54, q219, and since r7 the memo-cold top-cost
+q148/q255 dup-graph consumers plus the CPU-bound q257 JPEG decode)
+at sf0.1 vs a synthetic sf1.0.
 
 The engine's 100 TB story is plan-shape-based (banded equi-joins, no
 all-pairs, no single-task funnels); this artifact adds a measured point
@@ -41,7 +43,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SPOT = ["q220_lsh_recall_eval", "q193_prefix_filter_join", "q206_incremental_dedup",
-        "q54_simhash_neardup", "q219_random_walks"]
+        "q54_simhash_neardup", "q219_random_walks",
+        "q148_pagerank_neardup_graph", "q255_cluster_aware_split",
+        "q257_jpeg_decode"]
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/sf1_spot_v2"  # v2: per-replica word mutation, see module docstring
 REPLICAS = 10
