@@ -153,9 +153,9 @@ def main() -> None:
             runs = []
             try:
                 for _ in range(3):
-                    t0 = time.time()
+                    t0 = time.monotonic()
                     _run_once(queries, name, spark, sf_dir)
-                    runs.append(round(time.time() - t0, 3))
+                    runs.append(round(time.monotonic() - t0, 3))
                     spark.catalog.clearCache()
                 headline_runs[name] = runs
                 timings[name] = round(sorted(runs)[1], 3)
@@ -197,9 +197,9 @@ def main() -> None:
                     continue  # fast and stable; a second shot is noise-chasing
                 try:
                     _clear_memos()
-                    t0 = time.time()
+                    t0 = time.monotonic()
                     _run_once(queries, name, spark, sf_dir)
-                    t1 = round(time.time() - t0, 3)
+                    t1 = round(time.monotonic() - t0, 3)
                     spark.catalog.clearCache()
                     all_runs.setdefault(name, []).append(t1)
                     all_timings[name] = min(all_runs[name])

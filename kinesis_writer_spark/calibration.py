@@ -35,7 +35,7 @@ CALIB_PARTITIONS = 64
 def _probe_once(spark) -> float:
     from pyspark.sql import functions as F
 
-    t0 = time.time()
+    t0 = time.monotonic()
     (
         spark.range(0, CALIB_ROWS, 1, CALIB_PARTITIONS)
         .select(
@@ -50,7 +50,7 @@ def _probe_once(spark) -> float:
         .format("noop")
         .save()
     )
-    return round(time.time() - t0, 3)
+    return round(time.monotonic() - t0, 3)
 
 
 def calibrate(spark, rounds: int = 3) -> dict:
@@ -85,15 +85,15 @@ def load_gate(
     times out the bench proceeds anyway — ``gate_expired`` records that
     the numbers were taken under load.
     """
-    t0 = time.time()
+    t0 = time.monotonic()
     entry_load = os.getloadavg()[0]
-    while os.getloadavg()[0] > threshold and (time.time() - t0) < max_wait_s:
+    while os.getloadavg()[0] > threshold and (time.monotonic() - t0) < max_wait_s:
         time.sleep(poll_s)
     final = os.getloadavg()[0]
     return {
         "gate_threshold": threshold,
         "gate_load_entry": round(entry_load, 2),
         "gate_load_exit": round(final, 2),
-        "gate_waited_s": round(time.time() - t0, 1),
+        "gate_waited_s": round(time.monotonic() - t0, 1),
         "gate_expired": final > threshold,
     }

@@ -46,5 +46,15 @@ def clear_all() -> int:
                     unpersist()
                 except Exception:
                     pass
+            # DataFrame.unpersist() only reaches CacheManager blocks; a
+            # localCheckpointed DataFrame keeps its blocks in an internal
+            # RDD the CacheManager cannot see (its plan is a LogicalRDD).
+            # Reach that RDD through the analyzed plan and unpersist it
+            # directly; any JVM-side shape mismatch just leaves the entry
+            # to driver GC, as before.
+            try:
+                v._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:
+                pass
         c.clear()
     return n

@@ -163,8 +163,15 @@ def decode_media(payload: bytes) -> dict:
         len(payload) >= 2 and payload[0] == 0xFF and payload[1] & 0xE0 == 0xE0
     ):
         # ID3v2 tag or raw MPEG frame sync (0xFFD8 = JPEG already matched
-        # above; the JPEG SOI byte 0xD8 fails the 0xE0 sync mask anyway)
-        mp3 = C.parse_mp3_frames(bytes(payload))
+        # above; the JPEG SOI byte 0xD8 fails the 0xE0 sync mask anyway).
+        # The 2-byte sync sniff is weak (~1/512 of arbitrary binary passes
+        # it), so a parse failure here means "not actually MP3", not "bad
+        # query input" — fall through to the unknown path instead of
+        # failing the whole mapInPandas task on a stray blob.
+        try:
+            mp3 = C.parse_mp3_frames(bytes(payload))
+        except C.CodecError:
+            return {"kind": "unknown", **_fake_decode(payload)}
         return {
             "kind": "mp3",
             "n_bytes": len(payload),

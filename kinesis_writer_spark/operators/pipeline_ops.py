@@ -1973,9 +1973,11 @@ def q220_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "full_outer",
         )
     )
+    # coalesce: SUM over zero matching rows is NULL, but the oracle's
+    # COUNT(*)-style side counts an empty truth/candidate set as 0.
     stats = flagged.agg(
-        F.sum("is_truth").cast("bigint").alias("n_truth"),
-        F.sum("is_cand").cast("bigint").alias("n_candidates"),
+        F.coalesce(F.sum("is_truth"), F.lit(0)).cast("bigint").alias("n_truth"),
+        F.coalesce(F.sum("is_cand"), F.lit(0)).cast("bigint").alias("n_candidates"),
         F.count(F.when(F.col("is_cand").isNotNull() & F.col("is_truth").isNotNull(), 1))
         .cast("bigint")
         .alias("n_hit"),

@@ -137,7 +137,15 @@ def main() -> int:
         # (iterative temp-table fixpoints) — the driver always runs the
         # single-statement SQL; equality of the two forms is pinned by
         # tests/test_fast_oracles.py. --canonical-oracle forces the SQL.
-        fast = None if args.canonical_oracle else registry.get(name).fast_oracle
+        # --strict also forces it: the strict pass audits dtype-level
+        # driver hazards, which must be measured on the driver's exact
+        # path, not on the accelerator's temp-table output (whose dtypes
+        # could legally differ from the recursive-CTE form's).
+        fast = (
+            None
+            if (args.canonical_oracle or args.strict)
+            else registry.get(name).fast_oracle
+        )
         try:
             odf = fast(con) if fast is not None else con.execute(oracles[name]).fetchdf()
         except Exception as exc:

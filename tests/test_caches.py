@@ -80,3 +80,23 @@ def test_clear_all_unpersists_dataframe_entries():
         assert calls["n"] == 1 and not cache
     finally:
         memo._CACHES.remove(cache)
+
+
+def test_clear_all_frees_local_checkpoint_blocks(spark):
+    """DataFrame.unpersist() is a no-op for localCheckpointed DataFrames
+    (their blocks live in an internal RDD outside the CacheManager), so
+    clear_all must release them through the plan's LogicalRDD — assert on
+    the real persistent-RDD count, not on unpersist having been called."""
+    from kinesis_writer_spark import memo
+
+    sc = spark.sparkContext
+    base = sc._jsc.getPersistentRDDs().size()
+    cache = memo.register({})
+    try:
+        cache["ckpt"] = spark.range(10_000).localCheckpoint()
+        assert sc._jsc.getPersistentRDDs().size() == base + 1
+        memo.clear_all()
+        assert not cache
+        assert sc._jsc.getPersistentRDDs().size() == base
+    finally:
+        memo._CACHES.remove(cache)

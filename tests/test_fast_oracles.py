@@ -35,6 +35,8 @@ def _norm(df):
 
 @pytest.mark.parametrize("name", FAST_QUERIES)
 def test_fast_oracle_equals_canonical_sql(name):
+    import pandas.api.types as pt
+
     q = registry.get(name)
     assert q.fast_oracle is not None
     con = _connect()
@@ -42,6 +44,36 @@ def test_fast_oracle_equals_canonical_sql(name):
     fast = q.fast_oracle(_connect())  # fresh con: no temp-table leakage
     assert list(sorted(fast.columns)) == list(sorted(canonical.columns))
     assert _norm(fast) == _norm(canonical)
+    # Pin dtype CLASS equality too: the strict sweep audits int-vs-float
+    # driver hazards, and a hazard present in only one of the two forms
+    # would otherwise slip through whichever form the sweep didn't run.
+    for col in canonical.columns:
+        assert pt.is_integer_dtype(fast[col]) == pt.is_integer_dtype(canonical[col]), col
+        assert pt.is_float_dtype(fast[col]) == pt.is_float_dtype(canonical[col]), col
+
+
+def test_materialize_reuses_existing_components():
+    """One sweep connection runs q96/q144/q255 back-to-back; the dup-graph
+    build must run once, not three times (review r7: 3x re-materialization
+    was two-thirds of the fast-path cost)."""
+    from kinesis_writer_spark.operators.dedup import (
+        materialize_neardup_components,
+    )
+
+    con = _connect()
+    materialize_neardup_components(con)
+    before = _norm(con.sql("SELECT node, comp_id FROM comp_fast").fetchdf())
+    # Drop the edge table: a second call that tried to rebuild would fail
+    # or recreate it; reuse must leave comp_fast untouched instead.
+    con.execute("DROP TABLE nd_edges")
+    materialize_neardup_components(con)
+    after = _norm(con.sql("SELECT node, comp_id FROM comp_fast").fetchdf())
+    assert after == before
+    with pytest.raises(duckdb.CatalogException):
+        con.sql("SELECT * FROM nd_edges")
+    # reuse=False forces the rebuild
+    materialize_neardup_components(con, reuse=False)
+    con.sql("SELECT * FROM nd_edges")  # edge table rebuilt
 
 
 def test_only_expected_queries_have_fast_oracles():

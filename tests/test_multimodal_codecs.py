@@ -168,6 +168,22 @@ class TestDecodeMediaDispatch:
         other = decode_media(b"\x89PNG rest-of-payload")
         assert other["kind"] == "unknown" and other["n_bytes"] == 20
 
+    def test_false_mp3_sync_falls_back_to_unknown(self):
+        """~1/512 of arbitrary binary passes the 2-byte MPEG sync sniff;
+        a failed frame parse must yield the 'unknown' row, not a
+        CodecError that kills the whole mapInPandas task (r7 review)."""
+        from kinesis_writer_spark.operators.multimodal import decode_media
+
+        # Passes the 0xFF/0xE0 sync mask but is not a valid MPEG frame
+        # (bitrate index 0xF is forbidden), nor is the trailing garbage.
+        bogus = b"\xff\xfa\xf0\x00not-really-an-mp3-payload"
+        d = decode_media(bogus)
+        assert d["kind"] == "unknown" and d["n_bytes"] == len(bogus)
+        # ID3-prefixed garbage likewise falls through instead of raising.
+        tagged = b"ID3\x04\x00\x00\x00\x00\x00\x0a0123456789 no frames here"
+        d2 = decode_media(tagged)
+        assert d2["kind"] == "unknown"
+
 
 class TestPng:
     def _roundtrip(self, w, h, pixels, nc=3):
