@@ -13,12 +13,18 @@ tests/test_jpeg_codec.py), plus an MP3 (MPEG-1/2/2.5 Layer III)
 frame-header parser — sync scan, public bitrate/samplerate tables,
 frame-length walk, ID3v1/v2 tag handling — covering everything a data
 pipeline extracts from an MP3 (duration, bitrate, CBR/VBR, channels)
-without the external-library-bound audio decode. They back the engine's
-multimodal decode stage (operators/multimodal.py): the Spark plumbing
-streams payloads through Arrow-batched ``mapInPandas`` and these parsers
-run per batch, exactly where PIL/libsndfile would sit. Only H.264, whose
-decode genuinely needs an external library, still falls back to the
-marked structural-feature fake.
+without the external-library-bound audio decode, and an H.264 Annex B
+structure parser — start-code scan, NAL unit walk, emulation-prevention
+removal, Exp-Golomb SPS parse with the full cropping arithmetic —
+covering everything a pipeline extracts from a video bitstream
+(geometry, profile/level, keyframe/slice counts) without the
+external-library-bound pixel decode. They back the engine's multimodal
+decode stage (operators/multimodal.py): the Spark plumbing streams
+payloads through Arrow-batched ``mapInPandas`` and these parsers run per
+batch, exactly where PIL/libsndfile/ffmpeg would sit. Every recognized
+format now has a real parser; pixel/audio-sample decode for the
+compressed A/V formats (MP3 audio frames, H.264 macroblocks) is the one
+declared out-of-scope layer.
 
 Pure stdlib (struct + zlib) plus numpy for the JPEG DCT; deterministic;
 no I/O.
@@ -1336,4 +1342,390 @@ def parse_mp3_frames(payload: bytes) -> Mp3Info:
         avg_bitrate_kbps=round(total_payload_bits / duration_s / 1000),
         is_vbr=len({f.bitrate_kbps for f in frames}) > 1,
         frames=tuple(frames),
+    )
+
+
+# ---------------------------------------------------------------------------
+# H.264 / AVC — Annex B byte-stream structure parser (ITU-T H.264 §B.1/§7.3)
+# ---------------------------------------------------------------------------
+# Honest structure-level codec, same scope philosophy as the MP3 section:
+# everything a data pipeline extracts from a video bitstream WITHOUT pixel
+# decode — start-code scan, NAL unit walk, emulation-prevention-byte
+# removal, and a real Exp-Golomb parse of the SPS (profile/level, frame
+# geometry including the cropping arithmetic) — is implemented from the
+# public spec. Macroblock/CABAC pixel decode genuinely needs an external
+# library and stays out of scope (and out of claim).
+
+#: nal_unit_type values (H.264 Table 7-1) the walker classifies.
+H264_NAL_NON_IDR = 1
+H264_NAL_IDR = 5
+H264_NAL_SEI = 6
+H264_NAL_SPS = 7
+H264_NAL_PPS = 8
+H264_NAL_AUD = 9
+
+#: profile_idc values whose SPS carries the chroma/bit-depth block
+#: (H.264 §7.3.2.1.1 "if( profile_idc == 100 || ..." list).
+_H264_HIGH_PROFILES = frozenset((100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135))
+
+#: (SubWidthC, SubHeightC) per chroma_format_idc (H.264 Table 6-1);
+#: chroma_format_idc 0 = monochrome (no chroma sampling — crop unit 1).
+_H264_CHROMA_SUB = {0: (1, 1), 1: (2, 2), 2: (2, 1), 3: (1, 1)}
+
+
+@dataclass(frozen=True)
+class H264Nal:
+    nal_type: int
+    nal_ref_idc: int
+    n_rbsp_bytes: int  # header byte + RBSP payload (emulation bytes removed)
+
+
+@dataclass(frozen=True)
+class H264Stream:
+    profile_idc: int
+    level_idc: int
+    width: int
+    height: int
+    frame_mbs_only: bool
+    chroma_format_idc: int
+    n_nal_units: int
+    n_idr_slices: int
+    n_non_idr_slices: int
+    n_sei: int
+    n_sps: int
+    n_pps: int
+    total_slice_rbsp_bytes: int
+    nals: tuple
+
+
+class _EgWriter:
+    """MSB-first bit writer with Exp-Golomb codes (H.264 §9.1)."""
+
+    def __init__(self):
+        self._bits: list = []
+
+    def u(self, n: int, v: int) -> None:
+        if v < 0 or v >> n:
+            raise CodecError(f"u({n}) value out of range: {v}")
+        for i in range(n - 1, -1, -1):
+            self._bits.append((v >> i) & 1)
+
+    def ue(self, v: int) -> None:
+        if v < 0:
+            raise CodecError(f"ue(v) is unsigned, got {v}")
+        code = v + 1
+        n = code.bit_length()
+        self.u(2 * n - 1, code)
+
+    def se(self, v: int) -> None:
+        # H.264 §9.1.1: positive k maps to 2k-1, non-positive to -2k
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def rbsp_trailing(self) -> bytes:
+        self._bits.append(1)  # rbsp_stop_one_bit
+        while len(self._bits) % 8:
+            self._bits.append(0)
+        out = bytearray()
+        for i in range(0, len(self._bits), 8):
+            b = 0
+            for bit in self._bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+class _EgReader:
+    """MSB-first bit reader with Exp-Golomb codes over an RBSP."""
+
+    def __init__(self, rbsp: bytes):
+        self._data = rbsp
+        self._pos = 0  # bit position
+
+    def u(self, n: int) -> int:
+        if self._pos + n > len(self._data) * 8:
+            raise CodecError("SPS truncated inside a fixed-width field")
+        v = 0
+        for _ in range(n):
+            byte = self._data[self._pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self._pos & 7))) & 1)
+            self._pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while True:
+            if self._pos >= len(self._data) * 8:
+                raise CodecError("SPS truncated inside an Exp-Golomb prefix")
+            if self.u(1):
+                break
+            zeros += 1
+            if zeros > 31:
+                raise CodecError("Exp-Golomb prefix longer than 31 zeros")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _ebsp_from_rbsp(rbsp: bytes) -> bytes:
+    """Insert emulation_prevention_three_byte (H.264 §7.4.1: after two
+    zero bytes, a byte <= 0x03 must be escaped with 0x03)."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _rbsp_from_ebsp(ebsp: bytes) -> bytes:
+    """Remove emulation prevention bytes; rejects the bit patterns EPB
+    insertion makes impossible inside a well-formed NAL."""
+    out = bytearray()
+    zeros = 0
+    i = 0
+    while i < len(ebsp):
+        b = ebsp[i]
+        if zeros >= 2:
+            if b == 3:
+                if i + 1 < len(ebsp) and ebsp[i + 1] > 3:
+                    raise CodecError(
+                        f"emulation prevention byte followed by 0x{ebsp[i+1]:02x}"
+                    )
+                zeros = 0
+                i += 1
+                continue
+            if b <= 2:
+                raise CodecError("unescaped 0x000000-0x000002 sequence inside NAL")
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+        i += 1
+    return bytes(out)
+
+
+def _parse_sps(rbsp: bytes) -> dict:
+    """Parse a seq_parameter_set RBSP (header byte stripped) per §7.3.2.1.1
+    far enough to derive the frame geometry; VUI is not needed and skipped."""
+    r = _EgReader(rbsp)
+    profile_idc = r.u(8)
+    r.u(8)  # constraint_set flags + reserved_zero_2bits
+    level_idc = r.u(8)
+    r.ue()  # seq_parameter_set_id
+    chroma_format_idc = 1  # implied 4:2:0 for non-high profiles (§7.4.2.1.1)
+    separate_colour_plane = 0
+    if profile_idc in _H264_HIGH_PROFILES:
+        chroma_format_idc = r.ue()
+        if chroma_format_idc > 3:
+            raise CodecError(f"chroma_format_idc out of range: {chroma_format_idc}")
+        if chroma_format_idc == 3:
+            separate_colour_plane = r.u(1)
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if r.u(1):  # seq_scaling_matrix_present_flag
+            raise CodecError("SPS scaling matrices not supported")
+    r.ue()  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        r.u(1)  # delta_pic_order_always_zero_flag
+        r.se()  # offset_for_non_ref_pic
+        r.se()  # offset_for_top_to_bottom_field
+        for _ in range(r.ue()):  # num_ref_frames_in_pic_order_cnt_cycle
+            r.se()
+    elif poc_type != 2:
+        raise CodecError(f"pic_order_cnt_type out of range: {poc_type}")
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed_flag
+    pic_width_in_mbs = r.ue() + 1
+    pic_height_in_map_units = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)  # mb_adaptive_frame_field_flag
+    r.u(1)  # direct_8x8_inference_flag
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.u(1):  # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    # §7.4.2.1.1: crop units are SubWidthC/SubHeightC luma samples (x2
+    # vertically for field coding); separate planes crop like monochrome.
+    sub_w, sub_h = _H264_CHROMA_SUB[0 if separate_colour_plane else chroma_format_idc]
+    crop_x = sub_w if chroma_format_idc in (1, 2) and not separate_colour_plane else 1
+    crop_y = (sub_h if chroma_format_idc == 1 and not separate_colour_plane else 1) * (
+        2 - frame_mbs_only
+    )
+    width = pic_width_in_mbs * 16 - crop_x * (crop_l + crop_r)
+    height = (2 - frame_mbs_only) * pic_height_in_map_units * 16 - crop_y * (
+        crop_t + crop_b
+    )
+    if width <= 0 or height <= 0:
+        raise CodecError(f"cropping exceeds coded frame size: {width}x{height}")
+    return {
+        "profile_idc": profile_idc,
+        "level_idc": level_idc,
+        "width": width,
+        "height": height,
+        "frame_mbs_only": bool(frame_mbs_only),
+        "chroma_format_idc": chroma_format_idc,
+    }
+
+
+def write_h264_annexb(
+    width: int,
+    height: int,
+    idr_bodies: list,
+    non_idr_bodies: list = (),
+    profile_idc: int = 66,
+    level_idc: int = 30,
+    n_sei: int = 0,
+) -> bytes:
+    """Synthesize a structurally-valid Annex B byte stream: 4-byte start
+    code + SPS, then PPS, optional SEI NALs, then one IDR NAL per entry of
+    ``idr_bodies`` and one non-IDR NAL per entry of ``non_idr_bodies``
+    (3-byte start codes), each body carried as opaque RBSP payload with a
+    0x80 rbsp-stop byte appended and emulation prevention applied. SPS
+    geometry uses frame_mbs_only + cropping, so any ``width``/``height``
+    even in both dimensions round-trips exactly.
+    """
+    if width <= 0 or height <= 0 or width % 2 or height % 2:
+        raise CodecError(f"frame dimensions must be positive and even: {width}x{height}")
+    mbs_w = (width + 15) // 16
+    mbs_h = (height + 15) // 16
+    # 4:2:0 frame coding: crop unit is 2 luma samples in both directions
+    crop_r = (mbs_w * 16 - width) // 2
+    crop_b = (mbs_h * 16 - height) // 2
+
+    w = _EgWriter()
+    w.u(8, profile_idc)
+    w.u(8, 0)  # constraint flags
+    w.u(8, level_idc)
+    w.ue(0)  # sps_id
+    if profile_idc in _H264_HIGH_PROFILES:
+        w.ue(1)  # chroma_format_idc = 4:2:0
+        w.ue(0)  # bit_depth_luma_minus8
+        w.ue(0)  # bit_depth_chroma_minus8
+        w.u(1, 0)  # qpprime
+        w.u(1, 0)  # no scaling matrices
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(0)  # pic_order_cnt_type
+    w.ue(0)  # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1)  # max_num_ref_frames
+    w.u(1, 0)  # gaps_in_frame_num_value_allowed
+    w.ue(mbs_w - 1)
+    w.ue(mbs_h - 1)
+    w.u(1, 1)  # frame_mbs_only_flag
+    w.u(1, 1)  # direct_8x8_inference_flag
+    if crop_r or crop_b:
+        w.u(1, 1)
+        w.ue(0), w.ue(crop_r), w.ue(0), w.ue(crop_b)
+    else:
+        w.u(1, 0)
+    w.u(1, 0)  # vui_parameters_present_flag
+    sps_rbsp = w.rbsp_trailing()
+
+    p = _EgWriter()
+    p.ue(0), p.ue(0)  # pps_id, sps_id
+    p.u(1, 0)  # entropy_coding_mode (CAVLC)
+    p.u(1, 0)  # bottom_field_pic_order_in_frame_present
+    p.ue(0)  # num_slice_groups_minus1
+    p.ue(0), p.ue(0)  # num_ref_idx_l0/l1_default_active_minus1
+    p.u(1, 0), p.u(2, 0)  # weighted_pred, weighted_bipred_idc
+    p.se(0), p.se(0), p.se(0)  # pic_init_qp/qs, chroma_qp_index_offset
+    p.u(1, 0), p.u(1, 0), p.u(1, 0)  # deblock, constrained_intra, redundant
+    pps_rbsp = p.rbsp_trailing()
+
+    def nal(ref_idc: int, nal_type: int, rbsp: bytes, long_start: bool) -> bytes:
+        start = b"\x00\x00\x00\x01" if long_start else b"\x00\x00\x01"
+        return start + bytes([(ref_idc << 5) | nal_type]) + _ebsp_from_rbsp(rbsp)
+
+    out = bytearray()
+    out += nal(3, H264_NAL_SPS, sps_rbsp, True)
+    out += nal(3, H264_NAL_PPS, pps_rbsp, False)
+    for i in range(n_sei):
+        # payload_type 5 (user_data_unregistered)-shaped stub body
+        out += nal(0, H264_NAL_SEI, bytes([5, 1, i & 0xFF, 0x80]), False)
+    for body in idr_bodies:
+        out += nal(3, H264_NAL_IDR, bytes(body) + b"\x80", False)
+    for body in non_idr_bodies:
+        out += nal(2, H264_NAL_NON_IDR, bytes(body) + b"\x80", False)
+    return bytes(out)
+
+
+def parse_h264_annexb(payload: bytes) -> H264Stream:
+    """Walk an Annex B byte stream: start-code scan (3- and 4-byte forms),
+    per-NAL header decode (forbidden bit, ref_idc, type), emulation
+    prevention removal, and a full Exp-Golomb SPS parse for the frame
+    geometry (including the §7.4.2.1.1 cropping arithmetic). Slice/SEI
+    RBSP payloads are carried opaquely — sized and classified, not pixel
+    decoded."""
+    if payload is None:
+        raise CodecError("cannot decode null payload")
+    data = bytes(payload)
+    # locate 3-byte start codes; a preceding 0x00 is the 4-byte form
+    starts = []
+    i = data.find(b"\x00\x00\x01")
+    while i != -1:
+        starts.append(i)
+        i = data.find(b"\x00\x00\x01", i + 3)
+    if not starts:
+        raise CodecError("no Annex B start code found")
+    if any(data[: starts[0]]):  # leading_zero_8bits must be zero
+        raise CodecError(f"{starts[0]} non-zero bytes before first start code")
+    nals = []
+    sps = None
+    n_idr = n_non_idr = n_sei_units = n_sps = n_pps = 0
+    slice_rbsp = 0
+    for k, s in enumerate(starts):
+        begin = s + 3
+        end = starts[k + 1] if k + 1 < len(starts) else len(data)
+        ebsp = data[begin:end]
+        # trailing_zero_8bits before the next start code belong between NALs
+        while ebsp and ebsp[-1] == 0:
+            ebsp = ebsp[:-1]
+        if not ebsp:
+            raise CodecError(f"empty NAL unit at offset {begin}")
+        header = ebsp[0]
+        if header & 0x80:
+            raise CodecError(f"forbidden_zero_bit set at offset {begin}")
+        nal_type = header & 0x1F
+        ref_idc = (header >> 5) & 0x3
+        rbsp = _rbsp_from_ebsp(ebsp[1:])
+        nals.append(H264Nal(nal_type, ref_idc, 1 + len(rbsp)))
+        if nal_type == H264_NAL_SPS:
+            n_sps += 1
+            if sps is None:
+                sps = _parse_sps(rbsp)
+        elif nal_type == H264_NAL_PPS:
+            n_pps += 1
+        elif nal_type == H264_NAL_SEI:
+            n_sei_units += 1
+        elif nal_type == H264_NAL_IDR:
+            n_idr += 1
+            slice_rbsp += 1 + len(rbsp)
+        elif nal_type == H264_NAL_NON_IDR:
+            n_non_idr += 1
+            slice_rbsp += 1 + len(rbsp)
+    if sps is None:
+        raise CodecError("no SPS NAL in stream")
+    if (n_idr or n_non_idr) and not n_pps:
+        raise CodecError("slice NALs present but no PPS")
+    return H264Stream(
+        profile_idc=sps["profile_idc"],
+        level_idc=sps["level_idc"],
+        width=sps["width"],
+        height=sps["height"],
+        frame_mbs_only=sps["frame_mbs_only"],
+        chroma_format_idc=sps["chroma_format_idc"],
+        n_nal_units=len(nals),
+        n_idr_slices=n_idr,
+        n_non_idr_slices=n_non_idr,
+        n_sei=n_sei_units,
+        n_sps=n_sps,
+        n_pps=n_pps,
+        total_slice_rbsp_bytes=slice_rbsp,
+        nals=tuple(nals),
     )

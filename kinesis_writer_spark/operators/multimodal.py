@@ -2,15 +2,18 @@
 metadata, decoded/feature-extracted via Arrow-batched ``mapInPandas``.
 
 The decode step is REAL for PPM/BMP/PNG/baseline-JPEG images, PCM WAV
-audio, and MP3 frame headers — complete dependency-free byte-format
-parsers in functions/codecs.py (header grammar, endianness, BMP row
-padding, RIFF chunk walking, JPEG huffman + IDCT + chroma upsampling,
-MPEG Layer III sync scan + frame walk), golden- and round-trip-tested.
+audio, MP3 frame headers, and H.264 Annex B streams — complete
+dependency-free byte-format parsers in functions/codecs.py (header
+grammar, endianness, BMP row padding, RIFF chunk walking, JPEG huffman +
+IDCT + chroma upsampling, MPEG Layer III sync scan + frame walk, NAL
+walk + Exp-Golomb SPS geometry), golden- and round-trip-tested.
 q81 decodes genuine P6/BMP rasters; q257 decodes genuine baseline JFIF
 streams; q93 walks genuine RIFF chunks before frame-sampling the data
-chunk; q258 walks genuine MP3 frame chains. Only H.264 — whose decode
-genuinely requires an external library — falls back to the
-clearly-marked structural-feature fake (``_fake_decode``).
+chunk; q258 walks genuine MP3 frame chains; q260 walks genuine H.264
+NAL streams. Every recognized format routes to a real parser —
+``_fake_decode`` remains only as the structural-feature extractor for
+genuinely unrecognized blobs; compressed-A/V sample decode (MP3 audio
+frames, H.264 macroblocks) is declared out of scope rather than faked.
 
 Scale notes: binary payloads ride inside Tungsten rows; mapInPandas streams
 Arrow record batches (no per-row Python overhead) and preserves partitioning,
@@ -61,17 +64,16 @@ def q80_multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- codec dispatch: real parsers for PPM/BMP/PNG/JPEG/WAV/MP3, fake
-# -- fallback only for H.264 (the one codec genuinely needing external libs)
+# -- codec dispatch: real parsers for PPM/BMP/PNG/JPEG/WAV/MP3/H.264;
+# -- _fake_decode is only the structural extractor for unrecognized blobs
 
 
 def _fake_decode(payload: bytes) -> dict:
-    """Deterministic FALLBACK for formats whose codecs need external
-    libraries (now H.264 ONLY — MP3 got a real header-walk parser in r7):
-    structural byte features an oracle can recompute. PPM/BMP/PNG/JPEG/
-    WAV/MP3 payloads never reach this — ``decode_media`` routes them to
-    the real parsers in functions/codecs.py. Raises on None like a real
-    codec would.
+    """Deterministic structural-feature extractor for UNRECOGNIZED blobs
+    (no known magic, or a sniff that failed to parse): byte features an
+    oracle can recompute. Every recognized format — PPM/BMP/PNG/JPEG/WAV/
+    MP3/H.264 — routes to a real parser in functions/codecs.py and never
+    reaches this. Raises on None like a real codec would.
     """
     if payload is None:
         raise ValueError("cannot decode null payload")
@@ -158,6 +160,22 @@ def decode_media(payload: bytes) -> dict:
             "bits_per_sample": wav.bits_per_sample,
             "n_frames": wav.n_frames,
             "duration_ms": wav.duration_ms,
+        }
+    if payload[:4] == b"\x00\x00\x00\x01" or payload[:3] == b"\x00\x00\x01":
+        # H.264 Annex B start code (the 4-byte form is what encoders emit
+        # for the leading SPS). The prefix is unambiguous against every
+        # other branch here (none begin with a zero byte).
+        v = C.parse_h264_annexb(bytes(payload))
+        return {
+            "kind": "h264",
+            "n_bytes": len(payload),
+            "width": v.width,
+            "height": v.height,
+            "profile_idc": v.profile_idc,
+            "level_idc": v.level_idc,
+            "n_nal_units": v.n_nal_units,
+            "n_idr_slices": v.n_idr_slices,
+            "n_non_idr_slices": v.n_non_idr_slices,
         }
     if payload[:3] == b"ID3" or (
         len(payload) >= 2 and payload[0] == 0xFF and payload[1] & 0xE0 == 0xE0
@@ -644,6 +662,63 @@ def frame_sample_wav(
     return df.mapInPandas(sample, schema)
 
 
+def frame_sample_h264(
+    df: DataFrame,
+    payload_col: str = "payload",
+    keep: tuple[str, ...] = ("doc_id",),
+    every_n: int = 2,
+) -> DataFrame:
+    """Media-aware frame sampling over VIDEO: REALLY walk each payload's
+    Annex B NAL structure (functions/codecs.parse_h264_annexb — start
+    codes, emulation-prevention removal, SPS geometry), then emit every
+    Nth picture slice NAL as a row (IDR slices — keyframes — always
+    emitted, the standard seek-point sampling policy), carrying the frame
+    geometry a downstream thumbnailer/feature extractor needs. Expansion
+    happens executor-side per Arrow batch, so a 100 TB corpus never
+    materializes all slices at once.
+    """
+    import pandas as pd
+
+    from ..functions.codecs import H264_NAL_IDR, H264_NAL_NON_IDR, parse_h264_annexb
+
+    keep_cols = list(keep)
+    schema = (
+        ", ".join(f"{c} long" for c in keep_cols)
+        + ", width int, height int, slice_idx long, is_keyframe boolean, nal_bytes long"
+    )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            keep_vals = [pdf[c].tolist() for c in keep_cols]
+            for i, payload in enumerate(pdf[payload_col]):
+                v = parse_h264_annexb(bytes(payload))
+                keys = tuple(col[i] for col in keep_vals)
+                slice_idx = 0
+                for nal in v.nals:
+                    if nal.nal_type not in (H264_NAL_IDR, H264_NAL_NON_IDR):
+                        continue
+                    if nal.nal_type == H264_NAL_IDR or slice_idx % every_n == 0:
+                        rows.append(
+                            keys
+                            + (
+                                v.width,
+                                v.height,
+                                slice_idx,
+                                nal.nal_type == H264_NAL_IDR,
+                                nal.n_rbsp_bytes,
+                            )
+                        )
+                    slice_idx += 1
+            yield pd.DataFrame(
+                rows,
+                columns=keep_cols
+                + ["width", "height", "slice_idx", "is_keyframe", "nal_bytes"],
+            )
+
+    return df.mapInPandas(sample, schema)
+
+
 @register(
     "q93_frame_sample",
     oracle=f"""
@@ -958,4 +1033,141 @@ def q259_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract,
         "doc_id long, frame_idx long, n_samples long, sum_sq long,"
         " zero_crossings long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q260: H.264 stream stats over real Annex B NAL streams
+# ---------------------------------------------------------------------------
+
+#: q260 content grammar, shared by the Spark synth stage and the oracle:
+#: frame geometry / profile / slice counts all derive from doc_id and
+#: n_chars with pure integer arithmetic; slice i's opaque RBSP body is
+#: 24 + (doc_id*13 + i*7) % 64 bytes (its bytes include 0x00 runs, so the
+#: emulation-prevention machinery is exercised on every payload, while
+#: RBSP sizes stay closed-form — EPB insertion never changes RBSP length).
+
+
+@register(
+    "q260_h264_stream_stats",
+    oracle="""
+    WITH src AS (
+        SELECT doc_id,
+               1 + n_chars % 3 AS n_idr,
+               n_chars % 13 AS n_non_idr,
+               doc_id % 2 AS n_sei
+        FROM documents
+    ),
+    sl AS (
+        SELECT s.doc_id,
+               SUM(24 + (s.doc_id * 13 + f.i * 7) % 64 + 2) AS slice_rbsp
+        FROM src s,
+             LATERAL (SELECT UNNEST(range(s.n_idr + s.n_non_idr)) AS i) f
+        GROUP BY s.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(128 + (s.doc_id % 13) * 16 + 2 * (s.doc_id % 8) AS BIGINT)
+               AS width,
+           CAST(96 + (s.doc_id % 9) * 16 + 2 * (s.doc_id % 6) AS BIGINT)
+               AS height,
+           CAST([66, 77, 100][CAST(s.doc_id % 3 AS INT) + 1] AS BIGINT)
+               AS profile_idc,
+           CAST(30 + (s.doc_id % 4) * 10 AS BIGINT) AS level_idc,
+           CAST(2 + s.n_sei + s.n_idr + s.n_non_idr AS BIGINT) AS n_nal_units,
+           CAST(s.n_idr AS BIGINT) AS n_keyframes,
+           CAST(s.n_idr + s.n_non_idr AS BIGINT) AS n_slices,
+           CAST(sl.slice_rbsp AS BIGINT) AS total_slice_rbsp_bytes
+    FROM src s JOIN sl USING (doc_id)
+    """,
+)
+def q260_h264_stream_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video metadata extraction over REAL H.264 Annex B byte streams
+    end-to-end: each document becomes a genuine NAL stream
+    (functions/codecs.write_h264_annexb — Exp-Golomb-coded SPS with
+    frame-cropping geometry, PPS, SEI stubs, IDR/non-IDR slice NALs with
+    emulation prevention applied) and the decode stage runs the real
+    parse_h264_annexb walk (start-code scan, EPB removal, SPS bit parse)
+    inside Arrow-batched mapInPandas.
+
+    The oracle predicts every output with pure integer arithmetic from
+    the same grammar — so a mis-parsed Exp-Golomb field, a wrong crop
+    unit (width/height recover only through the §7.4.2.1.1 arithmetic),
+    a missed or double-counted NAL, or an EPB removal bug (RBSP sizes
+    shift) flips the hash. Profiles cycle baseline/main/high, exercising
+    the high-profile chroma branch of the SPS grammar. Scale: like
+    q257/q258 — one CPU-bound codec call per row, no shuffle, parallelism
+    = input partitions (fanned to defaultParallelism for small local
+    files).
+    """
+    import pandas as pd
+
+    from ..functions.codecs import parse_h264_annexb, write_h264_annexb
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    src = documents.select("doc_id", "n_chars")
+    par = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                did, nc = int(did), int(nc)
+                n_idr = 1 + nc % 3
+                n_non_idr = nc % 13
+
+                def body(i: int) -> bytes:
+                    ln = 24 + (did * 13 + i * 7) % 64
+                    return bytes((did * 31 + i * 17 + j * j) % 256 for j in range(ln))
+
+                payloads.append(
+                    write_h264_annexb(
+                        width=128 + (did % 13) * 16 + 2 * (did % 8),
+                        height=96 + (did % 9) * 16 + 2 * (did % 6),
+                        idr_bodies=[body(i) for i in range(n_idr)],
+                        non_idr_bodies=[
+                            body(n_idr + i) for i in range(n_non_idr)
+                        ],
+                        profile_idc=(66, 77, 100)[did % 3],
+                        level_idc=30 + (did % 4) * 10,
+                        n_sei=did % 2,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payloads = src.mapInPandas(synth, "doc_id long, payload binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                v = parse_h264_annexb(bytes(payload))
+                rows.append(
+                    (
+                        int(did),
+                        v.width,
+                        v.height,
+                        v.profile_idc,
+                        v.level_idc,
+                        v.n_nal_units,
+                        v.n_idr_slices,
+                        v.n_idr_slices + v.n_non_idr_slices,
+                        v.total_slice_rbsp_bytes,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "profile_idc", "level_idc",
+                    "n_nal_units", "n_keyframes", "n_slices",
+                    "total_slice_rbsp_bytes",
+                ],
+            )
+
+    return payloads.mapInPandas(
+        decode,
+        "doc_id long, width long, height long, profile_idc long,"
+        " level_idc long, n_nal_units long, n_keyframes long, n_slices long,"
+        " total_slice_rbsp_bytes long",
     )
