@@ -1683,9 +1683,10 @@ def parse_h264_annexb(payload: bytes) -> H264Stream:
         begin = s + 3
         end = starts[k + 1] if k + 1 < len(starts) else len(data)
         ebsp = data[begin:end]
-        # trailing_zero_8bits before the next start code belong between NALs
-        while ebsp and ebsp[-1] == 0:
-            ebsp = ebsp[:-1]
+        # trailing_zero_8bits before the next start code belong between
+        # NALs (single linear strip — megabytes of zero padding must not
+        # turn into per-byte slice copies)
+        ebsp = ebsp.rstrip(b"\x00")
         if not ebsp:
             raise CodecError(f"empty NAL unit at offset {begin}")
         header = ebsp[0]

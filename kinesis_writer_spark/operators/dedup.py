@@ -756,15 +756,25 @@ def materialize_neardup_components(con, reuse: bool = True) -> None:
     ``comp_fast(node, comp_id)`` as a temp table.
 
     With ``reuse=True`` (default) an existing ``comp_fast`` on the
-    connection is kept as-is: one oracle sweep runs q96/q144/q255 against
-    fixed input views on a single connection, and rebuilding the identical
-    dup graph three times was two-thirds of the fast-path cost. Pass
-    ``reuse=False`` if the connection's ``documents`` view has changed.
+    connection is kept WHEN it was built from the same input: one oracle
+    sweep runs q96/q144/q255 against fixed views on a single connection,
+    and rebuilding the identical dup graph three times was two-thirds of
+    the fast-path cost. Reuse is keyed on a fingerprint of the
+    ``documents`` view (count + id/text hash sums — one cheap linear
+    scan, far below the edge-join + propagation cost it saves), so
+    re-pointing the view at different data forces a rebuild rather than
+    silently serving stale components. ``reuse=False`` always rebuilds.
     """
+    key_sql = (
+        "SELECT COUNT(*) AS n, COALESCE(SUM(hash(doc_id)), 0) AS hid, "
+        "COALESCE(SUM(hash(text)), 0) AS htx FROM documents"
+    )
+    key = con.execute(key_sql).fetchone()
     if reuse:
         try:
-            con.execute("SELECT node, comp_id FROM comp_fast LIMIT 0")
-            return
+            if con.execute("SELECT n, hid, htx FROM comp_fast_key").fetchone() == key:
+                con.execute("SELECT node, comp_id FROM comp_fast LIMIT 0")
+                return
         except Exception:
             pass
     con.execute(
@@ -773,6 +783,15 @@ def materialize_neardup_components(con, reuse: bool = True) -> None:
         + " SELECT a, b FROM bi"
     )
     _propagate_components(con)
+    # record the key captured BEFORE the build, so a view swapped
+    # mid-build cannot be mistaken for the data the graph was built from;
+    # integer literals, not bound parameters — DuckDB binds Python ints
+    # wider than 64 bits through DOUBLE, silently losing low digits
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE comp_fast_key AS "
+        f"SELECT {int(key[0])}::BIGINT AS n, {int(key[1])}::HUGEINT AS hid, "
+        f"{int(key[2])}::HUGEINT AS htx"
+    )
 
 
 def _fast_components_oracle(suffix: str):

@@ -164,8 +164,15 @@ def decode_media(payload: bytes) -> dict:
     if payload[:4] == b"\x00\x00\x00\x01" or payload[:3] == b"\x00\x00\x01":
         # H.264 Annex B start code (the 4-byte form is what encoders emit
         # for the leading SPS). The prefix is unambiguous against every
-        # other branch here (none begin with a zero byte).
-        v = C.parse_h264_annexb(bytes(payload))
+        # other branch here (none begin with a zero byte) — but NOT
+        # against other zero-prefixed bitstreams (H.265 Annex B, MPEG-2
+        # PS packs also start 00 00 01), so a parse failure means "not
+        # actually H.264" and falls through to the unknown path instead
+        # of failing the whole mapInPandas task, same policy as MP3.
+        try:
+            v = C.parse_h264_annexb(bytes(payload))
+        except C.CodecError:
+            return {"kind": "unknown", **_fake_decode(payload)}
         return {
             "kind": "h264",
             "n_bytes": len(payload),

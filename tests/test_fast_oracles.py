@@ -76,6 +76,26 @@ def test_materialize_reuses_existing_components():
     con.sql("SELECT * FROM nd_edges")  # edge table rebuilt
 
 
+def test_materialize_rebuilds_when_documents_change():
+    """Reuse is keyed on a fingerprint of the documents view — re-pointing
+    the view at different data must force a rebuild, not silently serve
+    the previous dataset's components (r7 review)."""
+    from kinesis_writer_spark.operators.dedup import (
+        materialize_neardup_components,
+    )
+
+    con = _connect()
+    materialize_neardup_components(con)
+    small = _norm(con.sql("SELECT node, comp_id FROM comp_fast").fetchdf())
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS "
+        "SELECT * FROM read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    materialize_neardup_components(con)  # reuse=True, but the key changed
+    big = con.sql("SELECT COUNT(*) FROM comp_fast").fetchone()[0]
+    assert big != len(small)  # components now reflect the sf0.01 corpus
+
+
 def test_only_expected_queries_have_fast_oracles():
     # every fast oracle must be pinned by the parametrized test above —
     # fail loudly if one is added without extending FAST_QUERIES

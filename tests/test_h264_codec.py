@@ -89,7 +89,7 @@ class TestWriteParseRoundtrip:
             636, 358, idr_bodies=[b"key"], non_idr_bodies=[b"p1", b"p2"], n_sei=2
         )
         v = parse_h264_annexb(s)
-        assert (v.width, v.height) == (636, 358)  # crop_r=2, crop_b=1 units
+        assert (v.width, v.height) == (636, 358)  # crop_r=2, crop_b=5 units
         assert (v.n_sps, v.n_pps, v.n_sei) == (1, 1, 2)
         assert (v.n_idr_slices, v.n_non_idr_slices) == (1, 2)
         assert v.n_nal_units == 7
@@ -203,6 +203,19 @@ class TestDecodeMediaAndSampling:
         assert (d["width"], d["height"]) == (320, 180)
         assert (d["n_idr_slices"], d["n_non_idr_slices"]) == (1, 3)
         assert d["n_nal_units"] == 7
+
+    def test_false_start_code_falls_back_to_unknown(self):
+        """00 00 01 also prefixes H.265 Annex B and MPEG-2 PS packs; a
+        failed NAL parse must yield the 'unknown' row, not a CodecError
+        that kills the whole mapInPandas task (same policy as MP3)."""
+        from kinesis_writer_spark.operators.multimodal import decode_media
+
+        # MPEG-2 pack start code: header byte 0xBA has the forbidden bit set
+        d = decode_media(b"\x00\x00\x01\xba payload that is not h264")
+        assert d["kind"] == "unknown"
+        # zero-prefixed garbage with no SPS likewise falls through
+        d2 = decode_media(b"\x00\x00\x00\x01\x41junk-without-sps")
+        assert d2["kind"] == "unknown"
 
     def test_frame_sample_h264(self, spark):
         from kinesis_writer_spark.operators.multimodal import frame_sample_h264
