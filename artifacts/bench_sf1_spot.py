@@ -8,18 +8,25 @@ all-pairs, no single-task funnels); this artifact adds a measured point
 one decade up. /root/testdata stops at sf0.1, so sf1.0 is synthesized by
 replicating each input table 10x with SHIFTED KEYS and PERTURBED text:
 
-* documents: doc_id += replica * n_docs; every 4th word (1, 5, 9, ...)
-  gets a per-replica "~rK" suffix so replicas of the same doc are NOT
-  near-duplicates — with period-4 mutation, 3 of every 4 word-3-gram
-  shingles contain a mutated word, collapsing cross-replica Jaccard to
-  ~0.14 (and SimHash distance far past the pairing threshold), while
-  within-replica near-dup pairs keep their similarity because both docs
-  receive the same positional mutations. FIXTURE v2: r6's fixture only
-  appended one trailing " ~rK" tag, which does NOT break Jaccard>=0.8 for
-  docs longer than ~30 words — replica families formed genuine 10-cliques
-  and q220's truth set grew ~970x at 10x data (measured r7), so the r6
-  ratios partly measured the fixture's quadratic pair growth, not the
-  operators. v2 ratios are NOT comparable with the r6 artifact.
+* documents: doc_id += replica * n_docs; words whose CONTENT hash falls
+  in a fixed 1/4 bucket (hash(w) % 4 = 0) get a per-replica "~rK" suffix
+  so replicas of the same doc are NOT near-duplicates — ~58% of word-3-gram
+  shingles contain a mutated word (1 - 0.75^3), collapsing cross-replica
+  Jaccard to ~0.27 (and SimHash distance far past the pairing threshold).
+  FIXTURE HISTORY: r6 (v1) appended one trailing " ~rK" tag, which does
+  NOT break Jaccard>=0.8 for docs longer than ~30 words — replica
+  families formed genuine 10-cliques and q220's truth set grew ~970x at
+  10x data, so the r6 ratios partly measured the fixture's quadratic
+  pair growth. v2 mutated every 4th POSITION, which preserves
+  within-replica near-dup pairs only when the two texts are
+  word-aligned; pairs offset by an insertion/deletion got mutations at
+  different words and some genuine pairs dropped below threshold,
+  biasing density DOWN. v3 keys the mutation on word content, so any
+  shared word mutates identically in both docs of a pair regardless of
+  position — within-replica similarity is preserved exactly (the
+  mutation is a bijection on the shared vocabulary, so shared shingles
+  stay shared) and the sf1.0 truth set is the sf0.1 set replicated 10x
+  by construction. v1/v2/v3 ratios are NOT mutually comparable.
 * lineitem: l_orderkey/l_partkey/l_suppkey += replica * (max+1) — the
   co-purchase graph grows by disjoint replica blocks, keeping basket
   sizes and degree distribution constant.
@@ -47,7 +54,7 @@ SPOT = ["q220_lsh_recall_eval", "q193_prefix_filter_join", "q206_incremental_ded
         "q148_pagerank_neardup_graph", "q255_cluster_aware_split",
         "q257_jpeg_decode"]
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sf1_spot_v2"  # v2: per-replica word mutation, see module docstring
+DST = "/tmp/sf1_spot_v3"  # v3: content-keyed word mutation, see module docstring
 REPLICAS = 10
 
 
@@ -64,9 +71,9 @@ def build_sf1(src: str, dst: str) -> None:
                 SELECT d.doc_id + r.r * {n_docs} AS doc_id,
                        array_to_string(
                            list_transform(string_split(d.text, ' '),
-                               (w, i) -> CASE WHEN i % 4 = 1
-                                              THEN w || '~r' || r.r
-                                              ELSE w END),
+                               w -> CASE WHEN hash(w) % 4 = 0
+                                         THEN w || '~r' || r.r
+                                         ELSE w END),
                            ' ') AS text,
                        d.lang, d.source
                 FROM '{src}/documents.parquet' d, range({REPLICAS}) r(r)
@@ -147,7 +154,7 @@ def main() -> None:
     out = {
         "metric": "sf1_spot_scale_ratio",
         "replicas": REPLICAS,
-        "fixture_version": 2,  # per-replica word mutation; NOT comparable w/ r6
+        "fixture_version": 3,  # content-keyed word mutation; NOT comparable w/ v1/v2
         "timing_method": "memo-cold min of 2 decorrelated runs, JVM warmed",
         "queries": results,
         "max_ratio": max(e["ratio"] for e in results.values()),

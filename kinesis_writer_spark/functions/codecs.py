@@ -1247,6 +1247,17 @@ def _mp3_skip_id3v2(payload: bytes) -> int:
     return end
 
 
+#: Magics that legally follow the last audio frame: ID3v1 ('TAG'),
+#: APEv2 header/footer ('APETAGEX'), Lyrics3v1/v2 ('LYRICSBEGIN').
+_MP3_TRAILING_TAG_MAGICS = (b"TAG", b"APETAGEX", b"LYRICSBEGIN")
+
+
+def _mp3_is_trailing_tag(payload: bytes, pos: int) -> bool:
+    """True when ``pos`` starts a recognized trailing metadata block —
+    the frame walk stops cleanly there instead of reporting lost sync."""
+    return any(payload.startswith(m, pos) for m in _MP3_TRAILING_TAG_MAGICS)
+
+
 def write_mp3_frames(
     n_frames: int,
     bitrate_kbps: int = 128,
@@ -1274,12 +1285,14 @@ def write_mp3_frames(
         raise CodecError(f"bitrates has {len(per_frame)} entries for {n_frames} frames")
     ver_bits = {"1": 0b11, "2": 0b10, "2.5": 0b00}[version]
     sr_table = _MP3_SAMPLE_RATE[version]
-    if sample_rate not in sr_table:
+    # None sits in both tables (reserved/free-format indices), so a bare
+    # membership test would accept it and crash later in frame-length math.
+    if sample_rate is None or sample_rate not in sr_table:
         raise CodecError(f"sample rate {sample_rate} invalid for MPEG-{version}")
     sr_idx = sr_table.index(sample_rate)
     mode_idx = _MP3_CHANNEL_MODE.index(channel_mode)
     for kbps in per_frame:
-        if kbps not in _MP3_BITRATE_KBPS[version]:
+        if kbps is None or kbps not in _MP3_BITRATE_KBPS[version]:
             raise CodecError(f"bitrate {kbps} kbps invalid for MPEG-{version} Layer III")
         br_idx = _MP3_BITRATE_KBPS[version].index(kbps)
         b1 = 0xE0 | (ver_bits << 3) | (0b01 << 1) | 1  # Layer III, no CRC
@@ -1290,33 +1303,13 @@ def write_mp3_frames(
     return bytes(out)
 
 
-def parse_mp3_frames(payload: bytes) -> Mp3Info:
-    """Sync-scan to the first Layer III frame header, then walk the frame
-    chain using the table-derived frame lengths; skips a leading ID3v2
-    tag and stops cleanly at EOF or a trailing ID3v1 'TAG' block.
-
-    The duration/bitrate estimates come from summing real per-frame
-    header fields (the standard header-walk method players use for VBR
-    files without a Xing header), NOT from file size — so a VBR stream's
-    avg_bitrate_kbps is exact over the walked frames.
-    """
-    if payload is None:
-        raise CodecError("cannot decode null payload")
-    payload = bytes(payload)
-    pos = _mp3_skip_id3v2(payload)
-    # sync scan: tolerate leading junk before the first valid header
-    first = None
-    while pos + 4 <= len(payload):
-        frame = _mp3_parse_header(payload, pos)
-        if frame is not None:
-            first = frame
-            break
-        pos += 1
-    if first is None:
-        raise CodecError("no MPEG Layer III sync found")
+def _mp3_walk(payload: bytes, pos: int) -> list:
+    """Walk the frame chain starting at the (pre-validated) header at
+    ``pos`` until EOF or a trailing tag block; raises CodecError on lost
+    sync, a truncated frame, or unrecognized trailing bytes."""
     frames = []
     while pos + 4 <= len(payload):
-        if payload[pos : pos + 3] == b"TAG":  # trailing ID3v1 block
+        if _mp3_is_trailing_tag(payload, pos):  # ID3v1 / APEv2 / Lyrics3 block
             break
         frame = _mp3_parse_header(payload, pos)
         if frame is None:
@@ -1328,15 +1321,60 @@ def parse_mp3_frames(payload: bytes) -> Mp3Info:
             )
         frames.append(frame)
         pos += frame.frame_bytes
-    if pos + 4 > len(payload) and pos != len(payload) and payload[pos:pos+3] != b"TAG":
+    if pos + 4 > len(payload) and pos != len(payload) and not _mp3_is_trailing_tag(payload, pos):
         raise CodecError(f"{len(payload) - pos} trailing bytes after last frame")
-    total_samples = sum(f.samples for f in frames)
-    sample_rate = frames[0].sample_rate
-    duration_s = total_samples / sample_rate
+    return frames
+
+
+def parse_mp3_frames(payload: bytes) -> Mp3Info:
+    """Sync-scan to the first Layer III frame header, then walk the frame
+    chain using the table-derived frame lengths; skips a leading ID3v2
+    tag and stops cleanly at EOF or a trailing metadata block (ID3v1
+    'TAG', APEv2, Lyrics3).
+
+    The duration/bitrate estimates come from summing real per-frame
+    header fields (the standard header-walk method players use for VBR
+    files without a Xing header), NOT from file size — so a VBR stream's
+    avg_bitrate_kbps is exact over the walked frames.
+    """
+    if payload is None:
+        raise CodecError("cannot decode null payload")
+    payload = bytes(payload)
+    start = _mp3_skip_id3v2(payload)
+    # Sync scan: tolerate leading junk before the first valid header.
+    # 4 random-ish bytes pass the header test ~1/16k of the time, so a
+    # candidate is accepted only if the WHOLE remainder walks cleanly
+    # from it; a false sync whose walk loses the chain resumes the scan
+    # at the next byte (real players resync the same way). If no offset
+    # yields a clean walk, the error from the FIRST candidate is raised
+    # — it describes the stream's actual defect, not the scan's.
+    frames = None
+    first_err = None
+    pos = start
+    while pos + 4 <= len(payload):
+        if _mp3_parse_header(payload, pos) is None:
+            pos += 1
+            continue
+        try:
+            frames = _mp3_walk(payload, pos)
+            break
+        except CodecError as err:
+            if first_err is None:
+                first_err = err
+            pos += 1
+    if frames is None:
+        if first_err is not None:
+            raise first_err
+        raise CodecError("no MPEG Layer III sync found")
+    # Duration sums per-frame samples/rate so rate-switching chains
+    # (stitched/concatenated MP3s, which the walk accepts because each
+    # header is parsed independently) get the true duration rather than
+    # the first frame's rate applied to every frame.
+    duration_s = sum(f.samples / f.sample_rate for f in frames)
     total_payload_bits = sum(f.frame_bytes for f in frames) * 8
     return Mp3Info(
         n_frames=len(frames),
-        sample_rate=sample_rate,
+        sample_rate=frames[0].sample_rate,
         channel_mode=frames[0].channel_mode,
         duration_ms=round(duration_s * 1000),
         avg_bitrate_kbps=round(total_payload_bits / duration_s / 1000),

@@ -777,6 +777,11 @@ def materialize_neardup_components(con, reuse: bool = True) -> None:
                 return
         except Exception:
             pass
+    # invalidate the key BEFORE touching comp_fast: a rebuild that dies
+    # mid-propagation must not leave the old key paired with a
+    # partially-propagated graph, or a later call against the original
+    # data would reuse the unconverged labels
+    con.execute("DROP TABLE IF EXISTS comp_fast_key")
     con.execute(
         "CREATE OR REPLACE TEMP TABLE nd_edges AS "
         + _NEARDUP_BI_SQL

@@ -96,6 +96,34 @@ def test_materialize_rebuilds_when_documents_change():
     assert big != len(small)  # components now reflect the sf0.01 corpus
 
 
+def test_failed_rebuild_invalidates_reuse_key(monkeypatch):
+    """A rebuild that dies mid-propagation must not leave the previous
+    key paired with a partially-built comp_fast — a later call against
+    the original data would otherwise reuse unconverged labels (r7
+    review). The key is dropped before the rebuild touches anything."""
+    from kinesis_writer_spark.operators import dedup
+
+    con = _connect()
+    dedup.materialize_neardup_components(con)
+    # Re-point the view so the key differs (forcing a rebuild), then make
+    # the propagation step die mid-rebuild.
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS "
+        "SELECT * FROM read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+
+    def boom(_con):
+        raise RuntimeError("simulated mid-propagation failure")
+
+    monkeypatch.setattr(dedup, "_propagate_components", boom)
+    with pytest.raises(RuntimeError):
+        dedup.materialize_neardup_components(con)
+    # The stale key must be gone: even re-pointing back at the original
+    # data must rebuild rather than reuse the unconverged comp_fast.
+    with pytest.raises(duckdb.CatalogException):
+        con.sql("SELECT * FROM comp_fast_key")
+
+
 def test_only_expected_queries_have_fast_oracles():
     # every fast oracle must be pinned by the parametrized test above —
     # fail loudly if one is added without extending FAST_QUERIES

@@ -85,6 +85,32 @@ class TestTagsAndJunk:
         payload = write_mp3_frames(3) + b"TAG" + bytes(125)
         assert parse_mp3_frames(payload).n_frames == 3
 
+    def test_trailing_apev2_tag_stops_walk(self):
+        # APEv2 footer magic at the frame boundary is a tag, not lost sync
+        payload = write_mp3_frames(3) + b"APETAGEX" + bytes(24)
+        assert parse_mp3_frames(payload).n_frames == 3
+
+    def test_trailing_lyrics3_tag_stops_walk(self):
+        payload = write_mp3_frames(2) + b"LYRICSBEGIN" + bytes(40)
+        assert parse_mp3_frames(payload).n_frames == 2
+
+    def test_false_sync_in_leading_junk_resyncs(self):
+        # header-shaped junk (valid version/bitrate/rate fields) whose
+        # frame-length walk lands mid-stream must not poison the scan —
+        # the parser resumes at the next byte and finds the real chain
+        payload = bytes([0xFF, 0xFB, 0x10, 0x00]) + bytes(8) + write_mp3_frames(3)
+        assert parse_mp3_frames(payload).n_frames == 3
+
+    def test_mixed_rate_chain_sums_per_frame_duration(self):
+        # stitched streams switch version/rate mid-chain; duration must
+        # sum samples/rate per frame, not apply frames[0] rate globally
+        a = write_mp3_frames(2, version="1", sample_rate=44100)
+        b = write_mp3_frames(2, version="2", sample_rate=22050)
+        info = parse_mp3_frames(a + b)
+        assert info.n_frames == 4
+        expected = 2 * 1152 / 44100 + 2 * 576 / 22050
+        assert info.duration_ms == round(expected * 1000)
+
 
 class TestMalformed:
     def test_no_sync_raises(self):
@@ -110,6 +136,16 @@ class TestMalformed:
         bad = b"ID3\x03\x00\x00\x00\x00\x07\x68" + bytes(10)  # claims 1000
         with pytest.raises(CodecError, match="ID3v2"):
             parse_mp3_frames(bad)
+
+    def test_none_bitrate_rejected(self):
+        # None sits in the bitrate table (free-format/invalid slots);
+        # membership alone must not accept it
+        with pytest.raises(CodecError, match="bitrate"):
+            write_mp3_frames(2, bitrates=[128, None])
+
+    def test_none_sample_rate_rejected(self):
+        with pytest.raises(CodecError, match="sample rate"):
+            write_mp3_frames(1, sample_rate=None)
 
     def test_jpeg_soi_is_not_mp3_sync(self):
         # 0xFFD8: byte2 top-3 bits are 110, not 111 — must not sync
