@@ -1347,9 +1347,12 @@ def parse_mp3_frames(payload: bytes) -> Mp3Info:
     # from it; a false sync whose walk loses the chain resumes the scan
     # at the next byte (real players resync the same way). If no offset
     # yields a clean walk, the error from the FIRST candidate is raised
-    # — it describes the stream's actual defect, not the scan's.
+    # — it describes the stream's actual defect, not the scan's. Failed
+    # walks are capped so a crafted payload dense with header-shaped
+    # bytes cannot turn the retry into a quadratic scan.
     frames = None
     first_err = None
+    attempts_left = 64
     pos = start
     while pos + 4 <= len(payload):
         if _mp3_parse_header(payload, pos) is None:
@@ -1361,6 +1364,9 @@ def parse_mp3_frames(payload: bytes) -> Mp3Info:
         except CodecError as err:
             if first_err is None:
                 first_err = err
+            attempts_left -= 1
+            if attempts_left == 0:
+                break
             pos += 1
     if frames is None:
         if first_err is not None:

@@ -101,6 +101,17 @@ class TestTagsAndJunk:
         payload = bytes([0xFF, 0xFB, 0x10, 0x00]) + bytes(8) + write_mp3_frames(3)
         assert parse_mp3_frames(payload).n_frames == 3
 
+    def test_dense_false_syncs_bounded_not_quadratic(self):
+        # a payload dense with header-shaped bytes must fail with the
+        # first walk's error after a bounded number of retries, not scan
+        # quadratically or report "no sync"
+        header = bytes([0xFF, 0xFB, 0x10, 0x00])  # 104-byte frame claim
+        # every 4th offset is a valid-looking header; the trailing byte
+        # keeps any candidate's walk from ending exactly at EOF
+        payload = header * 30 + b"\x01"
+        with pytest.raises(CodecError, match="truncated frame|trailing bytes"):
+            parse_mp3_frames(payload)
+
     def test_mixed_rate_chain_sums_per_frame_duration(self):
         # stitched streams switch version/rate mid-chain; duration must
         # sum samples/rate per frame, not apply frames[0] rate globally
