@@ -13,6 +13,19 @@ replicating each input table 10x with SHIFTED KEYS and PERTURBED text:
   so replicas of the same doc are NOT near-duplicates — ~58% of word-3-gram
   shingles contain a mutated word (1 - 0.75^3), collapsing cross-replica
   Jaccard to ~0.27 (and SimHash distance far past the pairing threshold).
+  Content-keyed mutation is a bijection on the shared vocabulary, so any
+  word shared by two docs mutates identically regardless of position:
+  within-replica near-dup similarity is preserved EXACTLY and the sf1.0
+  truth set is the sf0.1 set replicated 10x by construction. The one
+  leak: a doc whose words all hash outside the bucket mutates nowhere
+  and its replicas form a genuine 10-clique (measured: 52 of 5000 sf0.1
+  docs keep cross-replica Jaccard >= 0.8 under the 1/4 rule — they
+  would have manufactured ~2.3k truth pairs against ~2.5k real ones).
+  Fix: those docs — CLOSED over their sf0.1 truth-pair partners, so no
+  genuine pair straddles the two treatments (measured: 4 of 256 truth
+  pairs touch a leaking doc) — get EVERY word suffixed instead; full
+  mutation is also a bijection, so pairs inside the closure survive
+  exactly while every leaked clique breaks.
   FIXTURE HISTORY: r6 (v1) appended one trailing " ~rK" tag, which does
   NOT break Jaccard>=0.8 for docs longer than ~30 words — replica
   families formed genuine 10-cliques and q220's truth set grew ~970x at
@@ -21,12 +34,9 @@ replicating each input table 10x with SHIFTED KEYS and PERTURBED text:
   within-replica near-dup pairs only when the two texts are
   word-aligned; pairs offset by an insertion/deletion got mutations at
   different words and some genuine pairs dropped below threshold,
-  biasing density DOWN. v3 keys the mutation on word content, so any
-  shared word mutates identically in both docs of a pair regardless of
-  position — within-replica similarity is preserved exactly (the
-  mutation is a bijection on the shared vocabulary, so shared shingles
-  stay shared) and the sf1.0 truth set is the sf0.1 set replicated 10x
-  by construction. v1/v2/v3 ratios are NOT mutually comparable.
+  biasing density DOWN. v3 was content-keyed but had the 52-doc clique
+  leak. v4 = v3 + full mutation of the leaking closure: truth growth is
+  exactly 10x. v1-v4 ratios are NOT mutually comparable.
 * lineitem: l_orderkey/l_partkey/l_suppkey += replica * (max+1) — the
   co-purchase graph grows by disjoint replica blocks, keeping basket
   sizes and degree distribution constant.
@@ -54,8 +64,65 @@ SPOT = ["q220_lsh_recall_eval", "q193_prefix_filter_join", "q206_incremental_ded
         "q148_pagerank_neardup_graph", "q255_cluster_aware_split",
         "q257_jpeg_decode"]
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sf1_spot_v3"  # v3: content-keyed word mutation, see module docstring
+DST = "/tmp/sf1_spot_v4"  # v4: content-keyed mutation + leak closure, see docstring
 REPLICAS = 10
+
+
+def _leak_closure(con, src: str) -> list:
+    """doc_ids needing full mutation: docs whose 1/4-bucket mutation leaves
+    cross-replica word-3gram Jaccard >= 0.8 (the clique leak), closed over
+    their sf0.1 truth-pair partners so no genuine near-dup pair straddles
+    the partial/full mutation boundary."""
+    leaking = {
+        r[0]
+        for r in con.sql(
+            f"""
+            WITH rep AS (
+                SELECT doc_id, array_to_string(
+                    list_transform(string_split(text, ' '),
+                        w -> CASE WHEN hash(w) % 4 = 0 THEN w || '~r0' ELSE w END),
+                    ' ') AS mtext
+                FROM '{src}/documents.parquet'),
+            d AS (SELECT doc_id, string_split(mtext, ' ') ws FROM rep),
+            sh AS (
+                SELECT doc_id, len(ws) - 2 AS total,
+                    len(list_filter(range(1, len(ws) - 1),
+                        i -> ws[i] NOT LIKE '%~r0' AND ws[i+1] NOT LIKE '%~r0'
+                             AND ws[i+2] NOT LIKE '%~r0')) AS clean
+                FROM d WHERE len(ws) >= 3)
+            SELECT doc_id FROM sh WHERE clean * 1.0 / (2 * total - clean) >= 0.8
+            """
+        ).fetchall()
+    }
+    pairs = con.sql(
+        f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') ws
+            FROM '{src}/documents.parquet'
+            WHERE len(string_split(text, ' ')) >= 3),
+        idx AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws FROM d),
+        sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM idx),
+        sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id da, b.doc_id db, COUNT(*) c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY ALL)
+        SELECT da, db FROM inter
+        JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
+        WHERE c * 1.0 / (x.n + y.n - c) >= 0.8
+        """
+    ).fetchall()
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    closure, frontier = set(leaking), list(leaking)
+    while frontier:
+        for nb in adj.get(frontier.pop(), ()):
+            if nb not in closure:
+                closure.add(nb)
+                frontier.append(nb)
+    return sorted(closure)
 
 
 def build_sf1(src: str, dst: str) -> None:
@@ -64,6 +131,9 @@ def build_sf1(src: str, dst: str) -> None:
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     n_docs = con.sql(f"SELECT COUNT(*) FROM '{src}/documents.parquet'").fetchone()[0]
+    full = _leak_closure(con, src)
+    full_set = ", ".join(str(i) for i in full) or "-1"
+    print(f"full-mutation closure: {len(full)} docs", file=sys.stderr)
     con.sql(
         f"""
         COPY (
@@ -71,7 +141,8 @@ def build_sf1(src: str, dst: str) -> None:
                 SELECT d.doc_id + r.r * {n_docs} AS doc_id,
                        array_to_string(
                            list_transform(string_split(d.text, ' '),
-                               w -> CASE WHEN hash(w) % 4 = 0
+                               w -> CASE WHEN d.doc_id IN ({full_set})
+                                              OR hash(w) % 4 = 0
                                          THEN w || '~r' || r.r
                                          ELSE w END),
                            ' ') AS text,
@@ -154,7 +225,7 @@ def main() -> None:
     out = {
         "metric": "sf1_spot_scale_ratio",
         "replicas": REPLICAS,
-        "fixture_version": 3,  # content-keyed word mutation; NOT comparable w/ v1/v2
+        "fixture_version": 4,  # content-keyed mutation + leak closure; NOT comparable w/ v1-v3
         "timing_method": "memo-cold min of 2 decorrelated runs, JVM warmed",
         "queries": results,
         "max_ratio": max(e["ratio"] for e in results.values()),
