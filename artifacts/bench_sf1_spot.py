@@ -179,19 +179,23 @@ def main() -> None:
         print(f"built {DST} in {time.time() - t0:.1f}s", file=sys.stderr)
 
     from kinesis_writer_spark import registry
-    from kinesis_writer_spark.calibration import calibrate, load_gate
+    from kinesis_writer_spark.calibration import calib_gate, calibrate, load_gate
     from kinesis_writer_spark.memo import clear_all as clear_memos
     from kinesis_writer_spark.session import get_spark
 
-    # The sf0.1/sf1.0 RATIO is drift-immune (both sides measured in one
-    # run), but the raw seconds are not: r6 saw q220 at 7.9 s here vs
-    # 4.4 s in bench_full the same day. Gate out transient load and stamp
-    # a fixed-probe calibration so raw seconds normalize across rounds.
+    # The sf0.1/sf1.0 RATIO is only drift-immune when the host epoch is
+    # STABLE across the run; a mid-run slowdown hits one scale's shots
+    # more than the other's and can even invert a ratio (observed late
+    # r7: a fixed-work-per-row query measured 0.78x at 10x rows while
+    # the probe swung 3.8->10.9 s). Gate on the probe itself — loadavg
+    # misses epoch-level slowdowns entirely — then stamp start/end
+    # calibrations so a drift-corrupted run is visible in the artifact.
     gate = load_gate()
 
     spark = get_spark("bench_sf1_spot")
     spark.sparkContext.setLogLevel("ERROR")
     queries = registry.all_queries()
+    cgate = calib_gate(spark, max_wait_s=1200.0)
     calib = calibrate(spark)
 
     def run(name: str, sf_dir: str) -> None:
@@ -232,6 +236,7 @@ def main() -> None:
         "calibration": calib,
         "calibration_end": calibrate(spark),
         "load_gate": gate,
+        "calib_gate": cgate,
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_sf1_spot.json")
     with open(path, "w") as f:

@@ -93,13 +93,14 @@ def main() -> None:
     calib: dict = {}
     calib_end: dict = {}
     gate: dict = {}
+    cgate: dict = {}
     # environment fingerprint: separates a code regression from a loaded
     # machine in one artifact (1/5/15-min loadavg before and after)
     load_start = list(os.getloadavg())
 
     try:
         from kinesis_writer_spark import registry
-        from kinesis_writer_spark.calibration import calibrate, load_gate
+        from kinesis_writer_spark.calibration import calib_gate, calibrate, load_gate
         from kinesis_writer_spark.session import get_spark
 
         # r6 lesson: loadavg stamps are not enough — wait out transient
@@ -123,6 +124,17 @@ def main() -> None:
                 kio.load(spark, sf_dir, t).count()
             except Exception:
                 errors[f"warmup:{t}"] = traceback.format_exc(limit=3)
+
+        # loadavg cannot see a slow host EPOCH (co-tenant steal / frequency
+        # scaling) — probe-gate it: defer while single probe shots run over
+        # threshold, bounded so a driver-run bench can't stall long.
+        try:
+            cgate = calib_gate(
+                spark,
+                max_wait_s=float(os.environ.get("SPARK_GRAFT_CALIB_GATE_S", "240")),
+            )
+        except Exception:
+            errors["calib_gate"] = traceback.format_exc(limit=3)
 
         # host-throughput calibration (fixed pure-Spark probe, median of 3
         # after its own warm-up): cross-round consumers should compare
@@ -231,6 +243,7 @@ def main() -> None:
         "calibration": calib,
         "calibration_end": calib_end,
         "load_gate": gate,
+        "calib_gate": cgate,
         "load_start": load_start,
         "load_end": list(os.getloadavg()),
         "sf": sf,
@@ -268,6 +281,7 @@ def main() -> None:
         # (r6: +26% with byte-identical code). See BASELINE.md.
         "calib_sec": calib.get("calib_seconds"),
         "calib_end_sec": calib_end.get("calib_seconds"),
+        "calib_gate_expired": cgate.get("calib_gate_expired"),
         "load1m": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
         "sf": sf,
         # compact stamp; full prose in artifacts/bench_full.json
