@@ -10,7 +10,11 @@ Scale notes (100 TB): exact dedup is one hash-shuffle on a 16-byte digest;
 MinHash banding turns the O(n²) pair space into per-bucket joins (shuffle on
 band key); SimHash pairing uses 15-bit pigeonhole chunks (hamming ≤ 3 ⟹ some
 chunk equal) — both avoid any cross join. Signature computation is embarrass-
-ingly parallel, no driver collects anywhere.
+ingly parallel. The one sanctioned driver collect is the SIZE-GATED
+connected-components fast path (:data:`CC_DRIVER_MAX_EDGES`): the duplicate
+graph is dup-density-sized, and below the gate an in-driver union-find beats
+five rounds of distributed shuffle jobs by ~20x; above it the distributed
+min-label propagation runs unchanged.
 """
 
 from __future__ import annotations
@@ -557,8 +561,57 @@ def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: Size gate for the driver-local connected-components fast path: a
+#: bidirectional edge list at or under this many rows is solved by an
+#: in-driver union-find instead of iterative distributed propagation.
+#: Same strategy-switch philosophy as AQE's size-based broadcast join:
+#: a duplicate graph is duplicate-DENSITY-sized, usually minuscule next
+#: to the corpus, and five propagation rounds of shuffle jobs on a few
+#: thousand rows are pure scheduling overhead (measured at sf0.1:
+#: 3.3-4.6 s of rounds for a 2 799-node graph vs ~0.2 s local). 1M rows
+#: (two longs each) keeps the collect bounded to tens of MB; above the
+#: gate the distributed path runs unchanged.
+CC_DRIVER_MAX_EDGES = 1_000_000
+
+
+def _union_find_components(rows) -> dict:
+    """In-driver union-find (path halving + union by size) over (a, b)
+    edge rows; returns {node: min_node_id_of_component} — the identical
+    fixpoint the distributed min-label propagation converges to."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    size: dict = {}
+    for a, b in rows:
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+                size[n] = 1
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if size[ra] < size[rb]:
+                ra, rb = rb, ra
+            parent[rb] = ra
+            size[ra] += size[rb]
+    comp_min: dict = {}
+    roots = {n: find(n) for n in parent}
+    for n, r in roots.items():
+        if r not in comp_min or n < comp_min[r]:
+            comp_min[r] = n
+    return {n: comp_min[r] for n, r in roots.items()}
+
+
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iters: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+    driver_max_edges: int | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: every node's
     label converges to the smallest node id reachable from it.
@@ -572,16 +625,59 @@ def connected_components(
     truncation the plan doubles per round (measured: exponential round
     times, 160 s by round 5 on a 234-node graph; with checkpointing every
     round is ~0.4 s). On a cluster use ``checkpoint()`` to reliable storage
-    instead — same shape, executor-loss tolerant. The only driver-side
-    value is the scalar changed-count per round; the pair space itself was
-    already bounded by LSH banding upstream.
+    instead — same shape, executor-loss tolerant.
+
+    SIZE-ADAPTIVE: the edge list is materialized (and counted) up front
+    anyway; at or below ``driver_max_edges`` (default
+    :data:`CC_DRIVER_MAX_EDGES`) the components are solved by an in-driver
+    union-find on the collected edges — a sanctioned, size-GATED collect,
+    not a driver loop over unbounded data: the duplicate graph is bounded
+    by dup density, not corpus size, and the distributed rounds cost ~20x
+    more in job scheduling than the whole graph costs to solve locally.
+    Above the gate, the distributed propagation below runs unchanged (the
+    100 TB path; both paths are equality-pinned in
+    tests/test_graph_properties.py).
     """
+    if driver_max_edges is None:
+        driver_max_edges = CC_DRIVER_MAX_EDGES
     bi = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .localCheckpoint()
     )
+    if bi.count() <= driver_max_edges:
+        import pandas as pd
+
+        # Arrow-batched transfer both ways (toPandas / from-pandas
+        # createDataFrame) — row-at-a-time toLocalIterator measured ~20x
+        # slower on a 500k-row edge list. a <= b keeps each undirected
+        # edge (and any self-loop) exactly once: bi holds both directions.
+        pdf = bi.filter(F.col("a") <= F.col("b")).toPandas()
+        comp = _union_find_components(zip(pdf["a"].tolist(), pdf["b"].tolist()))
+        node_type = bi.schema["a"].dataType
+        if not comp:  # empty graph: keep the (node, comp) schema stable
+            from pyspark.sql.types import StructField, StructType
+
+            return edges.sparkSession.createDataFrame(
+                [],
+                StructType(
+                    [
+                        StructField("node", node_type, False),
+                        StructField("comp", node_type, False),
+                    ]
+                ),
+            )
+        out = pd.DataFrame(
+            {"node": list(comp.keys()), "comp": list(comp.values())}
+        )
+        return (
+            edges.sparkSession.createDataFrame(out)
+            .select(
+                F.col("node").cast(node_type).alias("node"),
+                F.col("comp").cast(node_type).alias("comp"),
+            )
+        )
     labels = (
         bi.select(F.col("a").alias("node"))
         .distinct()
