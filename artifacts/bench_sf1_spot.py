@@ -47,6 +47,14 @@ per-query sf0.1/sf1.0 seconds and the ratio. Near-linear scaling means
 ratio ≈ 10x data ± shuffle growth; the acceptance bar used in review is
 ratio <= ~12.
 
+GATE CROSSING (r7): the dup-graph consumers (q148, q255) straddle
+CC_DRIVER_MAX_EDGES between the two scale points — sf0.1's ~543k
+bidirectional edges run the in-driver union-find / numpy-PageRank fast
+path, sf1.0's ~5.4M run the distributed rounds. Their ratios therefore
+compare the two STRATEGIES, not one strategy at two sizes; a ratio above
+10 here is the fast path being fast at sf0.1, not superlinear growth
+(the distributed path's own growth is what the other shapes measure).
+
 Run:  PYTHONPATH=/root/repo python artifacts/bench_sf1_spot.py
 """
 

@@ -281,6 +281,10 @@ def main() -> None:
         # (r6: +26% with byte-identical code). See BASELINE.md.
         "calib_sec": calib.get("calib_seconds"),
         "calib_end_sec": calib_end.get("calib_seconds"),
+        # per-job scheduling-overhead probe: short (<~1s) queries track
+        # THIS, not throughput — the two drift independently (BASELINE.md)
+        "overhead_sec": calib.get("overhead_seconds"),
+        "overhead_end_sec": calib_end.get("overhead_seconds"),
         "calib_gate_expired": cgate.get("calib_gate_expired"),
         "load1m": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
         "sf": sf,

@@ -31,6 +31,16 @@ import time
 CALIB_ROWS = 200_000_000
 CALIB_PARTITIONS = 64
 
+#: Second probe (late r7): fixed PER-JOB OVERHEAD. A stable-throughput
+#: epoch can still carry inflated job-scheduling latency (measured: tiny
+#: 32-task jobs at ~0.18 s median while the 2.2 s throughput probe read
+#: FASTER than the baseline epoch — and sub-second headline queries ran
+#: 1.2-1.5x slower, tracking the overhead, not the throughput). Short
+#: queries are overhead-bound, long queries throughput-bound; recording
+#: both lets a cross-round reader normalize each regime. Nominal on a
+#: calm host: ~0.05-0.10 s/job.
+OVERHEAD_JOBS = 8
+
 
 def _probe_once(spark) -> float:
     from pyspark.sql import functions as F
@@ -53,6 +63,22 @@ def _probe_once(spark) -> float:
     return round(time.monotonic() - t0, 3)
 
 
+def _overhead_once(spark) -> float:
+    """One trivial 32-task job through the noop sink: the work is
+    negligible, so elapsed time ≈ fixed job/stage scheduling cost."""
+    from pyspark.sql import functions as F
+
+    t0 = time.monotonic()
+    (
+        spark.range(0, 1000, 1, 32)
+        .agg(F.sum("id").alias("s"))
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    return round(time.monotonic() - t0, 4)
+
+
 def calibrate(spark, rounds: int = 3) -> dict:
     """Run the fixed probe; returns a dict to merge into a bench artifact.
 
@@ -63,6 +89,8 @@ def calibrate(spark, rounds: int = 3) -> dict:
     """
     warm = _probe_once(spark)
     runs = [_probe_once(spark) for _ in range(rounds)]
+    _overhead_once(spark)  # unmeasured warm-up
+    oh_runs = [_overhead_once(spark) for _ in range(OVERHEAD_JOBS)]
     return {
         "calib_seconds": sorted(runs)[len(runs) // 2],
         "calib_runs": runs,
@@ -71,6 +99,9 @@ def calibrate(spark, rounds: int = 3) -> dict:
             f"range({CALIB_ROWS}) -> (%9973,%31) two-stage shuffle agg, "
             f"{CALIB_PARTITIONS} input partitions, noop sink"
         ),
+        "overhead_seconds": sorted(oh_runs)[len(oh_runs) // 2],
+        "overhead_runs": oh_runs,
+        "overhead_workload": "range(1000, 32 partitions) -> sum, noop sink (per-job scheduling cost)",
     }
 
 

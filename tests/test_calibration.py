@@ -26,6 +26,13 @@ def test_calibrate_shape_and_median(spark, monkeypatch):
     assert out["calib_seconds"] == sorted(out["calib_runs"])[1]
     assert out["calib_seconds"] > 0 and out["calib_warm_run"] > 0
     assert "100000" in out["calib_workload"]
+    # second probe: per-job scheduling overhead (throughput and overhead
+    # drift independently — see calibration.py OVERHEAD_JOBS note)
+    assert len(out["overhead_runs"]) == calibration.OVERHEAD_JOBS
+    assert out["overhead_seconds"] == sorted(out["overhead_runs"])[
+        len(out["overhead_runs"]) // 2
+    ]
+    assert out["overhead_seconds"] > 0
 
 
 def test_calib_gate_passes_on_fast_probe(monkeypatch):
