@@ -976,10 +976,14 @@ def parse_jpeg(payload: bytes) -> JpegImage:
                 htables[(tc, th)] = _decode_table(bits, values)
                 off += 17 + count
         elif marker == 0xC0 or marker == 0xC1:  # SOF0 baseline / extended seq.
+            if len(body) < 6:
+                raise CodecError("SOF header truncated")
             precision = body[0]
             if precision != 8:
                 raise CodecError(f"only 8-bit JPEG supported (precision {precision})")
             h, w_, ncomp = struct.unpack_from(">HHB", body, 1)
+            if len(body) < 6 + 3 * ncomp:
+                raise CodecError("SOF component list truncated")
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
@@ -991,11 +995,17 @@ def parse_jpeg(payload: bytes) -> JpegImage:
                 "only baseline sequential is supported)"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise CodecError("DRI segment truncated")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise CodecError("JPEG SOS before SOF")
+            if len(body) < 1:
+                raise CodecError("SOS header truncated")
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise CodecError("SOS component list truncated")
             comps_in_scan = []
             frame_ids = [c[0] for c in frame[2]]
             for i in range(ns):
@@ -1027,7 +1037,7 @@ def parse_jpeg(payload: bytes) -> JpegImage:
     for _, hi, vi, tq in comps:
         if tq not in qtables:
             raise CodecError(f"missing quantization table {tq}")
-        if hmax % hi or vmax % vi:
+        if hi < 1 or vi < 1 or hmax % hi or vmax % vi:
             # Non-divisor ratios (e.g. 3x1 luma with 2x1 chroma) would make
             # the nearest-neighbor upsample produce mis-sized planes and a
             # raw numpy error downstream of here.
