@@ -78,9 +78,15 @@ def deaggregate(wire: bytes) -> list[UserRecord]:
             raise DeaggregationError("truncated field payload")
         pos += length
         if field == 1:
-            pk_table.append(payload.decode("utf-8"))
+            try:
+                pk_table.append(payload.decode("utf-8"))
+            except UnicodeDecodeError as e:
+                raise DeaggregationError(f"partition key is not valid UTF-8: {e}") from None
         elif field == 2:
-            ehk_table.append(payload.decode("utf-8"))
+            try:
+                ehk_table.append(payload.decode("utf-8"))
+            except UnicodeDecodeError as e:
+                raise DeaggregationError(f"hash key is not valid UTF-8: {e}") from None
         elif field == 3:
             raw_records.append(_parse_record(payload))
         # unknown fields are skipped, per protobuf convention

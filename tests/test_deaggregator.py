@@ -59,6 +59,38 @@ class TestValidation:
         with pytest.raises(DeaggregationError):
             deaggregate(bytes(wire))
 
+    @staticmethod
+    def _reseal(body: bytes) -> bytes:
+        """MD5-valid wire around an arbitrary (possibly hostile) body — the
+        digest gate must not be the only line of defense."""
+        import hashlib
+
+        from kinesis_writer_spark.kpl import protocol as P
+
+        return P.MAGIC + body + hashlib.md5(body).digest()
+
+    def test_non_utf8_partition_key_rejected_typed(self):
+        # field 1 (pk table), length 2, invalid UTF-8 continuation bytes;
+        # digest recomputed so the corruption reaches the protobuf walk
+        body = bytes([0x0A, 0x02, 0xC3, 0x28])
+        with pytest.raises(DeaggregationError, match="UTF-8"):
+            deaggregate(self._reseal(body))
+
+    def test_non_utf8_hash_key_rejected_typed(self):
+        body = bytes([0x12, 0x02, 0xC3, 0x28])  # field 2 (ehk table)
+        with pytest.raises(DeaggregationError, match="UTF-8"):
+            deaggregate(self._reseal(body))
+
+    @settings(max_examples=120, deadline=None)
+    @given(body=st.binary(max_size=400))
+    def test_md5_valid_garbage_dies_typed(self, body):
+        # any MD5-valid body must either deaggregate or raise the typed
+        # error — never UnicodeDecodeError/IndexError/struct.error
+        try:
+            deaggregate(self._reseal(body))
+        except DeaggregationError:
+            pass
+
     def test_non_aggregated_rejected(self):
         with pytest.raises(DeaggregationError, match="magic"):
             deaggregate(b"not aggregated at all, but long enough")
