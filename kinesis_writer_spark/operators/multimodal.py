@@ -85,12 +85,36 @@ def _fake_decode(payload: bytes) -> dict:
     }
 
 
+def decode_media_safe(payload: bytes) -> dict:
+    """Poison-pill-tolerant twin of :func:`decode_media` for real corpora:
+    at 100 TB one corrupt file MUST NOT kill the mapInPandas task (and with
+    it the stage retry budget) — a strong-magic payload that fails its
+    parser comes back as ``kind='error'`` with the codec message, so bad
+    records land in a dead-letter filter instead of a job failure. Valid
+    records return exactly what decode_media returns.
+    """
+    from ..functions import codecs as C
+
+    try:
+        return decode_media(payload)
+    except (C.CodecError, ValueError) as e:
+        return {
+            "kind": "error",
+            "n_bytes": len(payload) if payload is not None else 0,
+            "error": str(e)[:200],
+        }
+
+
 def decode_media(payload: bytes) -> dict:
     """Sniff the payload's magic and decode with the matching REAL parser
     (functions/codecs.py); unknown formats get the structural fallback.
 
     Returns a dict with ``kind`` plus format-specific fields — the shape a
-    production codec UDF returns per record.
+    production codec UDF returns per record. Strong-magic payloads that
+    fail their parser raise :class:`~...functions.codecs.CodecError` (bad
+    query input should fail loudly in tests); production pipelines over
+    untrusted corpora should use :func:`decode_media_safe`, which captures
+    per-record errors instead.
     """
     from ..functions import codecs as C
 

@@ -333,3 +333,59 @@ class TestWavRiffPadding:
         assert parse_wav(wav).data == b"\x01\x02"
         (riff_size,) = struct.unpack_from("<I", wav, 4)
         assert len(wav) == 8 + riff_size
+
+
+class TestDecodeMediaSafe:
+    def test_strong_magic_corruption_captured_not_raised(self):
+        from kinesis_writer_spark.functions.codecs import CodecError, write_jpeg
+        from kinesis_writer_spark.operators.multimodal import (
+            decode_media,
+            decode_media_safe,
+        )
+
+        corrupt = write_jpeg(8, 8, bytes(192))[:40]  # truncated mid-segment
+        # strict path fails loudly (bad query input should be visible) ...
+        with pytest.raises(CodecError):
+            decode_media(corrupt)
+        # ... the safe twin captures it per-record
+        d = decode_media_safe(corrupt)
+        assert d["kind"] == "error" and d["n_bytes"] == len(corrupt)
+        assert d["error"]
+        # and valid payloads are byte-identical to the strict path
+        ok = write_ppm(2, 1, bytes([1, 2, 3, 4, 5, 6]))
+        assert decode_media_safe(ok) == decode_media(ok)
+
+    def test_poison_pill_does_not_kill_mapinpandas(self, spark):
+        """The 100 TB contract: one corrupt record in a decode stage yields
+        one dead-letter row, not a failed Spark job."""
+        import pandas as pd
+
+        from kinesis_writer_spark.functions.codecs import write_jpeg
+        from kinesis_writer_spark.operators.multimodal import decode_media_safe
+
+        corrupt = write_jpeg(8, 8, bytes(192))[:40]  # truncated mid-segment
+        rows = [
+            (1, write_ppm(1, 1, bytes([1, 2, 3]))),
+            (2, corrupt),
+            (3, write_bmp(1, 1, bytes([4, 5, 6]))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+
+        def decode(batches):
+            for pdf in batches:
+                feats = pdf["payload"].map(decode_media_safe)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "kind": feats.map(lambda d: d["kind"]),
+                        "error": feats.map(lambda d: d.get("error")),
+                    }
+                )
+
+        out = {
+            r["doc_id"]: (r["kind"], r["error"])
+            for r in df.mapInPandas(decode, "doc_id long, kind string, error string").collect()
+        }
+        assert out[1] == ("ppm", None)
+        assert out[3] == ("bmp", None)
+        assert out[2][0] == "error" and out[2][1]
