@@ -29,9 +29,13 @@ def deaggregate_records(df: DataFrame, wire_col: str = "wire", strict: bool = Tr
 
     Each input row's ``wire_col`` holds one framed aggregated record
     (magic + protobuf + MD5). With ``strict`` (default), malformed frames
-    raise; with ``strict=False`` a non-aggregated payload passes through as
-    a single user record with null keys — the standard consumer fallback
-    for streams mixing aggregated and plain records.
+    raise; with ``strict=False`` a non-aggregated payload — or one that
+    carries the magic but fails deaggregation (corrupt digest/protobuf) —
+    passes through as a single user record with null keys, the standard
+    consumer fallback for streams mixing aggregated and plain records
+    (a plain record can legitimately begin with the 4 magic bytes, so a
+    failed parse means "treat as plain", not "drop"; at 100 TB one hostile
+    record must not kill the consumer task either way).
     """
     import pandas as pd
 
@@ -45,7 +49,14 @@ def deaggregate_records(df: DataFrame, wire_col: str = "wire", strict: bool = Tr
                 if not strict and not deaggregator.is_aggregated(wire):
                     out.append((None, None, wire))
                     continue
-                for rec in deaggregator.deaggregate(wire):
+                try:
+                    records = deaggregator.deaggregate(wire)
+                except deaggregator.DeaggregationError:
+                    if strict:
+                        raise
+                    out.append((None, None, wire))
+                    continue
+                for rec in records:
                     out.append((rec.partition_key, rec.explicit_hash_key, rec.data))
             yield pd.DataFrame(out, columns=["partition_key", "explicit_hash_key", "data"])
 

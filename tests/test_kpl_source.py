@@ -51,3 +51,19 @@ def test_lenient_passes_plain_payloads_through(spark):
     assert len(rows) == 1
     assert bytes(rows[0].data) == b"not aggregated"
     assert rows[0].partition_key is None
+
+
+def test_lenient_passes_magic_prefixed_corrupt_frame_through(spark):
+    """A plain record can legitimately START with the 4 KPL magic bytes; a
+    failed deaggregation in lenient mode must yield the raw payload as one
+    plain record (KCL fallback), not kill the consumer task."""
+    from kinesis_writer_spark.kpl.protocol import MAGIC
+
+    hostile = MAGIC + b"definitely not protobuf + md5"
+    df = spark.createDataFrame([(hostile,)], "wire binary")
+    with pytest.raises(Exception, match="[Dd]igest|truncated"):
+        deaggregate_records(df).collect()  # strict still raises
+    rows = deaggregate_records(df, strict=False).collect()
+    assert len(rows) == 1
+    assert bytes(rows[0].data) == hostile
+    assert rows[0].partition_key is None
