@@ -62,6 +62,9 @@ class PpmImage:
 
 
 def write_ppm(width: int, height: int, pixels: bytes, maxval: int = 255) -> bytes:
+    if width < 1 or height < 1:
+        # a writer must never emit what its own parser rejects
+        raise CodecError(f"bad PPM dimensions {width}x{height}")
     if maxval < 1 or maxval > 255:
         raise CodecError(f"maxval out of range for 1-byte samples: {maxval}")
     if len(pixels) != width * height * 3:
@@ -144,6 +147,8 @@ def _bmp_row_stride(width: int) -> int:
 
 def write_bmp(width: int, height: int, pixels: bytes) -> bytes:
     """24-bit BMP from top-down RGB triples."""
+    if width < 1 or height < 1:
+        raise CodecError(f"bad BMP dimensions {width}x{height}")
     if len(pixels) != width * height * 3:
         raise CodecError(
             f"pixel buffer is {len(pixels)} bytes, need {width * height * 3}"
@@ -242,6 +247,8 @@ def write_png(width: int, height: int, pixels: bytes, n_channels: int = 3) -> by
     """8-bit RGB/RGBA PNG from top-down samples (filter 0 scanlines)."""
     import zlib
 
+    if width < 1 or height < 1:
+        raise CodecError(f"bad PNG dimensions {width}x{height}")
     if n_channels not in (3, 4):
         raise CodecError(f"only RGB/RGBA supported ({n_channels} channels)")
     if len(pixels) != width * height * n_channels:

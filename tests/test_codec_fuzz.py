@@ -106,3 +106,17 @@ class TestByteCorruption:
         flip = data.draw(st.integers(min_value=1, max_value=255))
         payload[idx] ^= flip
         _must_parse_or_codec_error(PARSERS[fmt], bytes(payload))
+
+
+class TestWriterParserSymmetry:
+    def test_writers_reject_dims_their_parser_would_reject(self):
+        # a writer must never emit a payload its own parser refuses
+        for bad in ((0, 4), (4, 0), (-1, 4)):
+            with pytest.raises(C.CodecError):
+                C.write_ppm(bad[0], bad[1], b"")
+            with pytest.raises(C.CodecError):
+                C.write_bmp(bad[0], bad[1], b"")
+            with pytest.raises(C.CodecError):
+                C.write_png(bad[0], bad[1], b"")
+            with pytest.raises(C.CodecError):
+                C.write_jpeg(bad[0], bad[1], b"")
