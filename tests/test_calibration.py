@@ -36,17 +36,20 @@ def test_calibrate_shape_and_median(spark, monkeypatch):
 
 
 def test_calib_gate_passes_on_fast_probe(monkeypatch):
-    # fake probe: fast shots -> gate releases immediately after the warm-up
+    # fake probes: fast shots -> gate releases immediately after the warm-up
     shots = iter([9.9, 0.1])  # warm-up (ignored), first measured shot
     monkeypatch.setattr(calibration, "_probe_once", lambda s: next(shots))
+    monkeypatch.setattr(calibration, "_overhead_once", lambda s: 0.06)
     out = calibration.calib_gate(None, threshold_s=4.0, max_wait_s=5.0, poll_s=0.01)
     assert out["calib_gate_shots"] == [0.1]
+    assert out["calib_gate_overhead_shots"] == [0.06]
     assert not out["calib_gate_expired"]
 
 
 def test_calib_gate_waits_then_releases_when_epoch_recovers(monkeypatch):
     shots = iter([9.9, 8.0, 7.5, 1.2])
     monkeypatch.setattr(calibration, "_probe_once", lambda s: next(shots))
+    monkeypatch.setattr(calibration, "_overhead_once", lambda s: 0.06)
     out = calibration.calib_gate(None, threshold_s=4.0, max_wait_s=10.0, poll_s=0.01)
     assert out["calib_gate_shots"] == [8.0, 7.5, 1.2]
     assert not out["calib_gate_expired"]
@@ -54,11 +57,23 @@ def test_calib_gate_waits_then_releases_when_epoch_recovers(monkeypatch):
 
 def test_calib_gate_expires_in_sustained_slow_epoch(monkeypatch):
     monkeypatch.setattr(calibration, "_probe_once", lambda s: 9.0)
+    monkeypatch.setattr(calibration, "_overhead_once", lambda s: 0.06)
     t0 = time.time()
     out = calibration.calib_gate(None, threshold_s=4.0, max_wait_s=0.2, poll_s=0.05)
     assert time.time() - t0 >= 0.2
     assert out["calib_gate_expired"]
     assert all(v == 9.0 for v in out["calib_gate_shots"])
+
+
+def test_calib_gate_blocks_on_slow_scheduling_epoch(monkeypatch):
+    """The r7 blind spot: throughput probe fast, per-job overhead inflated
+    — the gate must treat that epoch as slow too."""
+    monkeypatch.setattr(calibration, "_probe_once", lambda s: 2.2)
+    overheads = iter([0.5] + [0.5] * 3 + [0.5] * 3 + [0.07] * 3)
+    monkeypatch.setattr(calibration, "_overhead_once", lambda s: next(overheads))
+    out = calibration.calib_gate(None, threshold_s=4.0, max_wait_s=10.0, poll_s=0.01)
+    assert out["calib_gate_overhead_shots"] == [0.5, 0.5, 0.07]
+    assert not out["calib_gate_expired"]
 
 
 def test_load_gate_passes_when_idle(monkeypatch):
