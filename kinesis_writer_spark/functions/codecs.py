@@ -40,6 +40,15 @@ class CodecError(ValueError):
     """Malformed media payload."""
 
 
+class UnsupportedCodecError(CodecError):
+    """Payload POSITIVELY recognized as this format, but it uses a feature
+    the parser declares out of scope (e.g. H.264 SPS scaling matrices,
+    progressive JPEG). Distinct from plain :class:`CodecError` so weak-magic
+    dispatchers (operators/multimodal.decode_media) can tell "recognized but
+    unsupported — surface it" apart from "probably not this format at all —
+    fall through to the unknown path" (r7 ADVICE finding #1)."""
+
+
 # ---------------------------------------------------------------------------
 # PPM — binary "P6" portable pixmap: the simplest real raster format
 # ---------------------------------------------------------------------------
@@ -111,7 +120,7 @@ def parse_ppm(payload: bytes) -> PpmImage:
     if not 0 < maxval < 65536:
         raise CodecError(f"bad PPM maxval {maxval}")
     if maxval > 255:
-        raise CodecError("16-bit-per-sample PPM not supported")
+        raise UnsupportedCodecError("16-bit-per-sample PPM not supported")
     pos += 1  # exactly ONE whitespace byte separates header from raster
     need = width * height * 3
     pixels = payload[pos : pos + need]
@@ -180,7 +189,7 @@ def parse_bmp(payload: bytes) -> BmpImage:
     _, _file_size, _, _, off_bits = struct.unpack_from("<2sIHHI", payload, 0)
     header_size, width, height = struct.unpack_from("<Iii", payload, 14)
     if header_size < 40:
-        raise CodecError(f"unsupported BMP header size {header_size}")
+        raise UnsupportedCodecError(f"unsupported BMP header size {header_size}")
     planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
     if planes != 1 or bpp != 24 or compression != 0:
         raise CodecError(
@@ -348,7 +357,7 @@ def parse_png(payload: bytes) -> PngImage:
             f"only 8-bit RGB/RGBA PNG supported (depth={bit_depth}, color={color_type})"
         )
     if compression != 0 or filter_m != 0 or interlace != 0:
-        raise CodecError(
+        raise UnsupportedCodecError(
             f"unsupported PNG encoding (compression={compression}, "
             f"filter={filter_m}, interlace={interlace})"
         )
@@ -707,7 +716,7 @@ def write_jpeg(
     if width <= 0 or height <= 0 or width > 65535 or height > 65535:
         raise CodecError(f"bad JPEG dimensions {width}x{height}")
     if subsampling not in _JPEG_SUBSAMPLING:
-        raise CodecError(f"unsupported subsampling {subsampling!r}")
+        raise UnsupportedCodecError(f"unsupported subsampling {subsampling!r}")
     hmax, vmax = _JPEG_SUBSAMPLING[subsampling]
 
     if quality is None:
@@ -997,7 +1006,7 @@ def parse_jpeg(payload: bytes) -> JpegImage:
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (w_, h, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise CodecError(
+            raise UnsupportedCodecError(
                 f"unsupported JPEG coding process (SOF marker 0xFF{marker:02X}; "
                 "only baseline sequential is supported)"
             )
@@ -1048,7 +1057,7 @@ def parse_jpeg(payload: bytes) -> JpegImage:
             # Non-divisor ratios (e.g. 3x1 luma with 2x1 chroma) would make
             # the nearest-neighbor upsample produce mis-sized planes and a
             # raw numpy error downstream of here.
-            raise CodecError(
+            raise UnsupportedCodecError(
                 f"unsupported sampling ratio {hi}x{vi} vs max {hmax}x{vmax}"
             )
 
@@ -1320,6 +1329,17 @@ def write_mp3_frames(
     return bytes(out)
 
 
+def _walk_error(msg: str, frames: list) -> CodecError:
+    """CodecError carrying how many full frames walked cleanly before the
+    failure — callers with a weak magic sniff (decode_media) use it to tell
+    "genuine MP3 that went bad mid-stream" (frames_walked >= 2) from "never
+    was an MP3" (r7 ADVICE finding #1: a real MP3 with arbitrary trailing
+    junk should not be silently reclassified as an unknown blob)."""
+    err = CodecError(msg)
+    err.frames_walked = len(frames)
+    return err
+
+
 def _mp3_walk(payload: bytes, pos: int) -> list:
     """Walk the frame chain starting at the (pre-validated) header at
     ``pos`` until EOF or a trailing tag block; raises CodecError on lost
@@ -1330,16 +1350,17 @@ def _mp3_walk(payload: bytes, pos: int) -> list:
             break
         frame = _mp3_parse_header(payload, pos)
         if frame is None:
-            raise CodecError(f"lost frame sync at offset {pos}")
+            raise _walk_error(f"lost frame sync at offset {pos}", frames)
         if pos + frame.frame_bytes > len(payload):
-            raise CodecError(
+            raise _walk_error(
                 f"truncated frame at offset {pos}: header says "
-                f"{frame.frame_bytes} bytes, {len(payload) - pos} remain"
+                f"{frame.frame_bytes} bytes, {len(payload) - pos} remain",
+                frames,
             )
         frames.append(frame)
         pos += frame.frame_bytes
     if pos + 4 > len(payload) and pos != len(payload) and not _mp3_is_trailing_tag(payload, pos):
-        raise CodecError(f"{len(payload) - pos} trailing bytes after last frame")
+        raise _walk_error(f"{len(payload) - pos} trailing bytes after last frame", frames)
     return frames
 
 
@@ -1369,6 +1390,7 @@ def parse_mp3_frames(payload: bytes) -> Mp3Info:
     # bytes cannot turn the retry into a quadratic scan.
     frames = None
     first_err = None
+    attempts = 0
     attempts_left = 64
     pos = start
     while pos + 4 <= len(payload):
@@ -1381,12 +1403,25 @@ def parse_mp3_frames(payload: bytes) -> Mp3Info:
         except CodecError as err:
             if first_err is None:
                 first_err = err
+            attempts += 1
             attempts_left -= 1
             if attempts_left == 0:
                 break
             pos += 1
     if frames is None:
         if first_err is not None:
+            if attempts > 1:
+                # r7 ADVICE finding #3: the first candidate's error can
+                # describe the wrong offset when many header-shaped false
+                # syncs precede it — say how wide the scan actually was
+                # (and whether it hit the resync cap) so the message is
+                # diagnosable against real corpora.
+                err = CodecError(
+                    f"{first_err} (first of {attempts} failed sync "
+                    f"candidates{'; resync cap reached' if attempts_left == 0 else ''})"
+                )
+                err.frames_walked = getattr(first_err, "frames_walked", 0)
+                raise err
             raise first_err
         raise CodecError("no MPEG Layer III sync found")
     # Duration sums per-frame samples/rate so rate-switching chains
@@ -1588,7 +1623,7 @@ def _parse_sps(rbsp: bytes) -> dict:
         r.ue()  # bit_depth_chroma_minus8
         r.u(1)  # qpprime_y_zero_transform_bypass_flag
         if r.u(1):  # seq_scaling_matrix_present_flag
-            raise CodecError("SPS scaling matrices not supported")
+            raise UnsupportedCodecError("SPS scaling matrices not supported")
     r.ue()  # log2_max_frame_num_minus4
     poc_type = r.ue()
     if poc_type == 0:

@@ -18,9 +18,20 @@ the memo path stays on for production and tests.
 
 from __future__ import annotations
 
+import logging
 from typing import MutableMapping
 
+_log = logging.getLogger(__name__)
+
 _CACHES: list[MutableMapping] = []
+
+#: warn-once flag: the localCheckpoint block release below reaches through
+#: private py4j plan internals; if a PySpark upgrade changes the plan shape
+#: the broad except would silently no-op the release and reintroduce the
+#: executor-memory leak it fixes (r7 ADVICE finding #2) — log the first
+#: failure so the regression is visible (tests/test_caches.py pins the
+#: actual block-release behavior per supported Spark version).
+_jvm_release_warned = False
 
 
 def register(cache: MutableMapping) -> MutableMapping:
@@ -37,6 +48,7 @@ def clear_all() -> int:
     pass does not accumulate orphaned checkpoint blocks (executor memory
     pressure mid-measurement) while waiting for driver GC.
     """
+    global _jvm_release_warned
     n = sum(1 for c in _CACHES if c)
     for c in _CACHES:
         for v in list(c.values()):
@@ -50,11 +62,25 @@ def clear_all() -> int:
             # localCheckpointed DataFrame keeps its blocks in an internal
             # RDD the CacheManager cannot see (its plan is a LogicalRDD).
             # Reach that RDD through the analyzed plan and unpersist it
-            # directly; any JVM-side shape mismatch just leaves the entry
-            # to driver GC, as before.
+            # directly; a JVM-side shape mismatch leaves the entry to
+            # driver GC as before, but is LOGGED once — a silent no-op
+            # here would quietly reintroduce the checkpoint-block leak
+            # after a PySpark upgrade (r7 ADVICE finding #2).
+            jdf = getattr(v, "_jdf", None)
+            if jdf is None:
+                continue  # non-DataFrame memo value (weights dict, tuple)
             try:
-                v._jdf.queryExecution().analyzed().rdd().unpersist(False)
+                plan = jdf.queryExecution().analyzed()
+                if plan.getClass().getSimpleName() == "LogicalRDD":
+                    plan.rdd().unpersist(False)
             except Exception:
-                pass
+                if not _jvm_release_warned:
+                    _jvm_release_warned = True
+                    _log.warning(
+                        "localCheckpoint block release via private plan "
+                        "access failed; memo entries left to driver GC "
+                        "(PySpark plan-shape change?)",
+                        exc_info=True,
+                    )
         c.clear()
     return n

@@ -861,14 +861,19 @@ def materialize_neardup_components(con, reuse: bool = True) -> None:
     re-pointing the view at different data forces a rebuild rather than
     silently serving stale components. ``reuse=False`` always rebuilds.
     """
+    # fingerprint = count + SUM(hash(doc_id, text)) over the JOINT pair:
+    # summing per-column hashes separately is collision-prone in principle
+    # (swapping text between two rows preserves both sums — r7 ADVICE
+    # finding #5); hashing the pair binds each text to its id so any
+    # row-level reshuffle moves the sum.
     key_sql = (
-        "SELECT COUNT(*) AS n, COALESCE(SUM(hash(doc_id)), 0) AS hid, "
-        "COALESCE(SUM(hash(text)), 0) AS htx FROM documents"
+        "SELECT COUNT(*) AS n, COALESCE(SUM(hash(doc_id, text)), 0) AS hrow "
+        "FROM documents"
     )
     key = con.execute(key_sql).fetchone()
     if reuse:
         try:
-            if con.execute("SELECT n, hid, htx FROM comp_fast_key").fetchone() == key:
+            if con.execute("SELECT n, hrow FROM comp_fast_key").fetchone() == key:
                 con.execute("SELECT node, comp_id FROM comp_fast LIMIT 0")
                 return
         except Exception:
@@ -890,8 +895,7 @@ def materialize_neardup_components(con, reuse: bool = True) -> None:
     # wider than 64 bits through DOUBLE, silently losing low digits
     con.execute(
         "CREATE OR REPLACE TEMP TABLE comp_fast_key AS "
-        f"SELECT {int(key[0])}::BIGINT AS n, {int(key[1])}::HUGEINT AS hid, "
-        f"{int(key[2])}::HUGEINT AS htx"
+        f"SELECT {int(key[0])}::BIGINT AS n, {int(key[1])}::HUGEINT AS hrow"
     )
 
 

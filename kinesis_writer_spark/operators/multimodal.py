@@ -190,11 +190,23 @@ def decode_media(payload: bytes) -> dict:
         # for the leading SPS). The prefix is unambiguous against every
         # other branch here (none begin with a zero byte) — but NOT
         # against other zero-prefixed bitstreams (H.265 Annex B, MPEG-2
-        # PS packs also start 00 00 01), so a parse failure means "not
-        # actually H.264" and falls through to the unknown path instead
-        # of failing the whole mapInPandas task, same policy as MP3.
+        # PS packs also start 00 00 01), so a plain parse failure means
+        # "not actually H.264" and falls through to the unknown path
+        # instead of failing the whole mapInPandas task, same policy as
+        # MP3. An UnsupportedCodecError is different: the NAL walk
+        # succeeded and the SPS positively identified H.264 before
+        # hitting a declared-out-of-scope feature (e.g. scaling
+        # matrices) — surface that as a recognized parse limitation
+        # rather than silently downgrading real media to fake
+        # structural features (r7 ADVICE finding #1).
         try:
             v = C.parse_h264_annexb(bytes(payload))
+        except C.UnsupportedCodecError as e:
+            return {
+                "kind": "h264_unsupported",
+                "n_bytes": len(payload),
+                "error": str(e)[:200],
+            }
         except C.CodecError:
             return {"kind": "unknown", **_fake_decode(payload)}
         return {
@@ -214,12 +226,23 @@ def decode_media(payload: bytes) -> dict:
         # ID3v2 tag or raw MPEG frame sync (0xFFD8 = JPEG already matched
         # above; the JPEG SOI byte 0xD8 fails the 0xE0 sync mask anyway).
         # The 2-byte sync sniff is weak (~1/512 of arbitrary binary passes
-        # it), so a parse failure here means "not actually MP3", not "bad
-        # query input" — fall through to the unknown path instead of
-        # failing the whole mapInPandas task on a stray blob.
+        # it), so a parse failure here usually means "not actually MP3",
+        # not "bad query input" — fall through to the unknown path instead
+        # of failing the whole mapInPandas task on a stray blob. EXCEPT
+        # when the failed walk cleanly decoded >= 2 full frames first:
+        # that is a genuine MPEG stream that went bad mid-chain (e.g.
+        # arbitrary trailing junk), and silently reclassifying it as an
+        # unknown blob would hand real media structurally-fake features
+        # with no signal (r7 ADVICE finding #1) — surface it instead.
         try:
             mp3 = C.parse_mp3_frames(bytes(payload))
-        except C.CodecError:
+        except C.CodecError as e:
+            if getattr(e, "frames_walked", 0) >= 2:
+                return {
+                    "kind": "mp3_error",
+                    "n_bytes": len(payload),
+                    "error": str(e)[:200],
+                }
             return {"kind": "unknown", **_fake_decode(payload)}
         return {
             "kind": "mp3",
@@ -234,6 +257,23 @@ def decode_media(payload: bytes) -> dict:
     return {"kind": "unknown", **_fake_decode(payload)}
 
 
+def _keep_schema(df: DataFrame, keep_cols: list) -> str:
+    """DDL fragment for the pass-through key columns of a mapInPandas
+    stage, with each column's type DERIVED from ``df.schema`` — hardcoding
+    ``long`` made a string doc_id fail with a raw Arrow type error deep in
+    the task instead of carrying through (r7 ADVICE finding #4). A keep
+    column absent from ``df`` still raises the analyzer's clear
+    unresolved-column error at plan time."""
+    by_name = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    missing = [c for c in keep_cols if c not in by_name]
+    if missing:
+        raise ValueError(
+            f"keep column(s) {missing} not in DataFrame schema "
+            f"{sorted(by_name)}"
+        )
+    return ", ".join(f"{c} {by_name[c]}" for c in keep_cols)
+
+
 def decode_features(df: DataFrame, payload_col: str = "payload", keep: tuple[str, ...] = ("doc_id",)) -> DataFrame:
     """mapInPandas decode stage: binary payload → typed feature columns.
 
@@ -244,7 +284,7 @@ def decode_features(df: DataFrame, payload_col: str = "payload", keep: tuple[str
 
     keep_cols = list(keep)
     schema = (
-        ", ".join(f"{c} long" for c in keep_cols)
+        _keep_schema(df, keep_cols)
         + ", n_bytes long, first_byte long, head_checksum long"
     )
 
@@ -606,7 +646,7 @@ def frame_sample(
 
     keep_cols = list(keep)
     schema = (
-        ", ".join(f"{c} long" for c in keep_cols)
+        _keep_schema(df, keep_cols)
         + ", frame_idx long, frame_len long, frame binary"
     )
 
@@ -666,7 +706,7 @@ def frame_sample_wav(
 
     keep_cols = list(keep)
     schema = (
-        ", ".join(f"{c} long" for c in keep_cols)
+        _keep_schema(df, keep_cols)
         + ", sample_rate int, duration_ms long, frame_idx long, frame_len long, frame binary"
     )
 
@@ -714,7 +754,7 @@ def frame_sample_h264(
 
     keep_cols = list(keep)
     schema = (
-        ", ".join(f"{c} long" for c in keep_cols)
+        _keep_schema(df, keep_cols)
         + ", width int, height int, slice_idx long, is_keyframe boolean, nal_bytes long"
     )
 

@@ -162,3 +162,33 @@ class TestPropagation:
         comp, rounds = self._run(edges)
         assert comp == {i: 0 for i in range(5)}
         assert rounds <= 2
+
+
+def test_swapped_texts_force_rebuild(monkeypatch):
+    """Swapping the texts of two docs preserves per-column hash SUMs — the
+    r7 fingerprint (separate SUM(hash(doc_id)) + SUM(hash(text))) could not
+    see it and would have served stale components (r7 ADVICE finding #5).
+    The joint SUM(hash(doc_id, text)) key must force a rebuild."""
+    from kinesis_writer_spark.operators import dedup
+
+    con = _connect()
+    dedup.materialize_neardup_components(con)
+    a, b = [
+        r[0]
+        for r in con.sql("SELECT doc_id FROM documents ORDER BY doc_id LIMIT 2").fetchall()
+    ]
+    con.execute(
+        "CREATE OR REPLACE VIEW documents AS "
+        "SELECT d.doc_id, s.text, d.lang, d.source "
+        f"FROM read_parquet('{SF_DIR}/documents.parquet') d "
+        f"JOIN read_parquet('{SF_DIR}/documents.parquet') s "
+        f"ON s.doc_id = CASE WHEN d.doc_id = {a} THEN {b} "
+        f"              WHEN d.doc_id = {b} THEN {a} ELSE d.doc_id END"
+    )
+    calls = []
+    orig = dedup._propagate_components
+    monkeypatch.setattr(
+        dedup, "_propagate_components", lambda c: (calls.append(1), orig(c))[1]
+    )
+    dedup.materialize_neardup_components(con)  # reuse=True, key must differ
+    assert calls, "text swap was invisible to the reuse fingerprint"

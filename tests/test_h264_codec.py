@@ -233,3 +233,39 @@ class TestDecodeMediaAndSampling:
         assert set(rows) == {(0, True), (2, False), (4, False)}
         assert all(r.width == 128 and r.height == 96 for r in rows.values())
         assert rows[(0, True)].nal_bytes == 1 + 2 + 1  # header + body + stop
+
+
+class TestAdviceR7H264:
+    """Regression pins for the r7 ADVICE finding #1 (H.264 side)."""
+
+    def _scaling_matrix_nal(self) -> bytes:
+        w = _EgWriter()
+        w.u(8, 100), w.u(8, 0), w.u(8, 30)
+        w.ue(0)  # sps_id
+        w.ue(1), w.ue(0), w.ue(0)  # chroma, bit depths
+        w.u(1, 0), w.u(1, 1)  # qpprime, scaling_matrix_present=1
+        return b"\x00\x00\x00\x01\x67" + _ebsp_from_rbsp(w.rbsp_trailing())
+
+    def test_scaling_matrix_raises_unsupported_subclass(self):
+        from kinesis_writer_spark.functions.codecs import UnsupportedCodecError
+
+        with pytest.raises(UnsupportedCodecError, match="scaling"):
+            parse_h264_annexb(self._scaling_matrix_nal())
+
+    def test_scaling_matrix_surfaces_as_h264_unsupported_not_unknown(self):
+        # the NAL walk positively identified H.264 before the declared
+        # out-of-scope feature — decode_media must surface that instead
+        # of silently downgrading real media to fake structural features
+        from kinesis_writer_spark.operators.multimodal import decode_media
+
+        d = decode_media(self._scaling_matrix_nal())
+        assert d["kind"] == "h264_unsupported"
+        assert "scaling" in d["error"]
+        assert "head_checksum" not in d  # no structurally-fake features
+
+    def test_non_h264_zero_prefix_still_unknown(self):
+        from kinesis_writer_spark.operators.multimodal import decode_media
+
+        # MPEG-2 PS pack start code: parses as nothing we support
+        d = decode_media(b"\x00\x00\x01\xba" + bytes(16))
+        assert d["kind"] == "unknown"

@@ -248,3 +248,45 @@ class TestRoundTripProperties:
             from kinesis_writer_spark.functions.codecs import CodecError
 
             assert isinstance(exc, CodecError)  # precise error, never garbage
+
+
+class TestAdviceR7:
+    """Regression pins for the r7 ADVICE findings #1/#3 (MP3 side)."""
+
+    def test_trailing_junk_mp3_surfaces_as_mp3_error(self):
+        # a genuine 6-frame stream with arbitrary trailing junk is
+        # RECOGNIZED media that went bad, not an unknown blob — the weak
+        # sniff's unknown fallback must not swallow it (finding #1)
+        from kinesis_writer_spark.operators.multimodal import decode_media
+
+        d = decode_media(write_mp3_frames(6) + b"\x01\x02\x03")
+        assert d["kind"] == "mp3_error"
+        assert "trailing" in d["error"]
+        assert "head_checksum" not in d  # no structurally-fake features
+
+    def test_single_false_frame_still_falls_back_to_unknown(self):
+        # one header-shaped accident (< 2 clean frames walked) keeps the
+        # documented not-actually-MP3 fallback
+        from kinesis_writer_spark.operators.multimodal import decode_media
+
+        header = bytes([0xFF, 0xFB, 0x10, 0x00])  # 104-byte frame claim
+        d = decode_media(header + bytes(100) + b"\x01")
+        assert d["kind"] == "unknown"
+
+    def test_walk_errors_carry_frames_walked(self):
+        with pytest.raises(CodecError) as ei:
+            parse_mp3_frames(write_mp3_frames(4) + b"\x01\x02")
+        assert getattr(ei.value, "frames_walked", None) == 4
+
+    def test_resync_cap_error_reports_scan_width(self):
+        # dense header-shaped payload: the raised error describes the
+        # FIRST candidate but must say how wide the scan was (finding #3)
+        header = bytes([0xFF, 0xFB, 0x10, 0x00])
+        payload = header * 30 + b"\x01"
+        with pytest.raises(CodecError, match=r"failed sync candidates"):
+            parse_mp3_frames(payload)
+
+    def test_single_candidate_error_message_unchanged(self):
+        # the common one-candidate case keeps its precise message
+        with pytest.raises(CodecError, match=r"^truncated frame at offset"):
+            parse_mp3_frames(write_mp3_frames(2)[:-10])

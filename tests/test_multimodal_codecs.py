@@ -389,3 +389,41 @@ class TestDecodeMediaSafe:
         assert out[1] == ("ppm", None)
         assert out[3] == ("bmp", None)
         assert out[2][0] == "error" and out[2][1]
+
+
+class TestKeepSchemaDerivation:
+    """r7 ADVICE finding #4: mapInPandas keep columns hardcoded `long` —
+    a string key column hit a raw Arrow type error mid-task. Types are
+    now derived from the input schema."""
+
+    def test_string_keep_column_round_trips_wav(self, spark):
+        from kinesis_writer_spark.functions.codecs import write_wav
+        from kinesis_writer_spark.operators.multimodal import frame_sample_wav
+
+        wav = write_wav(b"\x01\x02" * 400)
+        df = spark.createDataFrame(
+            [("doc-a", bytearray(wav))], "name string, payload binary"
+        )
+        rows = frame_sample_wav(df, keep=("name",)).collect()
+        assert rows and all(r["name"] == "doc-a" for r in rows)
+
+    def test_string_keep_column_round_trips_h264(self, spark):
+        from kinesis_writer_spark.functions.codecs import write_h264_annexb
+        from kinesis_writer_spark.operators.multimodal import frame_sample_h264
+
+        s = write_h264_annexb(64, 64, [b"k"], [b"p"] * 3)
+        df = spark.createDataFrame(
+            [("vid-1", 7, bytearray(s))], "name string, part int, payload binary"
+        )
+        rows = frame_sample_h264(df, keep=("name", "part")).collect()
+        assert rows
+        assert all(r["name"] == "vid-1" and r["part"] == 7 for r in rows)
+
+    def test_missing_keep_column_raises_clear_error(self, spark):
+        from kinesis_writer_spark.operators.multimodal import frame_sample_wav
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x00\x00"))], "doc_id long, payload binary"
+        )
+        with pytest.raises(ValueError, match="keep column"):
+            frame_sample_wav(df, keep=("nope",))
