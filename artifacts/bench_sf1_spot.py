@@ -234,6 +234,9 @@ def main() -> None:
         entry["sf1.0_sec"] = hi
         entry["ratio"] = round(hi / lo, 2) if lo > 0 else None
 
+    from kinesis_writer_spark.calibration import adjudicate_epoch
+
+    calib_end = calibrate(spark)
     out = {
         "metric": "sf1_spot_scale_ratio",
         "replicas": REPLICAS,
@@ -242,9 +245,10 @@ def main() -> None:
         "queries": results,
         "max_ratio": max(e["ratio"] for e in results.values()),
         "calibration": calib,
-        "calibration_end": calibrate(spark),
+        "calibration_end": calib_end,
         "load_gate": gate,
         "calib_gate": cgate,
+        "epoch": adjudicate_epoch(calib, calib_end, cgate),
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_sf1_spot.json")
     with open(path, "w") as f:

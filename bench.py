@@ -229,6 +229,29 @@ def main() -> None:
         errors["harness"] = traceback.format_exc(limit=5)
 
     total = round(sum(timings.values()), 3)
+    # Self-adjudication (r7 verdict task #2): normalized values + an epoch
+    # verdict computed HERE, so no future reader re-derives BASELINE.md's
+    # reading rules by hand. value_norm divides by this run's calib probe;
+    # comparing value_norm across rounds cancels host-epoch drift for the
+    # throughput-bound bulk of the suite (sub-second queries track the
+    # overhead ratio instead — both ratios are in the verdict string).
+    try:
+        from kinesis_writer_spark.calibration import adjudicate_epoch
+
+        epoch = adjudicate_epoch(calib, calib_end, cgate)
+    except Exception:
+        epoch = {"verdict": "unmeasured"}
+        errors["epoch_verdict"] = traceback.format_exc(limit=3)
+    calib_sec = calib.get("calib_seconds")
+    value_norm = round(total / calib_sec, 3) if calib_sec else None
+    sec_norm = (
+        {k: round(v / calib_sec, 4) for k, v in timings.items()} if calib_sec else {}
+    )
+    all_sec_norm = (
+        {k: round(v / calib_sec, 4) for k, v in all_timings.items()}
+        if calib_sec
+        else {}
+    )
     # Full per-query detail (all 250+ registry entries, plus any tracebacks)
     # is an artifact file; stdout carries only the compact summary line so
     # the driver's 2000-char tail always contains the complete JSON object.
@@ -248,6 +271,11 @@ def main() -> None:
         "load_end": list(os.getloadavg()),
         "sf": sf,
         "errors": errors,
+        # normalized (host-epoch-cancelled) figures + machine verdict
+        "value_norm": value_norm,
+        "sec_norm": sec_norm,
+        "all_sec_norm": all_sec_norm,
+        "epoch": epoch,
         # Methodology stamp so cross-round deltas are interpretable
         # (timing changed r4->r5: cold single-shot -> warm median/min;
         # r5->r6: all_queries now memo-cold, see comment above the pass).
@@ -286,6 +314,12 @@ def main() -> None:
         "overhead_sec": calib.get("overhead_seconds"),
         "overhead_end_sec": calib_end.get("overhead_seconds"),
         "calib_gate_expired": cgate.get("calib_gate_expired"),
+        # SELF-ADJUDICATING fields (r7 verdict task #2): value_norm =
+        # value/calib_sec (compare THIS across rounds, not raw value);
+        # epoch_verdict encodes BASELINE.md's reading rules vs the frozen
+        # r7 reference epoch. Per-query sec_norm is in bench_full.json.
+        "value_norm": value_norm,
+        "epoch_verdict": epoch.get("verdict"),
         "load1m": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
         "sf": sf,
         # compact stamp; full prose in artifacts/bench_full.json

@@ -41,6 +41,81 @@ CALIB_PARTITIONS = 64
 #: calm host: ~0.05-0.10 s/job.
 OVERHEAD_JOBS = 8
 
+#: Reference epoch for cross-round normalization: the round-7 driver bench
+#: (BENCH_r07.json — calm host, gates clean, calib start 2.296 ≈ end 2.26).
+#: Every later artifact's ``epoch_verdict`` compares its own probes to
+#: THIS fixed point, so a reader never has to re-derive BASELINE.md's
+#: reading rules by hand (r7 verdict task #2). Do not update these numbers
+#: without a methodology note in BASELINE.md — they are the denominator of
+#: every cross-round comparison from r8 on.
+REFERENCE_EPOCH = {
+    "calib_sec": 2.296,
+    "overhead_sec": 0.106,
+    "source": "BENCH_r07.json",
+}
+
+#: Band half-widths for the verdict: probes within [ref/x, ref*x] read as
+#: the same epoch regime. Derived from measured drift: r6→r7 throughput
+#: drift was ~±30% and the observed slow-*scheduling* epoch carried ~1.7x
+#: overhead at clean throughput (BASELINE.md:100-114).
+_EPOCH_BAND = 1.5
+#: Intra-run drift threshold: a start→end calib delta beyond this means
+#: the per-query figures straddle two host epochs (observed late r7:
+#: 3.8 s → 10.9 s mid-run inverted a scale ratio).
+_INTRA_DRIFT_PCT = 15.0
+
+
+def adjudicate_epoch(calib: dict, calib_end: dict, cgate: dict | None = None) -> dict:
+    """Compute the machine-readable epoch verdict for a bench artifact.
+
+    Encodes BASELINE.md's "Reading bench numbers across rounds" rules so
+    BENCH_rN.json is self-adjudicating: compares this run's throughput and
+    per-job-overhead probes to :data:`REFERENCE_EPOCH`, checks start≈end
+    stability, and folds in the calib gate's outcome. ``verdict`` is a
+    compact string safe for the 2000-char stdout tail; the component
+    ratios ride alongside for exact reading.
+    """
+    cs = calib.get("calib_seconds")
+    ce = (calib_end or {}).get("calib_seconds")
+    oh = calib.get("overhead_seconds")
+    oe = (calib_end or {}).get("overhead_seconds")
+    if cs is None or oh is None:
+        return {"verdict": "unmeasured", "flags": ["calibration-missing"]}
+
+    calib_vs_ref = round(cs / REFERENCE_EPOCH["calib_sec"], 3)
+    oh_vs_ref = round(oh / REFERENCE_EPOCH["overhead_sec"], 3)
+    drift_pct = (
+        round(100.0 * abs(ce - cs) / cs, 1) if ce is not None else None
+    )
+    flags = []
+    if drift_pct is None:
+        flags.append("no-end-probe")
+    elif drift_pct > _INTRA_DRIFT_PCT:
+        flags.append("intra-run-drift")
+    if not (1.0 / _EPOCH_BAND <= calib_vs_ref <= _EPOCH_BAND):
+        flags.append("calib-off-band")
+    if not (1.0 / _EPOCH_BAND <= oh_vs_ref <= _EPOCH_BAND):
+        flags.append("overhead-off-band")
+    if cgate and cgate.get("calib_gate_expired"):
+        flags.append("gate-expired")
+    status = "stable" if not flags else "caution:" + "+".join(flags)
+    return {
+        # e.g. "stable;calib=0.83xref;oh=0.83xref;drift=4.1%" — normalize
+        # long-query seconds by calib_vs_ref, sub-second ones by oh_vs_ref
+        "verdict": (
+            f"{status};calib={calib_vs_ref}xref;oh={oh_vs_ref}xref"
+            + (f";drift={drift_pct}%" if drift_pct is not None else "")
+        ),
+        "calib_vs_ref": calib_vs_ref,
+        "overhead_vs_ref": oh_vs_ref,
+        "intra_run_drift_pct": drift_pct,
+        "overhead_end_vs_ref": (
+            round(oe / REFERENCE_EPOCH["overhead_sec"], 3) if oe is not None else None
+        ),
+        "reference": dict(REFERENCE_EPOCH),
+        "flags": flags,
+    }
+
 
 def _probe_once(spark) -> float:
     from pyspark.sql import functions as F

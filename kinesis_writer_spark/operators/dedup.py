@@ -401,19 +401,24 @@ def q54_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
         F.col("c").alias("c_b"), F.col("chunk_key").alias("chunk_key_b"),
     )
-    cand = (
+    # hamming BEFORE the dedup: a pair matching in k chunks appears k (≤4)
+    # times out of the join, and bit_count on the joined row is a few ns —
+    # filtering first shrinks the distinct's input AND narrows its rows to
+    # (doc_a, doc_b, hamming) instead of carrying both 8-byte fingerprints
+    # through the dedup shuffle (r8: the memo-cold pair build is the top
+    # cost of the q144/q96/q255 sweep rows). hamming is a function of the
+    # pair, so the distinct is unchanged as a set.
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
         a.join(
             b,
             (F.col("c") == F.col("c_b"))
             & (F.col("chunk_key") == F.col("chunk_key_b"))
             & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select("doc_a", "sh_a", "doc_b", "sh_b")
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= _HAMMING_MAX)
         .distinct()
-    )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.select("doc_a", "doc_b", hamming.cast("int").alias("hamming")).filter(
-        F.col("hamming") <= _HAMMING_MAX
     )
 
 
@@ -612,6 +617,7 @@ def connected_components(
     dst: str = "dst",
     max_iters: int = 25,
     driver_max_edges: int | None = None,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: every node's
     label converges to the smallest node id reachable from it.
@@ -640,22 +646,41 @@ def connected_components(
     """
     if driver_max_edges is None:
         driver_max_edges = CC_DRIVER_MAX_EDGES
-    bi = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint()
-    )
-    if bi.count() <= driver_max_edges:
+    # ``edges_distinct=True`` is a caller guarantee that the input holds
+    # each undirected edge once with src < dst — then the two directions
+    # are disjoint (no dedup shuffle needed) and the bidirectional count
+    # is exactly 2x the input count, so the driver fast path can skip
+    # materializing the mirrored edge list entirely and collect the input
+    # as-is (the near-dup pair tables qualify: q54 ends in a distinct
+    # over a<b pairs, and the memo hands them over already checkpointed).
+    # The algorithms themselves tolerate duplicates (min/union-find are
+    # idempotent); the guarantee only keeps the edge list, the size
+    # gate's count, and the rounds' join fan-out honest.
+    bi = None
+    if edges_distinct:
+        n_bi = 2 * edges.count()
+    else:
+        bi = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_bi = bi.count()
+    if n_bi <= driver_max_edges:
         import pandas as pd
 
         # Arrow-batched transfer both ways (toPandas / from-pandas
         # createDataFrame) — row-at-a-time toLocalIterator measured ~20x
         # slower on a 500k-row edge list. a <= b keeps each undirected
         # edge (and any self-loop) exactly once: bi holds both directions.
-        pdf = bi.filter(F.col("a") <= F.col("b")).toPandas()
+        pdf = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).toPandas()
+            if edges_distinct
+            else bi.filter(F.col("a") <= F.col("b")).toPandas()
+        )
         comp = _union_find_components(zip(pdf["a"].tolist(), pdf["b"].tolist()))
-        node_type = bi.schema["a"].dataType
+        node_type = edges.schema[src].dataType
         if not comp:  # empty graph: keep the (node, comp) schema stable
             from pyspark.sql.types import StructField, StructType
 
@@ -677,6 +702,12 @@ def connected_components(
                 F.col("node").cast(node_type).alias("node"),
                 F.col("comp").cast(node_type).alias("comp"),
             )
+        )
+    if bi is None:  # distributed path entered via the edges_distinct gate
+        bi = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+            .localCheckpoint()
         )
     labels = (
         bi.select(F.col("a").alias("node"))
@@ -748,7 +779,10 @@ def _neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _NEARDUP_COMPS_CACHE:
         _NEARDUP_COMPS_CACHE[key] = connected_components(
-            _neardup_pairs(spark, sf_dir), src="doc_a", dst="doc_b"
+            _neardup_pairs(spark, sf_dir),
+            src="doc_a",
+            dst="doc_b",
+            edges_distinct=True,  # q54 output: distinct pairs, doc_a < doc_b
         )
     return _NEARDUP_COMPS_CACHE[key]
 
@@ -765,18 +799,20 @@ _NEARDUP_BI_SQL = (
     keyed AS (
         SELECT doc_id, simhash, c, (simhash >> (15 * c::INT)) & 32767 AS chunk_key FROM chunks
     ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a, b.doc_id AS doc_b, b.simhash AS sh_b
+    pairs AS (
+        -- hamming filter BEFORE the dedup (see q54's Spark twin): a pair
+        -- joins once per matching chunk (<=4), so dedup narrow post-filter
+        -- rows instead of a wide pre-filter candidate table
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM keyed a JOIN keyed b
           ON a.c = b.c AND a.chunk_key = b.chunk_key AND a.doc_id < b.doc_id
-    ),
-    pairs AS (
-        SELECT doc_a, doc_b FROM cand
-        WHERE bit_count(xor(sh_a::UBIGINT, sh_b::UBIGINT)) <= {_HAMMING_MAX}
+        WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= {_HAMMING_MAX}
     ),
     bi AS (
+        -- pairs are distinct with doc_a < doc_b, so the two directions are
+        -- disjoint: UNION ALL, no second dedup
         SELECT doc_a AS a, doc_b AS b FROM pairs
-        UNION
+        UNION ALL
         SELECT doc_b, doc_a FROM pairs
     )
 """
@@ -883,11 +919,40 @@ def materialize_neardup_components(con, reuse: bool = True) -> None:
     # partially-propagated graph, or a later call against the original
     # data would reuse the unconverged labels
     con.execute("DROP TABLE IF EXISTS comp_fast_key")
+    # STAGED edge build (r8, measured 4.4 s -> ~0.8 s at sf0.1): inlining
+    # _NEARDUP_BI_SQL whole makes DuckDB expand the `keyed` CTE into BOTH
+    # sides of the self-join, recomputing the per-word md5 -> simhash
+    # pipeline twice (the multi-statement fast path may stage; the
+    # single-statement canonical oracle stays as the driver runs it).
+    # Same rows as `SELECT a, b FROM bi` by construction — equality with
+    # the canonical form stays pinned by tests/test_fast_oracles.py.
+    con.execute(
+        "CREATE OR REPLACE TEMP TABLE nd_keyed AS "
+        + _SIMHASH_TABLE_SQL
+        + f"""
+        , chunks AS (
+            SELECT doc_id, simhash, unnest(range(0, {_SIMHASH_CHUNKS})) AS c FROM sh
+        )
+        SELECT doc_id, simhash, c, (simhash >> (15 * c::INT)) & 32767 AS chunk_key
+        FROM chunks
+        """
+    )
+    con.execute(
+        f"""
+        CREATE OR REPLACE TEMP TABLE nd_pairs AS
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM nd_keyed a JOIN nd_keyed b
+          ON a.c = b.c AND a.chunk_key = b.chunk_key AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash::UBIGINT, b.simhash::UBIGINT)) <= {_HAMMING_MAX}
+        """
+    )
     con.execute(
         "CREATE OR REPLACE TEMP TABLE nd_edges AS "
-        + _NEARDUP_BI_SQL
-        + " SELECT a, b FROM bi"
+        "SELECT doc_a AS a, doc_b AS b FROM nd_pairs "
+        "UNION ALL SELECT doc_b, doc_a FROM nd_pairs"
     )
+    con.execute("DROP TABLE IF EXISTS nd_keyed")
+    con.execute("DROP TABLE IF EXISTS nd_pairs")
     _propagate_components(con)
     # record the key captured BEFORE the build, so a view swapped
     # mid-build cannot be mistaken for the data the graph was built from;
@@ -1174,13 +1239,34 @@ def q148_pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     convergence-tested — the standard bounded-cost choice at 100 TB.
     """
     pairs = _neardup_pairs(spark, sf_dir)
+    # q54 pairs are distinct with doc_a < doc_b -> the two directions are
+    # disjoint; no dedup shuffle needed before the rounds (r8 shave)
     bi = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
-        .distinct()
         .localCheckpoint()
     )
     return _integer_pagerank(bi)
+
+
+def _numpy_pagerank_rounds(a, b, iters: int):
+    """Driver-local core of the PageRank fast path: int64 power iterations
+    over bidirectional edge arrays ``(a, b)``; returns (nodes, rank, degree)
+    numpy arrays. Module-level so tests can (a) unit-pin it and (b) patch it
+    to observe which side of the :data:`CC_DRIVER_MAX_EDGES` gate ran."""
+    import numpy as np
+
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi_idx = inv[: len(a)], inv[len(a) :]
+    # every node of the bidirectional graph appears on both sides, so
+    # out-degree is everywhere positive and every node receives mass
+    d = np.bincount(ai, minlength=len(nodes)).astype(np.int64)
+    r = np.full(len(nodes), 1_000_000, dtype=np.int64)
+    for _ in range(iters):
+        acc = np.zeros(len(nodes), dtype=np.int64)
+        np.add.at(acc, bi_idx, r[ai] // d[ai])
+        r = 150000 + (85 * acc) // 100
+    return nodes, r, d
 
 
 def _integer_pagerank(
@@ -1220,19 +1306,9 @@ def _integer_pagerank(
                     ]
                 ),
             )
-        nodes, inv = np.unique(
-            np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()]),
-            return_inverse=True,
+        nodes, r, d = _numpy_pagerank_rounds(
+            pdf["a"].to_numpy(), pdf["b"].to_numpy(), iters
         )
-        ai, bi_idx = inv[: len(pdf)], inv[len(pdf) :]
-        # every node of the bidirectional graph appears on both sides, so
-        # out-degree is everywhere positive and every node receives mass
-        d = np.bincount(ai, minlength=len(nodes)).astype(np.int64)
-        r = np.full(len(nodes), 1_000_000, dtype=np.int64)
-        for _ in range(iters):
-            acc = np.zeros(len(nodes), dtype=np.int64)
-            np.add.at(acc, bi_idx, r[ai] // d[ai])
-            r = 150000 + (85 * acc) // 100
         out = pd.DataFrame({"node": nodes, "rank_1e6": r, "degree": d})
         return bi.sparkSession.createDataFrame(out).select(
             F.col("node").cast(node_type).alias("node"),

@@ -103,3 +103,72 @@ def test_load_gate_releases_when_load_decays(monkeypatch):
     out = calibration.load_gate(threshold=8.0, max_wait_s=10.0, poll_s=0.01)
     assert not out["gate_expired"]
     assert out["gate_load_exit"] == 1.0
+
+
+class TestAdjudicateEpoch:
+    """r7 verdict task #2: BENCH artifacts carry a machine-computed epoch
+    verdict so no reader re-derives BASELINE.md's rules by hand."""
+
+    def _c(self, cs, oh):
+        return {"calib_seconds": cs, "overhead_seconds": oh}
+
+    def test_stable_epoch(self):
+        ref = calibration.REFERENCE_EPOCH
+        out = calibration.adjudicate_epoch(
+            self._c(ref["calib_sec"], ref["overhead_sec"]),
+            self._c(ref["calib_sec"] * 1.02, ref["overhead_sec"]),
+            {"calib_gate_expired": False},
+        )
+        assert out["verdict"].startswith("stable;")
+        assert out["flags"] == []
+        assert out["calib_vs_ref"] == 1.0
+        assert out["overhead_vs_ref"] == 1.0
+
+    def test_intra_run_drift_flagged(self):
+        # the late-r7 failure mode: probe swings 3.8 -> 10.9 mid-run
+        out = calibration.adjudicate_epoch(
+            self._c(3.8, 0.1), self._c(10.9, 0.1), {}
+        )
+        assert "intra-run-drift" in out["flags"]
+        assert out["verdict"].startswith("caution:")
+        assert out["intra_run_drift_pct"] > 100
+
+    def test_slow_scheduling_epoch_flagged_at_clean_throughput(self):
+        # the r7 blind spot: throughput probe in band, per-job overhead 2x
+        out = calibration.adjudicate_epoch(
+            self._c(2.3, 0.22), self._c(2.3, 0.22), {}
+        )
+        assert out["flags"] == ["overhead-off-band"]
+
+    def test_off_band_throughput_flagged(self):
+        out = calibration.adjudicate_epoch(
+            self._c(5.0, 0.1), self._c(5.0, 0.1), {}
+        )
+        assert "calib-off-band" in out["flags"]
+
+    def test_gate_expiry_propagates(self):
+        ref = calibration.REFERENCE_EPOCH
+        out = calibration.adjudicate_epoch(
+            self._c(ref["calib_sec"], ref["overhead_sec"]),
+            self._c(ref["calib_sec"], ref["overhead_sec"]),
+            {"calib_gate_expired": True},
+        )
+        assert out["flags"] == ["gate-expired"]
+
+    def test_missing_calibration_is_unmeasured(self):
+        out = calibration.adjudicate_epoch({}, {}, {})
+        assert out["verdict"] == "unmeasured"
+
+    def test_missing_end_probe_flagged_not_crashed(self):
+        ref = calibration.REFERENCE_EPOCH
+        out = calibration.adjudicate_epoch(
+            self._c(ref["calib_sec"], ref["overhead_sec"]), {}, {}
+        )
+        assert "no-end-probe" in out["flags"]
+        assert out["intra_run_drift_pct"] is None
+
+    def test_verdict_string_is_stdout_tail_safe(self):
+        out = calibration.adjudicate_epoch(
+            self._c(9.9, 0.9), self._c(1.0, 0.01), {"calib_gate_expired": True}
+        )
+        assert len(out["verdict"]) < 120  # fits the 2000-char driver tail
