@@ -56,10 +56,20 @@ compare the two STRATEGIES, not one strategy at two sizes; a ratio above
 (the distributed path's own growth is what the other shapes measure).
 
 Run:  PYTHONPATH=/root/repo python artifacts/bench_sf1_spot.py
+
+SECOND-DECADE MODE (r7 verdict task #1): the same v4 fixture machinery
+generalizes to any replica count — the content-keyed mutation is a
+bijection per replica and the leak closure is computed on the SOURCE
+corpus only, so truth-pair growth is exactly N/10 x sf1.0's at every N.
+    --scales 10,30,100   measures sf1.0, sf3 and sf10 in ONE calib-gated
+                         run (per-step ratios land in the artifact)
+    --queries a,b,c      restrict to the named shapes
+    --out FILE.json      artifact name (default bench_sf1_spot.json)
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -72,7 +82,7 @@ SPOT = ["q220_lsh_recall_eval", "q193_prefix_filter_join", "q206_incremental_ded
         "q148_pagerank_neardup_graph", "q255_cluster_aware_split",
         "q257_jpeg_decode"]
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/sf1_spot_v4"  # v4: content-keyed mutation + leak closure, see docstring
+DST_TMPL = "/tmp/sfspot_v4_r{n}"  # v4: content-keyed mutation + leak closure
 REPLICAS = 10
 
 
@@ -133,7 +143,7 @@ def _leak_closure(con, src: str) -> list:
     return sorted(closure)
 
 
-def build_sf1(src: str, dst: str) -> None:
+def build_sf1(src: str, dst: str, replicas: int = REPLICAS) -> None:
     import duckdb
 
     os.makedirs(dst, exist_ok=True)
@@ -155,7 +165,7 @@ def build_sf1(src: str, dst: str) -> None:
                                          ELSE w END),
                            ' ') AS text,
                        d.lang, d.source
-                FROM '{src}/documents.parquet' d, range({REPLICAS}) r(r)
+                FROM '{src}/documents.parquet' d, range({replicas}) r(r)
             )
             SELECT doc_id, text, lang, source, length(text) AS n_chars
             FROM rep
@@ -174,17 +184,35 @@ def build_sf1(src: str, dst: str) -> None:
                    l_suppkey + r.r * {ms} AS l_suppkey,
                    l_linenumber, l_quantity, l_extendedprice, l_discount,
                    l_tax, l_returnflag, l_linestatus, l_shipdate
-            FROM '{src}/lineitem.parquet' l, range({REPLICAS}) r(r)
+            FROM '{src}/lineitem.parquet' l, range({replicas}) r(r)
         ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
         """
     )
 
 
+def _scale_label(replicas: int) -> str:
+    sf = replicas / 10.0
+    return f"sf{sf:g}"
+
+
 def main() -> None:
-    if not os.path.exists(os.path.join(DST, "lineitem.parquet")):
-        t0 = time.time()
-        build_sf1(SRC, DST)
-        print(f"built {DST} in {time.time() - t0:.1f}s", file=sys.stderr)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scales", default="10",
+                    help="comma list of replica counts (10=sf1.0, 30=sf3, 100=sf10)")
+    ap.add_argument("--queries", default=",".join(SPOT))
+    ap.add_argument("--out", default="bench_sf1_spot.json")
+    args = ap.parse_args()
+    scales = [int(s) for s in args.scales.split(",")]
+    spot = [q for q in args.queries.split(",") if q]
+
+    dirs = [("sf0.1", SRC)]
+    for n in scales:
+        dst = DST_TMPL.format(n=n)
+        if not os.path.exists(os.path.join(dst, "lineitem.parquet")):
+            t0 = time.time()
+            build_sf1(SRC, dst, replicas=n)
+            print(f"built {dst} ({n} replicas) in {time.time() - t0:.1f}s", file=sys.stderr)
+        dirs.append((_scale_label(n), dst))
 
     from kinesis_writer_spark import registry
     from kinesis_writer_spark.calibration import calib_gate, calibrate, load_gate
@@ -210,36 +238,49 @@ def main() -> None:
         queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     # warm the JVM once per scale on the cheapest spot query
-    for sf_dir in (SRC, DST):
+    for _, sf_dir in dirs:
         run("q54_simhash_neardup", sf_dir)
         spark.catalog.clearCache()
         clear_memos()
 
     results: dict[str, dict] = {}
     for pass_i in range(2):  # decorrelated second pass
-        for name in SPOT:
-            for label, sf_dir in (("sf0.1", SRC), ("sf1.0", DST)):
+        for name in spot:
+            for label, sf_dir in dirs:
                 clear_memos()
                 t0 = time.time()
                 run(name, sf_dir)
                 dt = round(time.time() - t0, 3)
                 spark.catalog.clearCache()
-                entry = results.setdefault(name, {"runs": {"sf0.1": [], "sf1.0": []}})
+                entry = results.setdefault(
+                    name, {"runs": {lbl: [] for lbl, _ in dirs}}
+                )
                 entry["runs"][label].append(dt)
 
+    labels = [lbl for lbl, _ in dirs]
     for name, entry in results.items():
-        lo = min(entry["runs"]["sf0.1"])
-        hi = min(entry["runs"]["sf1.0"])
-        entry["sf0.1_sec"] = lo
-        entry["sf1.0_sec"] = hi
-        entry["ratio"] = round(hi / lo, 2) if lo > 0 else None
+        for lbl in labels:
+            entry[f"{lbl}_sec"] = min(entry["runs"][lbl])
+        # per-step ratios between adjacent measured scales + the legacy
+        # first-decade ratio key
+        entry["step_ratios"] = {
+            f"{a}->{b}": round(entry[f"{b}_sec"] / entry[f"{a}_sec"], 2)
+            for a, b in zip(labels, labels[1:])
+            if entry[f"{a}_sec"] > 0
+        }
+        entry["ratio"] = (
+            round(entry[f"{labels[-1]}_sec"] / entry[f"{labels[0]}_sec"], 2)
+            if entry[f"{labels[0]}_sec"] > 0
+            else None
+        )
 
     from kinesis_writer_spark.calibration import adjudicate_epoch
 
     calib_end = calibrate(spark)
     out = {
         "metric": "sf1_spot_scale_ratio",
-        "replicas": REPLICAS,
+        "replicas": scales,
+        "scale_labels": labels,
         "fixture_version": 4,  # content-keyed mutation + leak closure; NOT comparable w/ v1-v3
         "timing_method": "memo-cold min of 2 decorrelated runs, JVM warmed",
         "queries": results,
@@ -250,12 +291,13 @@ def main() -> None:
         "calib_gate": cgate,
         "epoch": adjudicate_epoch(calib, calib_end, cgate),
     }
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_sf1_spot.json")
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), args.out)
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
     for name, e in results.items():
-        print(f"{name}: {e['sf0.1_sec']}s -> {e['sf1.0_sec']}s  ({e['ratio']}x)")
+        chain = " -> ".join(f"{e[f'{lbl}_sec']}s" for lbl in labels)
+        print(f"{name}: {chain}  (total {e['ratio']}x; steps {e['step_ratios']})")
 
 
 if __name__ == "__main__":
