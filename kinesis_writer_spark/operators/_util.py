@@ -13,6 +13,75 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ..
     return tuple(io.load(spark, sf_dir, n) for n in names)
 
 
+def checkpoint_clean(df: DataFrame) -> DataFrame:
+    """``localCheckpoint`` that also RESETS the plan's size statistics —
+    mandatory inside iterative join loops.
+
+    Root cause (r8, measured): ``Dataset.localCheckpoint`` truncates
+    lineage but the resulting ``LogicalRDD`` PRESERVES the origin plan's
+    estimated statistics, and Catalyst's size-only estimator computes a
+    join's ``sizeInBytes`` as the unbounded ``BigInt`` PRODUCT of its
+    children's. An iterative algorithm that checkpoints each round's
+    k-join output therefore compounds the estimate geometrically — the
+    BigInt's bit-length multiplies by ~k per round (measured: 35 → 101 →
+    233 → 499 → 1029 → 2089 bits over six CC rounds), until planning time
+    is dominated by Toom-Cook BigInteger multiplication inside
+    ``SizeInBytesOnlyStatsPlanVisitor`` and rounds blow up from ~1.5 s to
+    minutes (observed at a 44M-edge graph: round 10 took 180 s with every
+    executor thread idle and one driver thread at 100% in
+    ``BigInteger.multiply``).
+
+    Fix: after checkpointing, re-bind the materialized InternalRow RDD as
+    a FRESH ``LogicalRDD`` carrying no origin stats (falls back to
+    ``spark.sql.defaultSizeInBytes``) — one py4j call, zero data
+    movement, plan-identical execution. If the private-API re-bind ever
+    fails on a Spark upgrade, the checkpointed frame is returned as-is
+    (correct, possibly slow again) and a warning is logged once.
+    """
+    ckpt = df.localCheckpoint()
+    try:
+        jdf = ckpt._jdf
+        spark = df.sparkSession
+        clean_j = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        clean = DataFrame(clean_j, spark)
+        # keep the checkpointed frame reachable so callers can release
+        # its blocks when the round is superseded (release_checkpoint)
+        clean._stats_clean_origin = ckpt
+        return clean
+    except Exception:
+        global _ckpt_clean_warned
+        if not _ckpt_clean_warned:
+            _ckpt_clean_warned = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "stats-clean checkpoint re-bind failed; iterative plans "
+                "may hit the compounding-BigInt stats slowdown",
+                exc_info=True,
+            )
+        return ckpt
+
+
+_ckpt_clean_warned = False
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Best-effort release of a superseded round's localCheckpoint blocks
+    (iterative loops otherwise accumulate one orphaned label RDD per round
+    in the block manager until driver GC). Accepts frames produced by
+    :func:`checkpoint_clean` (releases the underlying checkpoint) or plain
+    checkpointed frames."""
+    target = getattr(df, "_stats_clean_origin", df)
+    try:
+        plan = target._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def distributed_row_number(
     df: DataFrame,
     bucket: Column,

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import duckdb_md5_60bit, md5_60bit
 from ..registry import register
-from ._util import tables
+from ._util import checkpoint_clean, release_checkpoint, tables
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -578,6 +578,20 @@ def q55_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: gate the distributed path runs unchanged.
 CC_DRIVER_MAX_EDGES = 1_000_000
 
+#: Size gate for broadcasting the LABELS side inside the distributed
+#: propagation rounds (CC and PageRank). A localCheckpointed DataFrame is
+#: a LogicalRDD with no statistics, so the planner defaults every round's
+#: edges⋈labels join to sort-merge — re-shuffling and re-sorting the FULL
+#: edge list each round (measured at the 44M-edge sf10 fixture: the CC
+#: rounds were the one super-linear term in the whole decade sweep, 8.7x
+#: time at 3.3x data; with the labels side broadcast a round costs 2.1 s
+#: vs 4.4 s re-shuffled, and the edge list is never exchanged at all).
+#: Labels are node-count-sized (duplicate-density, NOT corpus-sized):
+#: 4M rows x 16 B ≈ 64 MB serialized, the standard autoBroadcast bound.
+#: Above the gate the sort-merge rounds run unchanged — that is the
+#: arbitrarily-large-graph path.
+CC_LABELS_BROADCAST_MAX_ROWS = 4_000_000
+
 
 def _union_find_components(rows) -> dict:
     """In-driver union-find (path halving + union by size) over (a, b)
@@ -715,9 +729,16 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    # Node count is fixed across rounds; one cheap count decides the join
+    # strategy for EVERY round (see CC_LABELS_BROADCAST_MAX_ROWS: without
+    # the hint the stat-less checkpointed edge list gets re-shuffled and
+    # re-sorted per round — the measured super-linear term at sf10).
+    bcast_labels = labels.count() <= CC_LABELS_BROADCAST_MAX_ROWS
+    _b = F.broadcast if bcast_labels else (lambda df: df)
+    prev_ckpt = labels  # the checkpointed frame whose blocks round N retires
     for _ in range(max_iters):
         nbr_min = (
-            bi.join(labels, bi.b == labels.node)
+            bi.join(_b(labels), bi.b == labels.node)
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
@@ -727,28 +748,41 @@ def connected_components(
             F.col("comp").alias("old_comp"),
         )
         # pointer jumping (comp <- prev_comp[comp]): labels chase their
-        # label's PREVIOUS-round label, so chains collapse in O(log
-        # diameter) rounds instead of O(diameter) — banding can string dup
-        # clusters into chains (measured diameter 8 -> 9 rounds at sf0.1;
-        # with the jump, 5). Jumping through the prior round's table (the
-        # already-checkpointed `labels`) rather than `propagated` keeps ONE
-        # materialization per round: `propagated` is consumed exactly once,
-        # so it needs no checkpoint of its own, and the fixpoint is
-        # unchanged (the update stays a monotone min over reachable
-        # labels). The jump join is labels-sized (component-count rows),
-        # broadcast-cheap next to the edge join above.
+        # label's PREVIOUS-round label so chains collapse faster than one
+        # hop per round — banding can string dup clusters into long
+        # chains. Jumping through the prior round's table (the already-
+        # checkpointed `labels`) rather than `propagated` keeps ONE
+        # materialization per round: `propagated` is consumed exactly
+        # once, and the fixpoint is unchanged (the update stays a
+        # monotone min over labels reachable through prev pointers). A
+        # CHAIN of jumps per round (r8): each extra jump is another
+        # labels-sized join — broadcast-cheap next to the edge join above
+        # — and collapses chains by one more hop, so round count drops
+        # from ~diameter/2 to ~diameter/(1+jumps). Measured at the sf10
+        # fixture (44M edges, chainy v4 graph): 20 rounds -> 8, each
+        # avoided round a full edge-table scan.
         jump = labels.select(F.col("node").alias("j_node"), F.col("comp").alias("j_comp"))
-        new_labels = (
-            propagated.join(jump, propagated.comp == jump.j_node, "left")
-            .select(
+        cur = propagated
+        for _ in range(3):
+            cur = cur.join(_b(jump), cur.comp == jump.j_node, "left").select(
                 "node",
                 F.least(F.col("comp"), F.coalesce("j_comp", F.col("comp"))).alias("comp"),
                 "old_comp",
             )
-            .localCheckpoint()
-        )
+        # checkpoint_clean, NOT plain localCheckpoint: a checkpointed
+        # LogicalRDD keeps its origin plan's size ESTIMATE, and Catalyst
+        # multiplies join children's BigInt sizes — per-round checkpoints
+        # of a k-join pipeline compound the estimate geometrically until
+        # BigInteger math dominates planning (measured: round 10 at 180 s
+        # with all executors idle — see _util.checkpoint_clean).
+        new_labels = checkpoint_clean(cur)
         n_changed = new_labels.filter(F.col("comp") != F.col("old_comp")).count()
         labels = new_labels.select("node", "comp")
+        # free the superseded round's checkpoint blocks — 20+ rounds of
+        # orphaned label RDDs otherwise sit in the block manager until
+        # driver GC (same release path memo.clear_all uses)
+        release_checkpoint(prev_ckpt)
+        prev_ckpt = new_labels
         if n_changed == 0:
             break
     return labels
@@ -1315,18 +1349,32 @@ def _integer_pagerank(
             F.col("rank_1e6").cast("bigint").alias("rank_1e6"),
             F.col("degree").cast("bigint").alias("degree"),
         )
-    deg = bi.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    deg = bi.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d")).localCheckpoint()
+    # Same per-round strategy decision as connected_components: the
+    # contributions table is node-sized; broadcasting it keeps the edge
+    # list un-shuffled in every power iteration (see
+    # CC_LABELS_BROADCAST_MAX_ROWS).
+    _b = (
+        F.broadcast
+        if deg.count() <= CC_LABELS_BROADCAST_MAX_ROWS
+        else (lambda df: df)
+    )
     ranks = deg.select("node", F.lit(1_000_000).cast("bigint").alias("r"))
+    prev_ckpt = None
     for _ in range(iters):
         src = ranks.join(deg, "node").select(
             F.col("node").alias("src"), F.expr("r DIV d").alias("contrib")
         )
-        ranks = (
-            bi.join(src, bi.a == F.col("src"))
+        # stats-clean checkpoint per power iteration — same compounding-
+        # BigInt-estimate hazard as connected_components (checkpoint_clean)
+        ranks = checkpoint_clean(
+            bi.join(_b(src), bi.a == F.col("src"))
             .groupBy(F.col("b").alias("node"))
             .agg((F.lit(150000) + F.expr("(85 * SUM(contrib)) DIV 100")).alias("r"))
-            .localCheckpoint()
         )
+        if prev_ckpt is not None:
+            release_checkpoint(prev_ckpt)
+        prev_ckpt = ranks
     return ranks.join(deg, "node").select(
         "node", F.col("r").alias("rank_1e6"), F.col("d").alias("degree")
     )
