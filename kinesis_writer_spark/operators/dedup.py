@@ -747,42 +747,42 @@ def connected_components(
             F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
             F.col("comp").alias("old_comp"),
         )
-        # pointer jumping (comp <- prev_comp[comp]): labels chase their
-        # label's PREVIOUS-round label so chains collapse faster than one
-        # hop per round — banding can string dup clusters into long
-        # chains. Jumping through the prior round's table (the already-
-        # checkpointed `labels`) rather than `propagated` keeps ONE
-        # materialization per round: `propagated` is consumed exactly
-        # once, and the fixpoint is unchanged (the update stays a
-        # monotone min over labels reachable through prev pointers). A
-        # CHAIN of jumps per round (r8): each extra jump is another
-        # labels-sized join — broadcast-cheap next to the edge join above
-        # — and collapses chains by one more hop, so round count drops
-        # from ~diameter/2 to ~diameter/(1+jumps). Measured at the sf10
-        # fixture (44M edges, chainy v4 graph): 20 rounds -> 8, each
-        # avoided round a full edge-table scan.
-        jump = labels.select(F.col("node").alias("j_node"), F.col("comp").alias("j_comp"))
-        cur = propagated
+        # TRUE pointer doubling (r8): materialize the neighbor-exchange
+        # result (labels-sized, cheap next to the edge join it contains),
+        # then SQUARE the pointer table against ITSELF — each squaring
+        # doubles the chase distance, so chains of length L collapse in
+        # ~log2(L) squarings instead of L hops. Banding strings dup
+        # clusters into long chains: the sf10 fixture converged in 20
+        # rounds of single-hop jumping (each round re-scanning 44M edges)
+        # vs ~5 rounds with 3 squarings/round — every avoided round is a
+        # full edge-table scan, every squaring only a node-sized join.
+        # The fixpoint is unchanged: squaring is a monotone min over
+        # labels reachable through current pointers, the same closure
+        # the propagation converges to. Each materialization goes
+        # through checkpoint_clean, NOT plain localCheckpoint: a
+        # checkpointed LogicalRDD keeps its origin plan's size ESTIMATE,
+        # and Catalyst multiplies join children's BigInt sizes — per-
+        # round checkpoints of a k-join pipeline compound the estimate
+        # geometrically until BigInteger math dominates planning
+        # (measured: round 10 at 180 s with all executors idle — see
+        # _util.checkpoint_clean).
+        cur = checkpoint_clean(propagated)
+        release_checkpoint(prev_ckpt)
+        prev_ckpt = cur
         for _ in range(3):
-            cur = cur.join(_b(jump), cur.comp == jump.j_node, "left").select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("j_comp", F.col("comp"))).alias("comp"),
-                "old_comp",
+            t = cur.select(F.col("node").alias("j_node"), F.col("comp").alias("j_comp"))
+            cur = checkpoint_clean(
+                cur.join(_b(t), cur.comp == t.j_node, "left").select(
+                    "node",
+                    F.least(F.col("comp"), F.coalesce("j_comp", F.col("comp"))).alias("comp"),
+                    "old_comp",
+                )
             )
-        # checkpoint_clean, NOT plain localCheckpoint: a checkpointed
-        # LogicalRDD keeps its origin plan's size ESTIMATE, and Catalyst
-        # multiplies join children's BigInt sizes — per-round checkpoints
-        # of a k-join pipeline compound the estimate geometrically until
-        # BigInteger math dominates planning (measured: round 10 at 180 s
-        # with all executors idle — see _util.checkpoint_clean).
-        new_labels = checkpoint_clean(cur)
+            release_checkpoint(prev_ckpt)
+            prev_ckpt = cur
+        new_labels = cur
         n_changed = new_labels.filter(F.col("comp") != F.col("old_comp")).count()
         labels = new_labels.select("node", "comp")
-        # free the superseded round's checkpoint blocks — 20+ rounds of
-        # orphaned label RDDs otherwise sit in the block manager until
-        # driver GC (same release path memo.clear_all uses)
-        release_checkpoint(prev_ckpt)
-        prev_ckpt = new_labels
         if n_changed == 0:
             break
     return labels
