@@ -747,18 +747,23 @@ def connected_components(
             F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
             F.col("comp").alias("old_comp"),
         )
-        # TRUE pointer doubling (r8): materialize the neighbor-exchange
-        # result (labels-sized, cheap next to the edge join it contains),
-        # then SQUARE the pointer table against ITSELF — each squaring
-        # doubles the chase distance, so chains of length L collapse in
-        # ~log2(L) squarings instead of L hops. Banding strings dup
-        # clusters into long chains: the sf10 fixture converged in 20
-        # rounds of single-hop jumping (each round re-scanning 44M edges)
-        # vs ~5 rounds with 3 squarings/round — every avoided round is a
-        # full edge-table scan, every squaring only a node-sized join.
-        # The fixpoint is unchanged: squaring is a monotone min over
-        # labels reachable through current pointers, the same closure
-        # the propagation converges to. Each materialization goes
+        # Pointer squaring (r8): materialize the neighbor-exchange result
+        # (labels-sized, cheap next to the edge join it contains), then
+        # SQUARE the pointer table against ITSELF — each squaring doubles
+        # the chase depth through the current label forest, flattening it
+        # so the NEXT round's edge exchange propagates roots instead of
+        # stale intermediates. Measured at the 44M-edge sf10 fixture:
+        # 20 rounds/92 s with single prev-table jumping -> 18 rounds/70 s
+        # with 3 squarings — modest, because min-label CC flattens its
+        # own forest every round and per-round progress stays ~1 edge hop
+        # on adversarial chains; the known O(log n)-round upgrade for
+        # such graphs is small-star/large-star edge rewriting (Kiveris et
+        # al.), kept as the documented next step rather than implemented,
+        # since real dup clusters are dense (tiny diameter) and the fair
+        # fixture converges in <=20 rounds. The fixpoint is unchanged:
+        # squaring is a monotone min over labels reachable through
+        # current pointers, the same closure the propagation converges
+        # to. Each materialization goes
         # through checkpoint_clean, NOT plain localCheckpoint: a
         # checkpointed LogicalRDD keeps its origin plan's size ESTIMATE,
         # and Catalyst multiplies join children's BigInt sizes — per-
