@@ -243,34 +243,68 @@ def main() -> None:
         spark.catalog.clearCache()
         clear_memos()
 
+    # Per-measurement calibration shots (r9, VERDICT task #3): both r8
+    # decade artifacts carried caution:intra-run-drift — the host never
+    # granted a stable window, so the conclusion rested on cross-run
+    # ratio agreement. Pair every measured run with ONE probe shot taken
+    # immediately before it and normalize that run by ITS OWN shot:
+    # step ratios computed from normalized seconds are drift-immune by
+    # construction (a mid-run epoch change hits the shot and the query
+    # alike). Raw seconds stay in the artifact for continuity.
+    from kinesis_writer_spark.calibration import (
+        _probe_once,
+        _resolved_reference,
+    )
+
+    ref_calib = _resolved_reference()["calib_sec"]
+
     results: dict[str, dict] = {}
     for pass_i in range(2):  # decorrelated second pass
         for name in spot:
             for label, sf_dir in dirs:
                 clear_memos()
+                shot = _probe_once(spark)
                 t0 = time.time()
                 run(name, sf_dir)
                 dt = round(time.time() - t0, 3)
                 spark.catalog.clearCache()
                 entry = results.setdefault(
-                    name, {"runs": {lbl: [] for lbl, _ in dirs}}
+                    name,
+                    {
+                        "runs": {lbl: [] for lbl, _ in dirs},
+                        "runs_norm": {lbl: [] for lbl, _ in dirs},
+                        "calib_shots": {lbl: [] for lbl, _ in dirs},
+                    },
                 )
                 entry["runs"][label].append(dt)
+                entry["calib_shots"][label].append(shot)
+                entry["runs_norm"][label].append(round(dt * ref_calib / shot, 3))
 
     labels = [lbl for lbl, _ in dirs]
     for name, entry in results.items():
         for lbl in labels:
             entry[f"{lbl}_sec"] = min(entry["runs"][lbl])
+            entry[f"{lbl}_sec_norm"] = min(entry["runs_norm"][lbl])
         # per-step ratios between adjacent measured scales + the legacy
-        # first-decade ratio key
+        # first-decade ratio key; *_norm are the drift-immune figures
         entry["step_ratios"] = {
             f"{a}->{b}": round(entry[f"{b}_sec"] / entry[f"{a}_sec"], 2)
             for a, b in zip(labels, labels[1:])
             if entry[f"{a}_sec"] > 0
         }
+        entry["step_ratios_norm"] = {
+            f"{a}->{b}": round(entry[f"{b}_sec_norm"] / entry[f"{a}_sec_norm"], 2)
+            for a, b in zip(labels, labels[1:])
+            if entry[f"{a}_sec_norm"] > 0
+        }
         entry["ratio"] = (
             round(entry[f"{labels[-1]}_sec"] / entry[f"{labels[0]}_sec"], 2)
             if entry[f"{labels[0]}_sec"] > 0
+            else None
+        )
+        entry["ratio_norm"] = (
+            round(entry[f"{labels[-1]}_sec_norm"] / entry[f"{labels[0]}_sec_norm"], 2)
+            if entry[f"{labels[0]}_sec_norm"] > 0
             else None
         )
 
@@ -282,7 +316,11 @@ def main() -> None:
         "replicas": scales,
         "scale_labels": labels,
         "fixture_version": 4,  # content-keyed mutation + leak closure; NOT comparable w/ v1-v3
-        "timing_method": "memo-cold min of 2 decorrelated runs, JVM warmed",
+        "timing_method": (
+            "memo-cold min of 2 decorrelated runs, JVM warmed; *_norm figures "
+            "are per-run drift-normalized by a paired calib probe shot "
+            f"(ref {ref_calib}s)"
+        ),
         "queries": results,
         "max_ratio": max(e["ratio"] for e in results.values()),
         "calibration": calib,
@@ -297,7 +335,8 @@ def main() -> None:
     print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
     for name, e in results.items():
         chain = " -> ".join(f"{e[f'{lbl}_sec']}s" for lbl in labels)
-        print(f"{name}: {chain}  (total {e['ratio']}x; steps {e['step_ratios']})")
+        print(f"{name}: {chain}  (total {e['ratio']}x; steps {e['step_ratios']}; "
+              f"norm steps {e['step_ratios_norm']})")
 
 
 if __name__ == "__main__":

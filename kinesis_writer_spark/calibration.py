@@ -54,6 +54,36 @@ REFERENCE_EPOCH = {
     "source": "BENCH_r07.json",
 }
 
+
+def _resolved_reference() -> dict:
+    """The reference epoch, with env overrides for OTHER hosts.
+
+    The defaults above are measurements of THIS sandbox (r8 ADVICE #3):
+    on any other machine every artifact would permanently read
+    ``caution:calib-off-band``, conflating host identity with epoch
+    drift. A deployment re-baselines by exporting
+    ``SPARK_GRAFT_CALIB_REF_SEC`` / ``SPARK_GRAFT_OVERHEAD_REF_SEC``
+    from one calm-host bench run; the verdict also carries a host
+    fingerprint so off-band-on-a-different-host is readable as such.
+    """
+    ref = dict(REFERENCE_EPOCH)
+    cs = os.environ.get("SPARK_GRAFT_CALIB_REF_SEC")
+    oh = os.environ.get("SPARK_GRAFT_OVERHEAD_REF_SEC")
+    if cs:
+        ref["calib_sec"] = float(cs)
+        ref["source"] = "env:SPARK_GRAFT_CALIB_REF_SEC"
+    if oh:
+        ref["overhead_sec"] = float(oh)
+        if not cs:
+            ref["source"] = "env:SPARK_GRAFT_OVERHEAD_REF_SEC"
+    return ref
+
+
+def _host_fingerprint() -> str:
+    import platform
+
+    return f"{platform.node()}/cpu={os.cpu_count()}"
+
 #: Band half-widths for the verdict: probes within [ref/x, ref*x] read as
 #: the same epoch regime. Derived from measured drift: r6→r7 throughput
 #: drift was ~±30% and the observed slow-*scheduling* epoch carried ~1.7x
@@ -82,8 +112,9 @@ def adjudicate_epoch(calib: dict, calib_end: dict, cgate: dict | None = None) ->
     if cs is None or oh is None:
         return {"verdict": "unmeasured", "flags": ["calibration-missing"]}
 
-    calib_vs_ref = round(cs / REFERENCE_EPOCH["calib_sec"], 3)
-    oh_vs_ref = round(oh / REFERENCE_EPOCH["overhead_sec"], 3)
+    reference = _resolved_reference()
+    calib_vs_ref = round(cs / reference["calib_sec"], 3)
+    oh_vs_ref = round(oh / reference["overhead_sec"], 3)
     drift_pct = (
         round(100.0 * abs(ce - cs) / cs, 1) if ce is not None else None
     )
@@ -110,9 +141,10 @@ def adjudicate_epoch(calib: dict, calib_end: dict, cgate: dict | None = None) ->
         "overhead_vs_ref": oh_vs_ref,
         "intra_run_drift_pct": drift_pct,
         "overhead_end_vs_ref": (
-            round(oe / REFERENCE_EPOCH["overhead_sec"], 3) if oe is not None else None
+            round(oe / reference["overhead_sec"], 3) if oe is not None else None
         ),
-        "reference": dict(REFERENCE_EPOCH),
+        "reference": reference,
+        "host": _host_fingerprint(),
         "flags": flags,
     }
 

@@ -60,19 +60,35 @@ def clear_all() -> int:
                     pass
             # DataFrame.unpersist() only reaches CacheManager blocks; a
             # localCheckpointed DataFrame keeps its blocks in an internal
-            # RDD the CacheManager cannot see (its plan is a LogicalRDD).
-            # Reach that RDD through the analyzed plan and unpersist it
-            # directly; a JVM-side shape mismatch leaves the entry to
-            # driver GC as before, but is LOGGED once — a silent no-op
-            # here would quietly reintroduce the checkpoint-block leak
-            # after a PySpark upgrade (r7 ADVICE finding #2).
+            # RDD the CacheManager cannot see (its plan is a LogicalRDD),
+            # and a checkpoint_clean-produced frame keeps them one step
+            # further away, on its hidden ``_stats_clean_origin``
+            # checkpoint (the re-bound LogicalRDD's rdd() is a scan
+            # wrapper whose unpersist is a no-op — r8 ADVICE finding #1).
+            # operators._util.release_checkpoint handles both shapes.
+            # An entry that is NEITHER (plain lineage plan, no origin
+            # attr) holds blocks this release cannot see — warn once, so
+            # cache-owning modules learn to checkpoint what they memoize.
             jdf = getattr(v, "_jdf", None)
             if jdf is None:
                 continue  # non-DataFrame memo value (weights dict, tuple)
+            from .operators._util import release_checkpoint
+
+            release_checkpoint(v)
             try:
-                plan = jdf.queryExecution().analyzed()
-                if plan.getClass().getSimpleName() == "LogicalRDD":
-                    plan.rdd().unpersist(False)
+                target = getattr(v, "_stats_clean_origin", v)
+                plan_name = (
+                    target._jdf.queryExecution().analyzed().getClass().getSimpleName()
+                )
+                if plan_name != "LogicalRDD" and not _jvm_release_warned:
+                    _jvm_release_warned = True
+                    _log.warning(
+                        "memo entry %s is not a (checkpoint_clean-ed) "
+                        "localCheckpoint (plan=%s); its blocks are left "
+                        "to driver GC — cache a checkpointed frame",
+                        type(v).__name__,
+                        plan_name,
+                    )
             except Exception:
                 if not _jvm_release_warned:
                     _jvm_release_warned = True

@@ -67,19 +67,72 @@ def checkpoint_clean(df: DataFrame) -> DataFrame:
 _ckpt_clean_warned = False
 
 
+def checkpoint_partitioned(df: DataFrame, *cols: str, sort: bool = True) -> DataFrame:
+    """``localCheckpoint`` that PRESERVES a hash partitioning (and
+    optionally the intra-partition sort order) on ``cols`` — the one-time
+    exchange that makes every round of an iterative join loop
+    exchange-free on the big side.
+
+    ``Dataset.localCheckpoint`` records the *executed* plan's output
+    partitioning in the resulting ``LogicalRDD`` — but under AQE the
+    executed plan is an ``AdaptiveSparkPlanExec`` that reports
+    ``UnknownPartitioning`` before its final plan materializes, so the
+    checkpoint loses the layout (measured on this Spark: partitioning
+    ``UnknownPartitioning(0)``, and every round re-exchanges AND re-sorts
+    the full edge list). Disabling AQE for just this statement makes the
+    checkpoint record ``hashpartitioning(cols, N)`` + the sort order, and
+    subsequent joins on ``cols`` leave this side exchange-free (verified
+    by plan inspection in tests/test_checkpoint_stats.py).
+
+    Use OUTSIDE iterative loops only: like plain ``localCheckpoint`` the
+    frame keeps its origin-plan size statistics (see
+    :func:`checkpoint_clean` for why per-round checkpoints must not).
+    """
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    laid_out = df.repartition(nparts, *[F.col(c) for c in cols])
+    if sort:
+        laid_out = laid_out.sortWithinPartitions(*cols)
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return laid_out.localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+_release_ckpt_warned = False
+
+
 def release_checkpoint(df: DataFrame) -> None:
     """Best-effort release of a superseded round's localCheckpoint blocks
     (iterative loops otherwise accumulate one orphaned label RDD per round
     in the block manager until driver GC). Accepts frames produced by
     :func:`checkpoint_clean` (releases the underlying checkpoint) or plain
-    checkpointed frames."""
+    checkpointed frames; non-checkpointed frames are a tolerated no-op.
+
+    A *failure* of the private-API plan access is logged once (same policy
+    as :func:`checkpoint_clean`'s fallback): a silent ``pass`` here would
+    quietly reintroduce the per-round orphaned-label-RDD accumulation in
+    the CC/PageRank loops after a PySpark plan-shape change (r8 ADVICE
+    finding #2)."""
     target = getattr(df, "_stats_clean_origin", df)
     try:
         plan = target._jdf.queryExecution().analyzed()
         if plan.getClass().getSimpleName() == "LogicalRDD":
             plan.rdd().unpersist(False)
     except Exception:
-        pass
+        global _release_ckpt_warned
+        if not _release_ckpt_warned:
+            _release_ckpt_warned = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "checkpoint block release via private plan access failed; "
+                "iterative loops will leave superseded round RDDs to "
+                "driver GC (PySpark plan-shape change?)",
+                exc_info=True,
+            )
 
 
 def distributed_row_number(

@@ -24,7 +24,12 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import duckdb_md5_60bit, md5_60bit
 from ..registry import register
-from ._util import checkpoint_clean, release_checkpoint, tables
+from ._util import (
+    checkpoint_clean,
+    checkpoint_partitioned,
+    release_checkpoint,
+    tables,
+)
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -625,6 +630,126 @@ def _union_find_components(rows) -> dict:
     return {n: comp_min[r] for n, r in roots.items()}
 
 
+def _components_star(e0: DataFrame, nodes: DataFrame, max_iters: int) -> DataFrame:
+    """Alternating small-star / large-star connected components (Kiveris,
+    Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+    MapReduce and Beyond", SoCC'14): instead of propagating labels one hop
+    per round (O(diameter) rounds — 18 at the 44M-edge sf10 fixture, whose
+    mutated dup chains are exactly the long-chain regime), REWRITE THE EDGE
+    LIST so each round halves chain heights — O(log² n) rounds in theory,
+    a handful in practice, converging to one star per component centered at
+    the component's minimum node id (the same fixpoint as min-label
+    propagation; equality-pinned in tests/test_graph_properties.py).
+
+    ``e0``: canonical directed edges (u, v) with u > v, no self-loops
+    (duplicates tolerated — the first large-star output is distinct).
+    ``nodes``: one row (node) per node of the ORIGINAL graph, including
+    self-loop singletons that the canonical edge list drops.
+
+    Per round, with m(n) := min(Γ(n) ∪ {n}) — which over canonical edges
+    is simply least(n, min v over edges (n, v)), since larger neighbors
+    can never be the min:
+
+    * **large-star** connects every node's LARGER neighbors to m:
+      each canonical edge (u, v) is the directed pair small→big (v→u), so
+      the whole operation is one groupBy(u).min(v) + one join:
+      (u, v) → (u, m(v)). Output stays canonical (m(v) ≤ v < u).
+    * **small-star** connects every node's smaller neighbors — and the
+      node itself — to m: (u, v) → (v, m(u)) plus (u, m(u)), dropping the
+      (m, m) self-loop.
+
+    Both steps preserve connectivity and never merge components; the edge
+    set is a fixpoint of both iff it is a disjoint union of min-centered
+    stars, at which point labels read directly off the edges. Convergence
+    is detected by an order-insensitive edge-set signature (count +
+    xxhash64 sum) staying unchanged through BOTH steps of a round.
+
+    Every intermediate goes through ``checkpoint_clean`` (iterative joins
+    must truncate lineage AND reset size stats — see _util) and each
+    superseded round's blocks are released. The min tables are node-sized
+    (duplicate-density, not corpus-sized) and broadcast under
+    :data:`CC_LABELS_BROADCAST_MAX_ROWS` — above the gate the same rounds
+    run with shuffle joins, still O(log n) of them. Returns a
+    ``checkpoint_clean``-ed (node, comp) frame — all loop blocks are
+    released before returning, and the result's own blocks are reachable
+    for release via ``_stats_clean_origin`` (memo.clear_all).
+    """
+    cur = checkpoint_clean(e0)
+    nodes_ckpt = checkpoint_clean(nodes)
+    n_nodes = nodes_ckpt.count()
+    _b = (
+        F.broadcast
+        if n_nodes <= CC_LABELS_BROADCAST_MAX_ROWS
+        else (lambda df: df)
+    )
+
+    def _sig(e: DataFrame):
+        # Sum as decimal(38,0): a long sum of xxhash64 values overflows
+        # (and under ANSI mode raises) after ~2 same-signed terms.
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
+    live = [cur]  # checkpoints the NEXT materialization supersedes
+
+    def _advance(new_cur: DataFrame) -> DataFrame:
+        out = checkpoint_clean(new_cur)
+        for f in live:
+            release_checkpoint(f)
+        live.clear()
+        live.append(out)
+        return out
+
+    sig = _sig(cur)
+    rounds = 0
+    for _ in range(max_iters):
+        rounds += 1
+        # large-star: (u, v) -> (u, m(v))
+        mn = cur.groupBy(F.col("u").alias("n")).agg(F.min("v").alias("m"))
+        cur = _advance(
+            cur.join(_b(mn), cur["v"] == mn["n"], "left")
+            .select(cur["u"], F.coalesce(mn["m"], cur["v"]).alias("v"))
+            .distinct()
+        )
+        sig_large = _sig(cur)
+        # small-star: (u, v) -> (v, m(u)) ∪ (u, m(u)), minus (m, m).
+        # The min table is consumed twice (join + union), so materialize
+        # it once instead of running the agg twice.
+        mn2 = checkpoint_clean(
+            cur.groupBy(F.col("u").alias("n")).agg(F.min("v").alias("m"))
+        )
+        small = (
+            cur.join(_b(mn2), cur["u"] == mn2["n"])
+            .select(cur["v"].alias("u"), mn2["m"].alias("v"))
+            .unionByName(mn2.select(F.col("n").alias("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        live.append(mn2)
+        cur = _advance(small)
+        sig_small = _sig(cur)
+        if sig == sig_large == sig_small:
+            break
+        sig = sig_small
+    _components_star.last_rounds = rounds  # observability for scale tests
+    star_labels = (
+        cur.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+        .groupBy("node")
+        .agg(F.min("comp").alias("comp"))
+    )
+    out = checkpoint_clean(
+        nodes_ckpt.join(_b(star_labels), "node", "left").select(
+            "node", F.coalesce("comp", F.col("node")).alias("comp")
+        )
+    )
+    for f in live:
+        release_checkpoint(f)
+    release_checkpoint(nodes_ckpt)
+    return out
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -632,6 +757,7 @@ def connected_components(
     max_iters: int = 25,
     driver_max_edges: int | None = None,
     edges_distinct: bool = False,
+    algorithm: str = "star",
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: every node's
     label converges to the smallest node id reachable from it.
@@ -717,6 +843,26 @@ def connected_components(
                 F.col("comp").cast(node_type).alias("comp"),
             )
         )
+    if algorithm == "star":
+        # Canonical (u, v), u > v edge list + original node set (self-loop
+        # singletons drop out of the canonical edges but must keep labels).
+        if edges_distinct:
+            e0 = edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+            nodes = (
+                e0.select(F.col("u").alias("node"))
+                .unionByName(e0.select(F.col("v").alias("node")))
+                .distinct()
+            )
+            return _components_star(e0, nodes, max_iters)
+        e0 = bi.filter(F.col("a") > F.col("b")).select(
+            F.col("a").alias("u"), F.col("b").alias("v")
+        )
+        nodes = bi.select(F.col("a").alias("node")).distinct()
+        out = _components_star(e0, nodes, max_iters)
+        release_checkpoint(bi)
+        return out
+    if algorithm != "minlabel":
+        raise ValueError(f"unknown connected-components algorithm: {algorithm!r}")
     if bi is None:  # distributed path entered via the edges_distinct gate
         bi = (
             edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -735,6 +881,17 @@ def connected_components(
     # re-sorted per round — the measured super-linear term at sf10).
     bcast_labels = labels.count() <= CC_LABELS_BROADCAST_MAX_ROWS
     _b = F.broadcast if bcast_labels else (lambda df: df)
+    if not bcast_labels:
+        # Above the broadcast gate every round would otherwise re-exchange
+        # AND re-sort the full edge list for its sort-merge join (labels
+        # are checkpoint_clean'd per round, so they never carry a layout).
+        # Pay the edge exchange ONCE: hash-partition + sort bi on the join
+        # key and checkpoint it preserving that layout — each round's SMJ
+        # then only exchanges the node-sized labels side (plan pinned in
+        # tests/test_checkpoint_stats.py::test_partitioned_checkpoint_*).
+        old_bi = bi
+        bi = checkpoint_partitioned(bi, "b")
+        release_checkpoint(old_bi)
     prev_ckpt = labels  # the checkpointed frame whose blocks round N retires
     for _ in range(max_iters):
         nbr_min = (
@@ -790,15 +947,24 @@ def connected_components(
         labels = new_labels.select("node", "comp")
         if n_changed == 0:
             break
-    return labels
+    # Materialize the final (node, comp) frame and release every loop
+    # checkpoint (incl. the partitioned edge list): the returned frame's
+    # blocks stay reachable for release via _stats_clean_origin.
+    out = checkpoint_clean(labels)
+    release_checkpoint(prev_ckpt)
+    release_checkpoint(bi)
+    return out
 
 
 #: SimHash near-dup pairs / components memoized per (application, dataset):
 #: q96/q144/q148 all consume the q54 pair table and q96/q144 the same
 #: components — a real pipeline computes the duplicate graph ONCE and feeds
-#: every downstream decision from it. Entries are localCheckpointed (tiny:
-#: duplicate-density-sized), so repeated queries skip the signature pass and
-#: the label-propagation rounds entirely.
+#: every downstream decision from it. Entries are (stats-clean)
+#: localCheckpointed (tiny: duplicate-density-sized), so repeated queries
+#: skip the signature pass and the label-propagation rounds entirely, and
+#: every entry's blocks are releasable by memo.clear_all: the pairs cache
+#: holds a plain LogicalRDD, the comps cache a checkpoint_clean frame whose
+#: blocks are reachable via _stats_clean_origin (r8 ADVICE #1/#4).
 from ..memo import register as _register_memo
 
 _NEARDUP_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = _register_memo({})
@@ -817,12 +983,21 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _NEARDUP_COMPS_CACHE:
-        _NEARDUP_COMPS_CACHE[key] = connected_components(
+        comps = connected_components(
             _neardup_pairs(spark, sf_dir),
             src="doc_a",
             dst="doc_b",
             edges_distinct=True,  # q54 output: distinct pairs, doc_a < doc_b
         )
+        # Cache a checkpoint_clean frame (not the raw result): the driver
+        # fast path returns an in-plan local relation whose consumers
+        # would re-ship it per query, and memo.clear_all can only release
+        # entries whose blocks are reachable (LogicalRDD or
+        # _stats_clean_origin — r8 ADVICE #1/#4). The distributed paths
+        # already return such a frame; re-binding is a node-sized copy.
+        entry = checkpoint_clean(comps)
+        release_checkpoint(comps)  # distributed result superseded; no-op for driver path
+        _NEARDUP_COMPS_CACHE[key] = entry
     return _NEARDUP_COMPS_CACHE[key]
 
 

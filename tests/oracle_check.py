@@ -112,6 +112,25 @@ def main() -> int:
     oracles = registry.all_oracles()
     only = set(args.only.split(",")) if args.only else None
 
+    # Warm the session BEFORE the timed loop (r8 adjudicated the sweep's
+    # first row as "accumulated session state"; re-measured r9: q01's
+    # 10.8 s was simply COLD START — first parquet footer reads, codegen
+    # JIT, executor-thread spin-up — and a 260-query pass showed q01
+    # getting FASTER over the sweep, 0.32 s -> 0.17 s, heap flat at
+    # ~0.5 GB, 0 persistent RDDs). One footer-touch per table plus one
+    # small shuffle job make every row measure the QUERY, not the JVM.
+    from pyspark.sql import functions as F
+
+    from kinesis_writer_spark.io import TABLES as _TABLES
+
+    for _t in _TABLES:
+        spark.read.parquet(f"{args.sf}/{_t}.parquet").limit(1).collect()
+    # JIT the scan->aggregate->shuffle->Arrow-collect path end to end once
+    spark.read.parquet(f"{args.sf}/lineitem.parquet").groupBy(
+        "l_returnflag"
+    ).count().toPandas()
+    spark.range(100_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
+
     n_pass = n_fail = n_rows_only = 0
     for name in sorted(queries):
         if only and name not in only:
@@ -123,6 +142,7 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {exc}")
             n_fail += 1
             continue
+        t_spark = time.time() - t0
         if name not in oracles:
             if args.strict:
                 hz = driver_hazards(name, sdf, None)
@@ -130,7 +150,7 @@ def main() -> int:
                     print(f"FAIL  {name}: driver hazards: {hz}")
                     n_fail += 1
                     continue
-            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(f"ROWS  {name}: {len(sdf)} rows (no oracle) [spark {t_spark:.1f}s]")
             n_rows_only += 1
             continue
         # Fast-oracle accelerators: same result via multi-statement DuckDB
@@ -173,7 +193,14 @@ def main() -> int:
                 n_fail += 1
             else:
                 tag = " (fast-oracle)" if fast is not None else ""
-                print(f"PASS  {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]{tag}")
+                # spark vs oracle split (r9): the old single figure blamed
+                # DuckDB's recursive-CTE oracles on the Spark query (q252's
+                # 37.6 s row was mostly oracle time).
+                t_oracle = time.time() - t0 - t_spark
+                print(
+                    f"PASS  {name}: {len(s_rows)} rows "
+                    f"[spark {t_spark:.1f}s | oracle+cmp {t_oracle:.1f}s]{tag}"
+                )
                 n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     return 1 if n_fail else 0

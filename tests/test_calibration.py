@@ -172,3 +172,37 @@ class TestAdjudicateEpoch:
             self._c(9.9, 0.9), self._c(1.0, 0.01), {"calib_gate_expired": True}
         )
         assert len(out["verdict"]) < 120  # fits the 2000-char driver tail
+
+
+class TestReferenceEpochOverride:
+    """r8 ADVICE #3: REFERENCE_EPOCH bakes this sandbox's timings; on any
+    other host every artifact would read calib-off-band forever. The env
+    override re-baselines, and the host fingerprint makes the two cases
+    distinguishable in the artifact itself."""
+
+    def test_env_override_rebaselines(self, monkeypatch):
+        from kinesis_writer_spark import calibration
+
+        monkeypatch.setenv("SPARK_GRAFT_CALIB_REF_SEC", "4.0")
+        monkeypatch.setenv("SPARK_GRAFT_OVERHEAD_REF_SEC", "0.2")
+        out = calibration.adjudicate_epoch(
+            {"calib_seconds": 4.0, "overhead_seconds": 0.2},
+            {"calib_seconds": 4.1, "overhead_seconds": 0.21},
+        )
+        assert out["calib_vs_ref"] == 1.0
+        assert out["overhead_vs_ref"] == 1.0
+        assert out["reference"]["calib_sec"] == 4.0
+        assert out["reference"]["source"] == "env:SPARK_GRAFT_CALIB_REF_SEC"
+        assert not out["flags"]
+
+    def test_default_reference_and_host_recorded(self, monkeypatch):
+        from kinesis_writer_spark import calibration
+
+        monkeypatch.delenv("SPARK_GRAFT_CALIB_REF_SEC", raising=False)
+        monkeypatch.delenv("SPARK_GRAFT_OVERHEAD_REF_SEC", raising=False)
+        out = calibration.adjudicate_epoch(
+            {"calib_seconds": 2.3, "overhead_seconds": 0.11},
+            {"calib_seconds": 2.3, "overhead_seconds": 0.11},
+        )
+        assert out["reference"]["source"] == "BENCH_r07.json"
+        assert "cpu=" in out["host"]
