@@ -913,11 +913,12 @@ def connected_components(
         # 20 rounds/92 s with single prev-table jumping -> 18 rounds/70 s
         # with 3 squarings — modest, because min-label CC flattens its
         # own forest every round and per-round progress stays ~1 edge hop
-        # on adversarial chains; the known O(log n)-round upgrade for
-        # such graphs is small-star/large-star edge rewriting (Kiveris et
-        # al.), kept as the documented next step rather than implemented,
-        # since real dup clusters are dense (tiny diameter) and the fair
-        # fixture converges in <=20 rounds. The fixpoint is unchanged:
+        # on adversarial chains; the O(log n)-round upgrade for such
+        # graphs is small-star/large-star edge rewriting, implemented in
+        # r9 as _components_star and now the DEFAULT (6 rounds/30.7 s at
+        # the same fixture — artifacts/cc_sf10_star_probe.txt). This
+        # minlabel path stays selectable: it is the simpler fixpoint the
+        # star path is equality-pinned against. The fixpoint is unchanged:
         # squaring is a monotone min over labels reachable through
         # current pointers, the same closure the propagation converges
         # to. Each materialization goes
