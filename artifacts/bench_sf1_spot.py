@@ -246,11 +246,16 @@ def main() -> None:
     # Per-measurement calibration shots (r9, VERDICT task #3): both r8
     # decade artifacts carried caution:intra-run-drift — the host never
     # granted a stable window, so the conclusion rested on cross-run
-    # ratio agreement. Pair every measured run with ONE probe shot taken
-    # immediately before it and normalize that run by ITS OWN shot:
-    # step ratios computed from normalized seconds are drift-immune by
-    # construction (a mid-run epoch change hits the shot and the query
-    # alike). Raw seconds stay in the artifact for continuity.
+    # ratio agreement. Every measured run gets ONE probe shot taken
+    # immediately before it; normalized seconds divide by the MIN shot
+    # observed for that (query, scale) across passes, not the run's own
+    # shot: a shot is only ever corrupted UPWARD (transient contention,
+    # post-clear GC), and pairing 1:1 with a spiked shot would divide a
+    # clean run by a wrong factor (measured in the first r9 run: a
+    # 24.4 s pass-1 shot next to a 2.3 s pass-2 shot). Min-of-shots
+    # keeps epoch-scale drift normalization — a genuinely slow window
+    # elevates ALL its shots — while rejecting seconds-scale spikes.
+    # Raw seconds stay in the artifact for continuity.
     from kinesis_writer_spark.calibration import (
         _probe_once,
         _resolved_reference,
@@ -278,11 +283,14 @@ def main() -> None:
                 )
                 entry["runs"][label].append(dt)
                 entry["calib_shots"][label].append(shot)
-                entry["runs_norm"][label].append(round(dt * ref_calib / shot, 3))
 
     labels = [lbl for lbl, _ in dirs]
     for name, entry in results.items():
         for lbl in labels:
+            div = min(entry["calib_shots"][lbl])
+            entry["runs_norm"][lbl] = [
+                round(r * ref_calib / div, 3) for r in entry["runs"][lbl]
+            ]
             entry[f"{lbl}_sec"] = min(entry["runs"][lbl])
             entry[f"{lbl}_sec_norm"] = min(entry["runs_norm"][lbl])
         # per-step ratios between adjacent measured scales + the legacy
