@@ -702,10 +702,14 @@ def _components_star(e0: DataFrame, nodes: DataFrame, max_iters: int) -> DataFra
         live.append(out)
         return out
 
+    import time as _time
+
     sig = _sig(cur)
     rounds = 0
+    round_times: list[float] = []
     for _ in range(max_iters):
         rounds += 1
+        _t0 = _time.monotonic()
         # large-star: (u, v) -> (u, m(v))
         mn = cur.groupBy(F.col("u").alias("n")).agg(F.min("v").alias("m"))
         cur = _advance(
@@ -730,10 +734,14 @@ def _components_star(e0: DataFrame, nodes: DataFrame, max_iters: int) -> DataFra
         live.append(mn2)
         cur = _advance(small)
         sig_small = _sig(cur)
+        round_times.append(round(_time.monotonic() - _t0, 3))
         if sig == sig_large == sig_small:
             break
         sig = sig_small
-    _components_star.last_rounds = rounds  # observability for scale tests
+    # observability for scale tests/probes (per-round flatness is the
+    # acceptance signal that no per-round state compounds)
+    _components_star.last_rounds = rounds
+    _components_star.last_round_times = round_times
     star_labels = (
         cur.select(F.col("u").alias("node"), F.col("v").alias("comp"))
         .groupBy("node")
@@ -892,8 +900,12 @@ def connected_components(
         old_bi = bi
         bi = checkpoint_partitioned(bi, "b")
         release_checkpoint(old_bi)
+    import time as _time
+
     prev_ckpt = labels  # the checkpointed frame whose blocks round N retires
+    _round_times: list[float] = []
     for _ in range(max_iters):
+        _t0 = _time.monotonic()
         nbr_min = (
             bi.join(_b(labels), bi.b == labels.node)
             .groupBy(F.col("a").alias("node2"))
@@ -946,8 +958,10 @@ def connected_components(
         new_labels = cur
         n_changed = new_labels.filter(F.col("comp") != F.col("old_comp")).count()
         labels = new_labels.select("node", "comp")
+        _round_times.append(round(_time.monotonic() - _t0, 3))
         if n_changed == 0:
             break
+    connected_components.last_round_times = _round_times
     # Materialize the final (node, comp) frame and release every loop
     # checkpoint (incl. the partitioned edge list): the returned frame's
     # blocks stay reachable for release via _stats_clean_origin.
