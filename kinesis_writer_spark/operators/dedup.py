@@ -1549,11 +1549,21 @@ def _integer_pagerank(
     # contributions table is node-sized; broadcasting it keeps the edge
     # list un-shuffled in every power iteration (see
     # CC_LABELS_BROADCAST_MAX_ROWS).
-    _b = (
-        F.broadcast
-        if deg.count() <= CC_LABELS_BROADCAST_MAX_ROWS
-        else (lambda df: df)
-    )
+    bcast = deg.count() <= CC_LABELS_BROADCAST_MAX_ROWS
+    _b = F.broadcast if bcast else (lambda df: df)
+    released_bi = False
+    if not bcast:
+        # Above the gate each power iteration's SMJ would re-exchange and
+        # re-sort the full edge list (contribs are checkpoint_clean'd per
+        # iteration, so they never carry a layout). Pay the edge exchange
+        # once — same fix as connected_components (r9):
+        # checkpoint_partitioned preserves hashpartitioning + sort order
+        # through the LogicalRDD, so only the node-sized contributions
+        # side shuffles per iteration. The caller's bi blocks are NOT
+        # released (callers own/reuse their edge list); only our layout
+        # copy is, on return.
+        bi = checkpoint_partitioned(bi, "a")
+        released_bi = True
     ranks = deg.select("node", F.lit(1_000_000).cast("bigint").alias("r"))
     prev_ckpt = None
     for _ in range(iters):
@@ -1570,9 +1580,15 @@ def _integer_pagerank(
         if prev_ckpt is not None:
             release_checkpoint(prev_ckpt)
         prev_ckpt = ranks
-    return ranks.join(deg, "node").select(
+    out = ranks.join(deg, "node").select(
         "node", F.col("r").alias("rank_1e6"), F.col("d").alias("degree")
     )
+    if released_bi:
+        # materialize before dropping the layout copy's blocks
+        out = checkpoint_clean(out)
+        release_checkpoint(prev_ckpt)
+        release_checkpoint(bi)
+    return out
 
 
 @register(

@@ -198,3 +198,33 @@ def test_bpe_merge_loop_stats_stay_clamped(spark):
     assert all(b < 64 for b in bits), bits
     diffs = [b2 - b1 for b1, b2 in zip(bits, bits[1:])]
     assert all(d <= 8 for d in diffs), bits
+
+
+def test_above_gate_pagerank_still_bit_identical(spark, monkeypatch):
+    """r9: PageRank's above-gate power iterations got the same one-time
+    partitioned-checkpoint edge layout as CC; ranks must stay bit-identical
+    to the numpy fast path with the broadcast gate forced off."""
+    import random
+
+    from kinesis_writer_spark.operators import dedup
+
+    rng = random.Random(5)
+    pairs = sorted({(rng.randrange(50), rng.randrange(50)) for _ in range(90)})
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+    bi = (
+        df.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(df.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    fast = {
+        r["node"]: (r["rank_1e6"], r["degree"])
+        for r in dedup._integer_pagerank(bi).collect()
+    }
+    monkeypatch.setattr(dedup, "CC_LABELS_BROADCAST_MAX_ROWS", 0)
+    dist = {
+        r["node"]: (r["rank_1e6"], r["degree"])
+        for r in dedup._integer_pagerank(bi, driver_max_edges=0).collect()
+    }
+    assert dist == fast
