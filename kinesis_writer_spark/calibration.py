@@ -67,15 +67,38 @@ def _resolved_reference() -> dict:
     fingerprint so off-band-on-a-different-host is readable as such.
     """
     ref = dict(REFERENCE_EPOCH)
-    cs = os.environ.get("SPARK_GRAFT_CALIB_REF_SEC")
-    oh = os.environ.get("SPARK_GRAFT_OVERHEAD_REF_SEC")
-    if cs:
-        ref["calib_sec"] = float(cs)
-        ref["source"] = "env:SPARK_GRAFT_CALIB_REF_SEC"
-    if oh:
-        ref["overhead_sec"] = float(oh)
-        if not cs:
-            ref["source"] = "env:SPARK_GRAFT_OVERHEAD_REF_SEC"
+
+    def _pos_float(var: str) -> float | None:
+        """A malformed or non-positive override must NOT crash
+        adjudicate_epoch (it runs at artifact-write time, after the whole
+        bench) — fall back to the baked-in value and mark the source."""
+        raw = os.environ.get(var)
+        if raw is None or raw == "":
+            return None
+        try:
+            val = float(raw)
+        except ValueError:
+            val = -1.0
+        if val <= 0:
+            ref["source"] = f"{ref['source']}+invalid:{var}"
+            return None
+        return val
+
+    cs = _pos_float("SPARK_GRAFT_CALIB_REF_SEC")
+    oh = _pos_float("SPARK_GRAFT_OVERHEAD_REF_SEC")
+    if cs is not None:
+        ref["calib_sec"] = cs
+    if oh is not None:
+        ref["overhead_sec"] = oh
+    if cs is not None or oh is not None:
+        # record exactly which halves are re-baselined: a partial override
+        # (one var set, the other baked-in from this sandbox) silently
+        # mixes two hosts' baselines — make that readable in the artifact
+        parts = [
+            "env" if cs is not None else "baked",
+            "env" if oh is not None else "baked",
+        ]
+        ref["source"] = f"calib={parts[0]},overhead={parts[1]};{ref['source']}"
     return ref
 
 

@@ -74,29 +74,16 @@ def clear_all() -> int:
                 continue  # non-DataFrame memo value (weights dict, tuple)
             from .operators._util import release_checkpoint
 
-            release_checkpoint(v)
-            try:
-                target = getattr(v, "_stats_clean_origin", v)
-                plan_name = (
-                    target._jdf.queryExecution().analyzed().getClass().getSimpleName()
+            # release_checkpoint reports the outcome (and logs its own
+            # private-API failures once) — no second JVM probe here
+            status = release_checkpoint(v)
+            if status.startswith("skipped") and not _jvm_release_warned:
+                _jvm_release_warned = True
+                _log.warning(
+                    "memo entry is not a (checkpoint_clean-ed) "
+                    "localCheckpoint (%s); its blocks are left to "
+                    "driver GC — cache a checkpointed frame",
+                    status,
                 )
-                if plan_name != "LogicalRDD" and not _jvm_release_warned:
-                    _jvm_release_warned = True
-                    _log.warning(
-                        "memo entry %s is not a (checkpoint_clean-ed) "
-                        "localCheckpoint (plan=%s); its blocks are left "
-                        "to driver GC — cache a checkpointed frame",
-                        type(v).__name__,
-                        plan_name,
-                    )
-            except Exception:
-                if not _jvm_release_warned:
-                    _jvm_release_warned = True
-                    _log.warning(
-                        "localCheckpoint block release via private plan "
-                        "access failed; memo entries left to driver GC "
-                        "(PySpark plan-shape change?)",
-                        exc_info=True,
-                    )
         c.clear()
     return n

@@ -87,6 +87,13 @@ def checkpoint_partitioned(df: DataFrame, *cols: str, sort: bool = True) -> Data
     Use OUTSIDE iterative loops only: like plain ``localCheckpoint`` the
     frame keeps its origin-plan size statistics (see
     :func:`checkpoint_clean` for why per-round checkpoints must not).
+
+    NOT thread-safe: the AQE toggle mutates session-scoped conf for the
+    duration of the checkpoint statement, so a concurrent planner thread
+    in the same session could plan without AQE (or re-enable it
+    mid-checkpoint). This engine drives Spark from a single driver
+    thread; a multi-threaded driver should serialize calls or clone the
+    session (``spark.newSession()``) for the checkpoint.
     """
     spark = df.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -104,12 +111,17 @@ def checkpoint_partitioned(df: DataFrame, *cols: str, sort: bool = True) -> Data
 _release_ckpt_warned = False
 
 
-def release_checkpoint(df: DataFrame) -> None:
+def release_checkpoint(df: DataFrame) -> str:
     """Best-effort release of a superseded round's localCheckpoint blocks
     (iterative loops otherwise accumulate one orphaned label RDD per round
     in the block manager until driver GC). Accepts frames produced by
     :func:`checkpoint_clean` (releases the underlying checkpoint) or plain
     checkpointed frames; non-checkpointed frames are a tolerated no-op.
+
+    Returns a status so callers (memo.clear_all) can act on the outcome
+    without re-doing the private-API probe: ``"released"``,
+    ``"skipped:<PlanClass>"`` (not a checkpointed frame — nothing to
+    release), or ``"error"``.
 
     A *failure* of the private-API plan access is logged once (same policy
     as :func:`checkpoint_clean`'s fallback): a silent ``pass`` here would
@@ -119,8 +131,11 @@ def release_checkpoint(df: DataFrame) -> None:
     target = getattr(df, "_stats_clean_origin", df)
     try:
         plan = target._jdf.queryExecution().analyzed()
-        if plan.getClass().getSimpleName() == "LogicalRDD":
+        plan_name = plan.getClass().getSimpleName()
+        if plan_name == "LogicalRDD":
             plan.rdd().unpersist(False)
+            return "released"
+        return f"skipped:{plan_name}"
     except Exception:
         global _release_ckpt_warned
         if not _release_ckpt_warned:
@@ -133,6 +148,7 @@ def release_checkpoint(df: DataFrame) -> None:
                 "driver GC (PySpark plan-shape change?)",
                 exc_info=True,
             )
+        return "error"
 
 
 def distributed_row_number(

@@ -706,6 +706,7 @@ def _components_star(e0: DataFrame, nodes: DataFrame, max_iters: int) -> DataFra
 
     sig = _sig(cur)
     rounds = 0
+    converged = False
     round_times: list[float] = []
     for _ in range(max_iters):
         rounds += 1
@@ -736,11 +737,25 @@ def _components_star(e0: DataFrame, nodes: DataFrame, max_iters: int) -> DataFra
         sig_small = _sig(cur)
         round_times.append(round(_time.monotonic() - _t0, 3))
         if sig == sig_large == sig_small:
+            converged = True
             break
         sig = sig_small
+    if not converged:
+        # Reading labels off a non-fixpoint edge set yields WRONG
+        # components (over-split) — never fail silently (r9 review).
+        # Star needs O(log² n) rounds, so hitting the default 25 means a
+        # pathological input, not a tuning matter.
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "star connected-components did NOT converge in %d rounds; "
+            "returned labels may over-split components — raise max_iters",
+            rounds,
+        )
     # observability for scale tests/probes (per-round flatness is the
     # acceptance signal that no per-round state compounds)
     _components_star.last_rounds = rounds
+    _components_star.last_converged = converged
     _components_star.last_round_times = round_times
     star_labels = (
         cur.select(F.col("u").alias("node"), F.col("v").alias("comp"))
@@ -827,6 +842,11 @@ def connected_components(
             if edges_distinct
             else bi.filter(F.col("a") <= F.col("b")).toPandas()
         )
+        if bi is not None:
+            # fully consumed by the Arrow collect above — release its
+            # checkpoint blocks instead of leaving them to driver GC
+            # (the distributed paths below already do; r9 review)
+            release_checkpoint(bi)
         comp = _union_find_components(zip(pdf["a"].tolist(), pdf["b"].tolist()))
         node_type = edges.schema[src].dataType
         if not comp:  # empty graph: keep the (node, comp) schema stable
@@ -962,6 +982,22 @@ def connected_components(
         if n_changed == 0:
             break
     connected_components.last_round_times = _round_times
+    connected_components.last_converged = n_changed == 0
+    if n_changed != 0:
+        # Partially-propagated labels over-split components — make the
+        # truncation loud (r9 review): with 3x pointer squaring a round
+        # covers ~8 hops, so the default 25 rounds handle diameter ~200;
+        # longer chains need a higher max_iters (or algorithm="star",
+        # whose round count is logarithmic and which is the default).
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "min-label connected-components did NOT converge in %d rounds "
+            "(%d labels still changing); returned labels may over-split "
+            "components — raise max_iters or use algorithm='star'",
+            max_iters,
+            n_changed,
+        )
     # Materialize the final (node, comp) frame and release every loop
     # checkpoint (incl. the partitioned edge list): the returned frame's
     # blocks stay reachable for release via _stats_clean_origin.
@@ -1475,7 +1511,13 @@ def q148_pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
         .localCheckpoint()
     )
-    return _integer_pagerank(bi)
+    out = _integer_pagerank(bi)
+    # every path of _integer_pagerank consumes bi eagerly (Arrow collect,
+    # or per-iteration checkpoints / a partitioned layout copy), so the
+    # returned plan never references it — release instead of leaving the
+    # edge-list-sized blocks to driver GC (r9 review)
+    release_checkpoint(bi)
+    return out
 
 
 def _numpy_pagerank_rounds(a, b, iters: int):
@@ -1584,9 +1626,12 @@ def _integer_pagerank(
         "node", F.col("r").alias("rank_1e6"), F.col("d").alias("degree")
     )
     if released_bi:
-        # materialize before dropping the layout copy's blocks
+        # materialize before dropping the blocks of everything it read:
+        # the layout copy, the final ranks checkpoint, and deg (all
+        # unreachable from the checkpointed result; r9 review)
         out = checkpoint_clean(out)
         release_checkpoint(prev_ckpt)
+        release_checkpoint(deg)
         release_checkpoint(bi)
     return out
 

@@ -119,17 +119,20 @@ def main() -> int:
     # getting FASTER over the sweep, 0.32 s -> 0.17 s, heap flat at
     # ~0.5 GB, 0 persistent RDDs). One footer-touch per table plus one
     # small shuffle job make every row measure the QUERY, not the JVM.
-    from pyspark.sql import functions as F
+    # Skip for targeted --only runs: a one-query debug check should not
+    # pay a full lineitem scan + ten footer reads of warm-up.
+    if only is None:
+        from pyspark.sql import functions as F
 
-    from kinesis_writer_spark.io import TABLES as _TABLES
+        from kinesis_writer_spark.io import TABLES as _TABLES
 
-    for _t in _TABLES:
-        spark.read.parquet(f"{args.sf}/{_t}.parquet").limit(1).collect()
-    # JIT the scan->aggregate->shuffle->Arrow-collect path end to end once
-    spark.read.parquet(f"{args.sf}/lineitem.parquet").groupBy(
-        "l_returnflag"
-    ).count().toPandas()
-    spark.range(100_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
+        for _t in _TABLES:
+            spark.read.parquet(f"{args.sf}/{_t}.parquet").limit(1).collect()
+        # JIT the scan->aggregate->shuffle->Arrow-collect path once
+        spark.read.parquet(f"{args.sf}/lineitem.parquet").groupBy(
+            "l_returnflag"
+        ).count().toPandas()
+        spark.range(100_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
 
     n_pass = n_fail = n_rows_only = 0
     for name in sorted(queries):

@@ -192,8 +192,32 @@ class TestReferenceEpochOverride:
         assert out["calib_vs_ref"] == 1.0
         assert out["overhead_vs_ref"] == 1.0
         assert out["reference"]["calib_sec"] == 4.0
-        assert out["reference"]["source"] == "env:SPARK_GRAFT_CALIB_REF_SEC"
+        assert out["reference"]["source"] == "calib=env,overhead=env;BENCH_r07.json"
         assert not out["flags"]
+
+    def test_partial_override_is_readable(self, monkeypatch):
+        from kinesis_writer_spark import calibration
+
+        monkeypatch.setenv("SPARK_GRAFT_CALIB_REF_SEC", "4.0")
+        monkeypatch.delenv("SPARK_GRAFT_OVERHEAD_REF_SEC", raising=False)
+        ref = calibration._resolved_reference()
+        assert ref["calib_sec"] == 4.0
+        assert ref["overhead_sec"] == calibration.REFERENCE_EPOCH["overhead_sec"]
+        assert ref["source"] == "calib=env,overhead=baked;BENCH_r07.json"
+
+    def test_invalid_override_falls_back_without_crashing(self, monkeypatch):
+        """adjudicate_epoch runs at artifact-write time, after the whole
+        bench — a typo'd override must degrade, not raise (r9 review)."""
+        from kinesis_writer_spark import calibration
+
+        for bad in ("0", "-1", "3,5", "abc"):
+            monkeypatch.setenv("SPARK_GRAFT_CALIB_REF_SEC", bad)
+            out = calibration.adjudicate_epoch(
+                {"calib_seconds": 2.296, "overhead_seconds": 0.106},
+                {"calib_seconds": 2.296, "overhead_seconds": 0.106},
+            )
+            assert out["calib_vs_ref"] == 1.0  # baked-in reference used
+            assert "invalid:SPARK_GRAFT_CALIB_REF_SEC" in out["reference"]["source"]
 
     def test_default_reference_and_host_recorded(self, monkeypatch):
         from kinesis_writer_spark import calibration
