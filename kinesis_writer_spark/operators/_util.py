@@ -66,6 +66,22 @@ def checkpoint_clean(df: DataFrame) -> DataFrame:
 
 _ckpt_clean_warned = False
 
+import threading as _threading
+
+#: serializes the session-scoped AQE toggle inside checkpoint_partitioned
+_aqe_toggle_lock = _threading.Lock()
+
+
+def _layout_partition_count(spark: SparkSession, df: DataFrame) -> int:
+    """Partition count for a layout-preserving checkpoint: the session's
+    shuffle parallelism, falling back to the frame's actual partition
+    count (then ``defaultParallelism``) when the conf is non-numeric —
+    AQE-managed platforms report values like "auto" (r9 ADVICE)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        return df.rdd.getNumPartitions() or spark.sparkContext.defaultParallelism
+
 
 def checkpoint_partitioned(df: DataFrame, *cols: str, sort: bool = True) -> DataFrame:
     """``localCheckpoint`` that PRESERVES a hash partitioning (and
@@ -88,24 +104,26 @@ def checkpoint_partitioned(df: DataFrame, *cols: str, sort: bool = True) -> Data
     frame keeps its origin-plan size statistics (see
     :func:`checkpoint_clean` for why per-round checkpoints must not).
 
-    NOT thread-safe: the AQE toggle mutates session-scoped conf for the
-    duration of the checkpoint statement, so a concurrent planner thread
-    in the same session could plan without AQE (or re-enable it
-    mid-checkpoint). This engine drives Spark from a single driver
-    thread; a multi-threaded driver should serialize calls or clone the
-    session (``spark.newSession()``) for the checkpoint.
+    The AQE toggle mutates session-scoped conf for the duration of the
+    checkpoint statement. Concurrent ``checkpoint_partitioned`` calls are
+    serialized by a module lock, but OTHER planner threads in the same
+    session could still plan a statement without AQE during the window —
+    this engine drives Spark from a single driver thread; a fully
+    multi-threaded driver should clone the session
+    (``spark.newSession()``) for the checkpoint.
     """
     spark = df.sparkSession
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    nparts = _layout_partition_count(spark, df)
     laid_out = df.repartition(nparts, *[F.col(c) for c in cols])
     if sort:
         laid_out = laid_out.sortWithinPartitions(*cols)
-    prev = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try:
-        return laid_out.localCheckpoint()
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    with _aqe_toggle_lock:
+        prev = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            return laid_out.localCheckpoint()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 _release_ckpt_warned = False

@@ -737,8 +737,28 @@ def _components_star(e0: DataFrame, nodes: DataFrame, max_iters: int) -> DataFra
         sig_small = _sig(cur)
         round_times.append(round(_time.monotonic() - _t0, 3))
         if sig == sig_large == sig_small:
-            converged = True
-            break
+            # The signature is hash-based (count + xxhash64 sum), so a
+            # ~2^-64 collision could stop early on a non-fixpoint.
+            # Confirm structurally, once, collision-free (r9 ADVICE): a
+            # fixpoint of both steps is exactly a disjoint union of
+            # depth-1 min-centered stars — every u appears exactly once
+            # and no center (v) has an outgoing edge. Two node-sized
+            # aggregations over the final (tiny) star set.
+            r = cur.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("u").alias("nu"),
+            ).first()
+            if r["n"] == r["nu"] and (
+                cur.join(
+                    cur.select(F.col("v").alias("u")).distinct(),
+                    "u",
+                    "left_semi",
+                ).isEmpty()
+            ):
+                converged = True
+                break
+            # collision: signatures matched but the set is not yet a
+            # star union — keep iterating
         sig = sig_small
     if not converged:
         # Reading labels off a non-fixpoint edge set yields WRONG
@@ -807,6 +827,12 @@ def connected_components(
     100 TB path; both paths are equality-pinned in
     tests/test_graph_properties.py).
     """
+    if max_iters < 1:
+        # The distributed loops read their convergence state (n_changed /
+        # round signatures) after the loop body — a zero-trip loop would
+        # leave them unbound (NameError) rather than "return the initial
+        # labels", so reject up front (r9 ADVICE).
+        raise ValueError(f"max_iters must be >= 1, got {max_iters}")
     if driver_max_edges is None:
         driver_max_edges = CC_DRIVER_MAX_EDGES
     # ``edges_distinct=True`` is a caller guarantee that the input holds
