@@ -244,6 +244,23 @@ def main() -> None:
         errors["epoch_verdict"] = traceback.format_exc(limit=3)
     calib_sec = calib.get("calib_seconds")
     value_norm = round(total / calib_sec, 3) if calib_sec else None
+    # Blended normalizer (r9 verdict task #2): value_norm divides an
+    # overhead-dominated sum by the THROUGHPUT probe — the two epoch
+    # dimensions drift independently, so fast epochs inflated value_norm
+    # with no query-local movement (r9 adjudication). value_norm_blend
+    # divides each query by the probe that governs its regime and is the
+    # authoritative cross-round headline; the verdict string names it.
+    try:
+        from kinesis_writer_spark.calibration import normalize_suite
+
+        norm_blend = normalize_suite(
+            timings, epoch.get("calib_vs_ref"), epoch.get("overhead_vs_ref")
+        )
+    except Exception:
+        norm_blend = {"normalizer_note": "norm=error"}
+        errors["normalize_suite"] = traceback.format_exc(limit=3)
+    if epoch.get("verdict") and norm_blend.get("normalizer_note"):
+        epoch["verdict"] = f"{epoch['verdict']};{norm_blend['normalizer_note']}"
     sec_norm = (
         {k: round(v / calib_sec, 4) for k, v in timings.items()} if calib_sec else {}
     )
@@ -273,6 +290,9 @@ def main() -> None:
         "errors": errors,
         # normalized (host-epoch-cancelled) figures + machine verdict
         "value_norm": value_norm,
+        "value_norm_oh": norm_blend.get("value_norm_oh"),
+        "value_norm_blend": norm_blend.get("value_norm_blend"),
+        "subsecond_share_pct": norm_blend.get("subsecond_share_pct"),
         "sec_norm": sec_norm,
         "all_sec_norm": all_sec_norm,
         "epoch": epoch,
@@ -319,6 +339,11 @@ def main() -> None:
         # epoch_verdict encodes BASELINE.md's reading rules vs the frozen
         # r7 reference epoch. Per-query sec_norm is in bench_full.json.
         "value_norm": value_norm,
+        # r10: AUTHORITATIVE cross-round headline — per-regime normalizer
+        # (sub-second queries / overhead_vs_ref, rest / calib_vs_ref), in
+        # epoch-corrected seconds. See BASELINE.md "Since r10".
+        "value_norm_blend": norm_blend.get("value_norm_blend"),
+        "value_norm_oh": norm_blend.get("value_norm_oh"),
         "epoch_verdict": epoch.get("verdict"),
         "load1m": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
         "sf": sf,

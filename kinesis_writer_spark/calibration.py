@@ -172,6 +172,60 @@ def adjudicate_epoch(calib: dict, calib_end: dict, cgate: dict | None = None) ->
     }
 
 
+#: Queries under this are scheduling-overhead-bound; at/above it they are
+#: throughput-bound. The split point comes from the measured regimes in
+#: BASELINE.md ("sub-second queries track overhead_sec, not calib_sec").
+SUBSECOND_CUTOFF_S = 1.0
+
+
+def normalize_suite(
+    timings: dict,
+    calib_vs_ref: float | None,
+    oh_vs_ref: float | None,
+) -> dict:
+    """Blended epoch normalization for a (headline) suite — the r9 verdict
+    task #2 metric, so no cross-round reader adjudicates by hand.
+
+    ``value_norm`` (total / calib_seconds) divides an overhead-dominated
+    sum by the *throughput* probe; the two epoch dimensions drift
+    independently (BASELINE.md), which made r9's headline read 27%
+    "slower" normalized while raw improved. The fix is per-regime: each
+    query's seconds divide by the ratio of the probe that actually
+    governs it — ``oh_vs_ref`` below :data:`SUBSECOND_CUTOFF_S`,
+    ``calib_vs_ref`` at or above — yielding EPOCH-CORRECTED SECONDS
+    (what this run would have measured in the frozen reference epoch),
+    directly comparable round over round.
+
+    Returns the blended total (``value_norm_blend``, the authoritative
+    headline metric), the pure overhead-normalized total
+    (``value_norm_oh`` = total / oh_vs_ref, exact when every query is
+    sub-second), the sub-second time share that says which regime
+    dominates, and a compact ``normalizer_note`` for the verdict string.
+    """
+    total = sum(timings.values()) if timings else 0.0
+    if not timings or not calib_vs_ref or not oh_vs_ref:
+        return {
+            "value_norm_oh": None,
+            "value_norm_blend": None,
+            "subsecond_share_pct": None,
+            "normalizer_note": "norm=unmeasured",
+        }
+    sub_total = sum(v for v in timings.values() if v < SUBSECOND_CUTOFF_S)
+    share_pct = round(100.0 * sub_total / total, 1) if total else 0.0
+    blend = sum(
+        v / (oh_vs_ref if v < SUBSECOND_CUTOFF_S else calib_vs_ref)
+        for v in timings.values()
+    )
+    return {
+        "value_norm_oh": round(total / oh_vs_ref, 3),
+        "value_norm_blend": round(blend, 3),
+        "subsecond_share_pct": share_pct,
+        # names the authoritative headline normalizer + why, for the
+        # epoch verdict string (sub-second share decides the regime)
+        "normalizer_note": f"norm=blend({share_pct}%sub-second@oh)",
+    }
+
+
 def _probe_once(spark) -> float:
     from pyspark.sql import functions as F
 

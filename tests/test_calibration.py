@@ -230,3 +230,47 @@ class TestReferenceEpochOverride:
         )
         assert out["reference"]["source"] == "BENCH_r07.json"
         assert "cpu=" in out["host"]
+
+
+class TestNormalizeSuite:
+    """r9 verdict task #2: the blended normalizer's arithmetic, pinned so
+    the headline metric can't silently change meaning."""
+
+    def test_blend_divides_each_regime_by_its_probe(self):
+        from kinesis_writer_spark import calibration
+
+        # one sub-second query (overhead regime), one multi-second
+        # (throughput regime); an epoch 2x slower on throughput but 2x
+        # FASTER on scheduling
+        out = calibration.normalize_suite(
+            {"fast": 0.5, "slow": 2.0}, calib_vs_ref=2.0, oh_vs_ref=0.5
+        )
+        assert out["value_norm_blend"] == 0.5 / 0.5 + 2.0 / 2.0  # == 2.0
+        assert out["value_norm_oh"] == round((0.5 + 2.0) / 0.5, 3)  # 5.0
+        assert out["subsecond_share_pct"] == 20.0
+        assert out["normalizer_note"] == "norm=blend(20.0%sub-second@oh)"
+
+    def test_cutoff_boundary_is_throughput_regime(self):
+        from kinesis_writer_spark import calibration
+
+        # exactly 1.0 s falls in the calib regime (>= cutoff)
+        out = calibration.normalize_suite({"q": 1.0}, 4.0, 0.25)
+        assert out["value_norm_blend"] == 0.25
+        assert out["subsecond_share_pct"] == 0.0
+
+    def test_identity_epoch_reproduces_raw_seconds(self):
+        from kinesis_writer_spark import calibration
+
+        timings = {"a": 0.3, "b": 0.9, "c": 5.2}
+        out = calibration.normalize_suite(timings, 1.0, 1.0)
+        assert out["value_norm_blend"] == round(sum(timings.values()), 3)
+        assert out["value_norm_oh"] == round(sum(timings.values()), 3)
+
+    def test_unmeasured_epoch_yields_nulls_not_crash(self):
+        from kinesis_writer_spark import calibration
+
+        for args in (({}, 1.0, 1.0), ({"q": 1.0}, None, 1.0), ({"q": 1.0}, 1.0, None)):
+            out = calibration.normalize_suite(*args)
+            assert out["value_norm_blend"] is None
+            assert out["value_norm_oh"] is None
+            assert out["normalizer_note"] == "norm=unmeasured"
