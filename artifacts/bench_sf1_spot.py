@@ -1,351 +1,15 @@
-"""Scale-trajectory spot-bench: the most expensive registry queries
-(q220, q193, q206, q54, q219, and since r7 the memo-cold top-cost
-q148/q255 dup-graph consumers plus the CPU-bound q257 JPEG decode)
-at sf0.1 vs a synthetic sf1.0.
-
-The engine's 100 TB story is plan-shape-based (banded equi-joins, no
-all-pairs, no single-task funnels); this artifact adds a measured point
-one decade up. /root/testdata stops at sf0.1, so sf1.0 is synthesized by
-replicating each input table 10x with SHIFTED KEYS and PERTURBED text:
-
-* documents: doc_id += replica * n_docs; words whose CONTENT hash falls
-  in a fixed 1/4 bucket (hash(w) % 4 = 0) get a per-replica "~rK" suffix
-  so replicas of the same doc are NOT near-duplicates — ~58% of word-3-gram
-  shingles contain a mutated word (1 - 0.75^3), collapsing cross-replica
-  Jaccard to ~0.27 (and SimHash distance far past the pairing threshold).
-  Content-keyed mutation is a bijection on the shared vocabulary, so any
-  word shared by two docs mutates identically regardless of position:
-  within-replica near-dup similarity is preserved EXACTLY and the sf1.0
-  truth set is the sf0.1 set replicated 10x by construction. The one
-  leak: a doc whose words all hash outside the bucket mutates nowhere
-  and its replicas form a genuine 10-clique (measured: 52 of 5000 sf0.1
-  docs keep cross-replica Jaccard >= 0.8 under the 1/4 rule — they
-  would have manufactured ~2.3k truth pairs against ~2.5k real ones).
-  Fix: those docs — CLOSED over their sf0.1 truth-pair partners, so no
-  genuine pair straddles the two treatments (measured: 4 of 256 truth
-  pairs touch a leaking doc) — get EVERY word suffixed instead; full
-  mutation is also a bijection, so pairs inside the closure survive
-  exactly while every leaked clique breaks.
-  FIXTURE HISTORY: r6 (v1) appended one trailing " ~rK" tag, which does
-  NOT break Jaccard>=0.8 for docs longer than ~30 words — replica
-  families formed genuine 10-cliques and q220's truth set grew ~970x at
-  10x data, so the r6 ratios partly measured the fixture's quadratic
-  pair growth. v2 mutated every 4th POSITION, which preserves
-  within-replica near-dup pairs only when the two texts are
-  word-aligned; pairs offset by an insertion/deletion got mutations at
-  different words and some genuine pairs dropped below threshold,
-  biasing density DOWN. v3 was content-keyed but had the 52-doc clique
-  leak. v4 = v3 + full mutation of the leaking closure: truth growth is
-  exactly 10x. v1-v4 ratios are NOT mutually comparable.
-* lineitem: l_orderkey/l_partkey/l_suppkey += replica * (max+1) — the
-  co-purchase graph grows by disjoint replica blocks, keeping basket
-  sizes and degree distribution constant.
-
-Each query runs memo-cold (shared caches cleared), min of 2 decorrelated
-runs, through the noop sink. Output: artifacts/bench_sf1_spot.json with
-per-query sf0.1/sf1.0 seconds and the ratio. Near-linear scaling means
-ratio ≈ 10x data ± shuffle growth; the acceptance bar used in review is
-ratio <= ~12.
-
-GATE CROSSING (r7): the dup-graph consumers (q148, q255) straddle
-CC_DRIVER_MAX_EDGES between the two scale points — sf0.1's ~543k
-bidirectional edges run the in-driver union-find / numpy-PageRank fast
-path, sf1.0's ~5.4M run the distributed rounds. Their ratios therefore
-compare the two STRATEGIES, not one strategy at two sizes; a ratio above
-10 here is the fast path being fast at sf0.1, not superlinear growth
-(the distributed path's own growth is what the other shapes measure).
-
-Run:  PYTHONPATH=/root/repo python artifacts/bench_sf1_spot.py
-
-SECOND-DECADE MODE (r7 verdict task #1): the same v4 fixture machinery
-generalizes to any replica count — the content-keyed mutation is a
-bijection per replica and the leak closure is computed on the SOURCE
-corpus only, so truth-pair growth is exactly N/10 x sf1.0's at every N.
-    --scales 10,30,100   measures sf1.0, sf3 and sf10 in ONE calib-gated
-                         run (per-step ratios land in the artifact)
-    --queries a,b,c      restrict to the named shapes
-    --out FILE.json      artifact name (default bench_sf1_spot.json)
-"""
-
-from __future__ import annotations
-
-import argparse
-import json
+"""Historical entry point — the scale harness was promoted to
+/root/repo/bench_scale.py in r10 (r9 verdict task #5), with its
+normalization arithmetic in kinesis_writer_spark/scalebench.py
+(unit-tested in tests/test_scalebench.py). This shim keeps the r6-r9
+artifact commands (`python artifacts/bench_sf1_spot.py ...`) working;
+see bench_scale.py for the fixture methodology docstring."""
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SPOT = ["q220_lsh_recall_eval", "q193_prefix_filter_join", "q206_incremental_dedup",
-        "q54_simhash_neardup", "q219_random_walks",
-        "q148_pagerank_neardup_graph", "q255_cluster_aware_split",
-        "q257_jpeg_decode"]
-SRC = "/root/testdata/sf0.1"
-DST_TMPL = "/tmp/sfspot_v4_r{n}"  # v4: content-keyed mutation + leak closure
-REPLICAS = 10
-
-
-def _leak_closure(con, src: str) -> list:
-    """doc_ids needing full mutation: docs whose 1/4-bucket mutation leaves
-    cross-replica word-3gram Jaccard >= 0.8 (the clique leak), closed over
-    their sf0.1 truth-pair partners so no genuine near-dup pair straddles
-    the partial/full mutation boundary."""
-    leaking = {
-        r[0]
-        for r in con.sql(
-            f"""
-            WITH rep AS (
-                SELECT doc_id, array_to_string(
-                    list_transform(string_split(text, ' '),
-                        w -> CASE WHEN hash(w) % 4 = 0 THEN w || '~r0' ELSE w END),
-                    ' ') AS mtext
-                FROM '{src}/documents.parquet'),
-            d AS (SELECT doc_id, string_split(mtext, ' ') ws FROM rep),
-            sh AS (
-                SELECT doc_id, len(ws) - 2 AS total,
-                    len(list_filter(range(1, len(ws) - 1),
-                        i -> ws[i] NOT LIKE '%~r0' AND ws[i+1] NOT LIKE '%~r0'
-                             AND ws[i+2] NOT LIKE '%~r0')) AS clean
-                FROM d WHERE len(ws) >= 3)
-            SELECT doc_id FROM sh WHERE clean * 1.0 / (2 * total - clean) >= 0.8
-            """
-        ).fetchall()
-    }
-    pairs = con.sql(
-        f"""
-        WITH d AS (
-            SELECT doc_id, string_split(text, ' ') ws
-            FROM '{src}/documents.parquet'
-            WHERE len(string_split(text, ' ')) >= 3),
-        idx AS (SELECT doc_id, unnest(range(1, len(ws) - 1)) AS i, ws FROM d),
-        sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM idx),
-        sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id da, b.doc_id db, COUNT(*) c
-            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-            GROUP BY ALL)
-        SELECT da, db FROM inter
-        JOIN sz x ON x.doc_id = da JOIN sz y ON y.doc_id = db
-        WHERE c * 1.0 / (x.n + y.n - c) >= 0.8
-        """
-    ).fetchall()
-    adj: dict = {}
-    for a, b in pairs:
-        adj.setdefault(a, set()).add(b)
-        adj.setdefault(b, set()).add(a)
-    closure, frontier = set(leaking), list(leaking)
-    while frontier:
-        for nb in adj.get(frontier.pop(), ()):
-            if nb not in closure:
-                closure.add(nb)
-                frontier.append(nb)
-    return sorted(closure)
-
-
-def build_sf1(src: str, dst: str, replicas: int = REPLICAS) -> None:
-    import duckdb
-
-    os.makedirs(dst, exist_ok=True)
-    con = duckdb.connect()
-    n_docs = con.sql(f"SELECT COUNT(*) FROM '{src}/documents.parquet'").fetchone()[0]
-    full = _leak_closure(con, src)
-    full_set = ", ".join(str(i) for i in full) or "-1"
-    print(f"full-mutation closure: {len(full)} docs", file=sys.stderr)
-    con.sql(
-        f"""
-        COPY (
-            WITH rep AS (
-                SELECT d.doc_id + r.r * {n_docs} AS doc_id,
-                       array_to_string(
-                           list_transform(string_split(d.text, ' '),
-                               w -> CASE WHEN d.doc_id IN ({full_set})
-                                              OR hash(w) % 4 = 0
-                                         THEN w || '~r' || r.r
-                                         ELSE w END),
-                           ' ') AS text,
-                       d.lang, d.source
-                FROM '{src}/documents.parquet' d, range({replicas}) r(r)
-            )
-            SELECT doc_id, text, lang, source, length(text) AS n_chars
-            FROM rep
-        ) TO '{dst}/documents.parquet' (FORMAT PARQUET)
-        """
-    )
-    mo, mp, ms = con.sql(
-        f"SELECT MAX(l_orderkey)+1, MAX(l_partkey)+1, MAX(l_suppkey)+1 "
-        f"FROM '{src}/lineitem.parquet'"
-    ).fetchone()
-    con.sql(
-        f"""
-        COPY (
-            SELECT l_orderkey + r.r * {mo} AS l_orderkey,
-                   l_partkey + r.r * {mp} AS l_partkey,
-                   l_suppkey + r.r * {ms} AS l_suppkey,
-                   l_linenumber, l_quantity, l_extendedprice, l_discount,
-                   l_tax, l_returnflag, l_linestatus, l_shipdate
-            FROM '{src}/lineitem.parquet' l, range({replicas}) r(r)
-        ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
-        """
-    )
-
-
-def _scale_label(replicas: int) -> str:
-    sf = replicas / 10.0
-    return f"sf{sf:g}"
-
-
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--scales", default="10",
-                    help="comma list of replica counts (10=sf1.0, 30=sf3, 100=sf10)")
-    ap.add_argument("--queries", default=",".join(SPOT))
-    ap.add_argument("--out", default="bench_sf1_spot.json")
-    args = ap.parse_args()
-    scales = [int(s) for s in args.scales.split(",")]
-    spot = [q for q in args.queries.split(",") if q]
-
-    dirs = [("sf0.1", SRC)]
-    for n in scales:
-        dst = DST_TMPL.format(n=n)
-        if not os.path.exists(os.path.join(dst, "lineitem.parquet")):
-            t0 = time.time()
-            build_sf1(SRC, dst, replicas=n)
-            print(f"built {dst} ({n} replicas) in {time.time() - t0:.1f}s", file=sys.stderr)
-        dirs.append((_scale_label(n), dst))
-
-    from kinesis_writer_spark import registry
-    from kinesis_writer_spark.calibration import calib_gate, calibrate, load_gate
-    from kinesis_writer_spark.memo import clear_all as clear_memos
-    from kinesis_writer_spark.session import get_spark
-
-    # The sf0.1/sf1.0 RATIO is only drift-immune when the host epoch is
-    # STABLE across the run; a mid-run slowdown hits one scale's shots
-    # more than the other's and can even invert a ratio (observed late
-    # r7: a fixed-work-per-row query measured 0.78x at 10x rows while
-    # the probe swung 3.8->10.9 s). Gate on the probe itself — loadavg
-    # misses epoch-level slowdowns entirely — then stamp start/end
-    # calibrations so a drift-corrupted run is visible in the artifact.
-    gate = load_gate()
-
-    spark = get_spark("bench_sf1_spot")
-    spark.sparkContext.setLogLevel("ERROR")
-    queries = registry.all_queries()
-    cgate = calib_gate(spark, max_wait_s=1200.0)
-    calib = calibrate(spark)
-
-    def run(name: str, sf_dir: str) -> None:
-        queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-
-    # warm the JVM once per scale on the cheapest spot query
-    for _, sf_dir in dirs:
-        run("q54_simhash_neardup", sf_dir)
-        spark.catalog.clearCache()
-        clear_memos()
-
-    # Per-measurement calibration shots (r9, VERDICT task #3): both r8
-    # decade artifacts carried caution:intra-run-drift — the host never
-    # granted a stable window, so the conclusion rested on cross-run
-    # ratio agreement. Every measured run gets ONE probe shot taken
-    # immediately before it; normalized seconds divide by the MIN shot
-    # observed for that (query, scale) across passes, not the run's own
-    # shot: a shot is only ever corrupted UPWARD (transient contention,
-    # post-clear GC), and pairing 1:1 with a spiked shot would divide a
-    # clean run by a wrong factor (measured in the first r9 run: a
-    # 24.4 s pass-1 shot next to a 2.3 s pass-2 shot). Min-of-shots
-    # keeps epoch-scale drift normalization — a genuinely slow window
-    # elevates ALL its shots — while rejecting seconds-scale spikes.
-    # Raw seconds stay in the artifact for continuity.
-    from kinesis_writer_spark.calibration import (
-        _probe_once,
-        _resolved_reference,
-    )
-
-    ref_calib = _resolved_reference()["calib_sec"]
-
-    results: dict[str, dict] = {}
-    for pass_i in range(2):  # decorrelated second pass
-        for name in spot:
-            for label, sf_dir in dirs:
-                clear_memos()
-                shot = _probe_once(spark)
-                t0 = time.time()
-                run(name, sf_dir)
-                dt = round(time.time() - t0, 3)
-                spark.catalog.clearCache()
-                entry = results.setdefault(
-                    name,
-                    {
-                        "runs": {lbl: [] for lbl, _ in dirs},
-                        "runs_norm": {lbl: [] for lbl, _ in dirs},
-                        "calib_shots": {lbl: [] for lbl, _ in dirs},
-                    },
-                )
-                entry["runs"][label].append(dt)
-                entry["calib_shots"][label].append(shot)
-
-    labels = [lbl for lbl, _ in dirs]
-    for name, entry in results.items():
-        for lbl in labels:
-            div = min(entry["calib_shots"][lbl])
-            entry["runs_norm"][lbl] = [
-                round(r * ref_calib / div, 3) for r in entry["runs"][lbl]
-            ]
-            entry[f"{lbl}_sec"] = min(entry["runs"][lbl])
-            entry[f"{lbl}_sec_norm"] = min(entry["runs_norm"][lbl])
-        # per-step ratios between adjacent measured scales + the legacy
-        # first-decade ratio key; *_norm are the drift-immune figures
-        entry["step_ratios"] = {
-            f"{a}->{b}": round(entry[f"{b}_sec"] / entry[f"{a}_sec"], 2)
-            for a, b in zip(labels, labels[1:])
-            if entry[f"{a}_sec"] > 0
-        }
-        entry["step_ratios_norm"] = {
-            f"{a}->{b}": round(entry[f"{b}_sec_norm"] / entry[f"{a}_sec_norm"], 2)
-            for a, b in zip(labels, labels[1:])
-            if entry[f"{a}_sec_norm"] > 0
-        }
-        entry["ratio"] = (
-            round(entry[f"{labels[-1]}_sec"] / entry[f"{labels[0]}_sec"], 2)
-            if entry[f"{labels[0]}_sec"] > 0
-            else None
-        )
-        entry["ratio_norm"] = (
-            round(entry[f"{labels[-1]}_sec_norm"] / entry[f"{labels[0]}_sec_norm"], 2)
-            if entry[f"{labels[0]}_sec_norm"] > 0
-            else None
-        )
-
-    from kinesis_writer_spark.calibration import adjudicate_epoch
-
-    calib_end = calibrate(spark)
-    out = {
-        "metric": "sf1_spot_scale_ratio",
-        "replicas": scales,
-        "scale_labels": labels,
-        "fixture_version": 4,  # content-keyed mutation + leak closure; NOT comparable w/ v1-v3
-        "timing_method": (
-            "memo-cold min of 2 decorrelated runs, JVM warmed; *_norm figures "
-            "are per-run drift-normalized by a paired calib probe shot "
-            f"(ref {ref_calib}s)"
-        ),
-        "queries": results,
-        "max_ratio": max(e["ratio"] for e in results.values()),
-        "calibration": calib,
-        "calibration_end": calib_end,
-        "load_gate": gate,
-        "calib_gate": cgate,
-        "epoch": adjudicate_epoch(calib, calib_end, cgate),
-    }
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), args.out)
-    with open(path, "w") as f:
-        json.dump(out, f, indent=1, sort_keys=True)
-    print(json.dumps({k: v for k, v in out.items() if k != "queries"}))
-    for name, e in results.items():
-        chain = " -> ".join(f"{e[f'{lbl}_sec']}s" for lbl in labels)
-        print(f"{name}: {chain}  (total {e['ratio']}x; steps {e['step_ratios']}; "
-              f"norm steps {e['step_ratios_norm']})")
-
+from bench_scale import SPOT, build_fixture, build_sf1, main  # noqa: F401
 
 if __name__ == "__main__":
     main()
