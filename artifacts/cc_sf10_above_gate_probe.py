@@ -18,6 +18,7 @@ t0 = time.time()
 pairs = dedup._neardup_pairs(spark, SF)
 print(f"pair table: {pairs.count()} edges in {time.time()-t0:.1f}s", flush=True)
 
+labels = {}
 for algo in ("minlabel", "star"):
     t0 = time.time()
     comps = dedup.connected_components(
@@ -30,3 +31,18 @@ for algo in ("minlabel", "star"):
           else dedup.connected_components.last_round_times)
     print(f"{algo} (above-gate): {n} nodes in {dt:.1f}s; "
           f"{len(rt)} rounds, per-round {rt}", flush=True)
+    labels[algo] = comps
+
+# bit-identity between the two above-gate paths at this scale (r10)
+from pyspark.sql import functions as F
+a, b = labels["minlabel"].alias("a"), labels["star"].alias("b")
+mism = (
+    a.join(b, F.col("a.node") == F.col("b.node"), "full")
+    .filter(
+        F.col("a.comp").isNull()
+        | F.col("b.comp").isNull()
+        | (F.col("a.comp") != F.col("b.comp"))
+    )
+    .count()
+)
+print(f"label equality: mismatched={mism}", flush=True)

@@ -674,14 +674,24 @@ def _components_star(e0: DataFrame, nodes: DataFrame, max_iters: int) -> DataFra
     released before returning, and the result's own blocks are reachable
     for release via ``_stats_clean_origin`` (memo.clear_all).
     """
-    cur = checkpoint_clean(e0)
     nodes_ckpt = checkpoint_clean(nodes)
     n_nodes = nodes_ckpt.count()
-    _b = (
-        F.broadcast
-        if n_nodes <= CC_LABELS_BROADCAST_MAX_ROWS
-        else (lambda df: df)
-    )
+    bcast = n_nodes <= CC_LABELS_BROADCAST_MAX_ROWS
+    _b = F.broadcast if bcast else (lambda df: df)
+    if bcast:
+        cur = checkpoint_clean(e0)
+    else:
+        # Above the broadcast gate, round 1's large-star join is an SMJ
+        # whose edge side exchanges AND sorts the full initial edge list
+        # on v — the measured round-1 lump (7.5 of 10.9 s loop-body at
+        # 22M edges; artifacts/cc_star_round1_profile.txt). Materialize
+        # e0 laid out on the join key instead, so the first SMJ reuses
+        # the layout. ONLY the pre-loop input may use the stats-keeping
+        # checkpoint_partitioned: per-round outputs must stay
+        # checkpoint_clean or join-size estimates compound geometrically
+        # (see _util.checkpoint_clean). Rounds 2+ re-exchange their own
+        # (sharply shrinking) edge lists as before.
+        cur = checkpoint_partitioned(e0, "v")
 
     def _sig(e: DataFrame):
         # Sum as decimal(38,0): a long sum of xxhash64 values overflows
