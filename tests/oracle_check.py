@@ -92,6 +92,30 @@ def driver_hazards(name: str, sdf, odf) -> list[str]:
     return hazards
 
 
+def warm_session(spark, sf_dir: str) -> None:
+    """Warm the session BEFORE any timed sweep loop (r9 fix, contract
+    pinned in tests/test_sweep_warmup.py): one footer-touch per table plus
+    one scan->aggregate->shuffle->Arrow-collect JIT pass plus one small
+    shuffle job, so every sweep row measures the QUERY, not JVM cold start.
+
+    History: r8 adjudicated the sweep's inflated first row as "accumulated
+    session state"; r9 re-measured and showed q01's 10.8 s was simply COLD
+    START (first parquet footer reads, codegen JIT, executor-thread
+    spin-up) — a 260-query pass showed q01 getting FASTER over the sweep,
+    0.32 s -> 0.17 s, heap flat at ~0.5 GB, 0 persistent RDDs."""
+    from pyspark.sql import functions as F
+
+    from kinesis_writer_spark.io import TABLES as _TABLES
+
+    for _t in _TABLES:
+        spark.read.parquet(f"{sf_dir}/{_t}.parquet").limit(1).collect()
+    # JIT the scan->aggregate->shuffle->Arrow-collect path once
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
+        "l_returnflag"
+    ).count().toPandas()
+    spark.range(100_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
@@ -112,27 +136,12 @@ def main() -> int:
     oracles = registry.all_oracles()
     only = set(args.only.split(",")) if args.only else None
 
-    # Warm the session BEFORE the timed loop (r8 adjudicated the sweep's
-    # first row as "accumulated session state"; re-measured r9: q01's
-    # 10.8 s was simply COLD START — first parquet footer reads, codegen
-    # JIT, executor-thread spin-up — and a 260-query pass showed q01
-    # getting FASTER over the sweep, 0.32 s -> 0.17 s, heap flat at
-    # ~0.5 GB, 0 persistent RDDs). One footer-touch per table plus one
-    # small shuffle job make every row measure the QUERY, not the JVM.
-    # Skip for targeted --only runs: a one-query debug check should not
-    # pay a full lineitem scan + ten footer reads of warm-up.
+    # Warm before the timed loop (see warm_session docstring; contract
+    # pinned in tests/test_sweep_warmup.py). Skip for targeted --only
+    # runs: a one-query debug check should not pay a full lineitem scan
+    # + ten footer reads of warm-up.
     if only is None:
-        from pyspark.sql import functions as F
-
-        from kinesis_writer_spark.io import TABLES as _TABLES
-
-        for _t in _TABLES:
-            spark.read.parquet(f"{args.sf}/{_t}.parquet").limit(1).collect()
-        # JIT the scan->aggregate->shuffle->Arrow-collect path once
-        spark.read.parquet(f"{args.sf}/lineitem.parquet").groupBy(
-            "l_returnflag"
-        ).count().toPandas()
-        spark.range(100_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
+        warm_session(spark, args.sf)
 
     n_pass = n_fail = n_rows_only = 0
     for name in sorted(queries):
