@@ -718,6 +718,7 @@ def _components_star(e0: DataFrame, nodes: DataFrame, max_iters: int) -> DataFra
     rounds = 0
     converged = False
     round_times: list[float] = []
+    round_rows: list[tuple[int, int]] = []
     for _ in range(max_iters):
         rounds += 1
         _t0 = _time.monotonic()
@@ -746,6 +747,11 @@ def _components_star(e0: DataFrame, nodes: DataFrame, max_iters: int) -> DataFra
         cur = _advance(small)
         sig_small = _sig(cur)
         round_times.append(round(_time.monotonic() - _t0, 3))
+        # per-round materialized edge counts after each step (free — the
+        # convergence signatures already carry them): the scale probes
+        # read these to show the intermediate edge set stays bounded on
+        # adversarial high-degree/long-chain graphs (r9 verdict task #4)
+        round_rows.append((sig_large[0], sig_small[0]))
         if sig == sig_large == sig_small:
             # The signature is hash-based (count + xxhash64 sum), so a
             # ~2^-64 collision could stop early on a non-fixpoint.
@@ -787,6 +793,7 @@ def _components_star(e0: DataFrame, nodes: DataFrame, max_iters: int) -> DataFra
     _components_star.last_rounds = rounds
     _components_star.last_converged = converged
     _components_star.last_round_times = round_times
+    _components_star.last_round_rows = round_rows
     star_labels = (
         cur.select(F.col("u").alias("node"), F.col("v").alias("comp"))
         .groupBy("node")
