@@ -269,6 +269,20 @@ def main() -> None:
         if calib_sec
         else {}
     )
+    # blended per-query normalization (regime-correct: see normalize_suite)
+    try:
+        from kinesis_writer_spark.calibration import SUBSECOND_CUTOFF_S as _CUT
+    except Exception:
+        _CUT = 1.0
+    _cvr, _ovr = epoch.get("calib_vs_ref"), epoch.get("overhead_vs_ref")
+    all_sec_norm_blend = (
+        {
+            k: round(v / (_ovr if v < _CUT else _cvr), 4)
+            for k, v in all_timings.items()
+        }
+        if _cvr and _ovr
+        else {}
+    )
     # Full per-query detail (all 250+ registry entries, plus any tracebacks)
     # is an artifact file; stdout carries only the compact summary line so
     # the driver's 2000-char tail always contains the complete JSON object.
@@ -295,6 +309,7 @@ def main() -> None:
         "subsecond_share_pct": norm_blend.get("subsecond_share_pct"),
         "sec_norm": sec_norm,
         "all_sec_norm": all_sec_norm,
+        "all_sec_norm_blend": all_sec_norm_blend,
         "epoch": epoch,
         # Methodology stamp so cross-round deltas are interpretable
         # (timing changed r4->r5: cold single-shot -> warm median/min;
