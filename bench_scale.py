@@ -239,11 +239,22 @@ def main(argv: list[str] | None = None) -> None:
 
     ref_calib = _resolved_reference()["calib_sec"]
 
+    def _reclaim() -> None:
+        # Shuffle-file cleanup is GC-triggered; on a big heap the JVM can
+        # go a whole measurement loop without a full GC, so each timed
+        # run's shuffle files pile up on disk until ENOSPC (observed at
+        # the sf100 point). Force the reclaim BETWEEN measurements —
+        # outside the timed window — so disk stays bounded and no timed
+        # run pays the GC pause. (session.py additionally sets
+        # spark.cleaner.periodicGC.interval=5min as the in-run backstop.)
+        spark.sparkContext._jvm.System.gc()
+
     results: dict[str, dict] = {}
     for pass_i in range(args.passes):
         for name in spot:
             for label, sf_dir in dirs:
                 clear_memos()
+                _reclaim()
                 shot = _probe_once(spark)
                 t0 = time.time()
                 run(name, sf_dir)

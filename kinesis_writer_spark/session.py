@@ -34,6 +34,18 @@ def get_spark(app_name: str = "kinesis_writer_spark", shuffle_partitions: int | 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # Shuffle-file cleanup is GC-triggered (ContextCleaner weak refs),
+        # and Spark's default periodic fallback GC is 30min — on a large
+        # heap an iterative job (CC/PageRank rounds, multi-query sweeps)
+        # can run for that long without a single full GC, so stale shuffle
+        # files accumulate on local disk until it fills (observed: sf100
+        # q255 died ENOSPC mid-round with a 100g heap). 5min bounds the
+        # stale window; at cluster scale this is exactly the knob that
+        # keeps executor local disks from filling under week-long jobs.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "5min"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # saveAsTable target (bucketed-layout operators); keep managed-table
