@@ -111,10 +111,12 @@ def q193_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape at 100 TB: one shingle-frequency aggregate (vocabulary-sized),
     one per-doc window to rank shingles, an equi-join on rare prefix
-    shingles, and an integer-only verify against the full shingle-hash
-    arrays. Verification joins the doc->array table twice on doc_id —
-    linear in candidates, and candidates are bounded by rare-shingle
-    co-occurrence, not corpus².
+    shingles WITH the PPJoin length + positional filters (exact; see the
+    candidate-join comment), and an integer-only verify against the full
+    shingle-hash arrays. Verification joins the doc->array table twice on
+    doc_id — linear in candidates, and the filters are what keep the
+    candidate set (whose array payload sizes the verify shuffle) near the
+    true-pair count rather than raw prefix co-occurrence.
     """
     from ..functions.hashing import md5_60bit
 
@@ -142,14 +144,44 @@ def q193_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ranked.filter(
         F.col("rn")
         <= F.col("n") - F.expr(f"({_J_NUM}*n + {_J_DEN - 1}) DIV {_J_DEN}") + 1
-    ).select("doc_id", "tok")
+    ).select("doc_id", "tok", "rn", "n")
+    # Candidate join with the PPJoin length + positional filters (Xiao,
+    # Wang, Lin, Yuan — WWW'08; row-level form per Vernica, Carey, Li —
+    # SIGMOD'10). Both are EXACT (no false negatives at the threshold),
+    # integer-only, and load-bearing at scale: the verify stage below
+    # carries two full shingle-hash arrays per candidate through a
+    # shuffle, so candidate count — not candidate correctness — is what
+    # sizes the job's scratch footprint (measured: the unfiltered
+    # candidate set at the sf100 fixture demanded >65 GB of shuffle
+    # scratch and died ENOSPC on one box; linear in candidates).
+    #  * length: J >= 4/5 needs 5*min(na,nb) >= 4*max(na,nb), since
+    #    inter <= min and union >= max.
+    #  * positional: for the EARLIEST shared prefix token, at rank rna
+    #    in a and rnb in b, every shared token sits at rank >= rna /
+    #    >= rnb, so inter <= 1 + min(na-rna, nb-rnb); J >= 4/5 needs
+    #    inter >= ceil(4(na+nb)/9), i.e. 9 + 9*min(na-rna, nb-rnb)
+    #    >= 4*(na+nb). A qualifying pair's earliest match always
+    #    passes, so filtering rows then distinct-ing pairs is exact.
     cand = (
         prefix.alias("a")
         .join(
             prefix.select(
-                F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b")
+                F.col("doc_id").alias("doc_b"),
+                F.col("tok").alias("tok_b"),
+                F.col("rn").alias("rn_b"),
+                F.col("n").alias("n_b"),
             ),
-            (F.col("tok") == F.col("tok_b")) & (F.col("doc_id") < F.col("doc_b")),
+            (F.col("tok") == F.col("tok_b"))
+            & (F.col("doc_id") < F.col("doc_b"))
+            & (
+                _J_DEN * F.least("n", "n_b")
+                >= _J_NUM * F.greatest("n", "n_b")
+            )
+            & (
+                (_J_NUM + _J_DEN)
+                * (1 + F.least(F.col("n") - F.col("rn"), F.col("n_b") - F.col("rn_b")))
+                >= _J_NUM * (F.col("n") + F.col("n_b"))
+            ),
         )
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
