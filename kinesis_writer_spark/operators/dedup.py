@@ -336,8 +336,16 @@ def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", simhash.alias("simhash"))
 
 
-_SIMHASH_CHUNKS = 4  # 4 x 15-bit pigeonhole chunks: hamming<=3 => chunk equal
+_SIMHASH_CHUNKS = 4  # oracle-side: 4 x 15-bit pigeonhole chunks (hamming<=3 => chunk equal)
 _HAMMING_MAX = 3
+#: Spark-side candidate scheme (Manku WWW'07 multi-table banding): 6
+#: disjoint 10-bit blocks; hamming<=3 leaves >=3 clean blocks, so pairs
+#: agree exactly on some block TRIPLE — C(6,3)=20 tables keyed on 30 bits.
+#: Same exact output set as the 4-chunk scheme (both are pigeonhole-exact);
+#: 30-bit keys keep fixed-bucket random collisions from going quadratic
+#: with corpus size (see q54 docstring for the measured sf100 numbers).
+_SIMHASH_BLOCKS = 6
+_SIMHASH_BLOCK_BITS = _SIMHASH_BITS // _SIMHASH_BLOCKS  # 10
 
 _SIMHASH_TABLE_SQL = f"""
     WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
@@ -376,9 +384,24 @@ _SIMHASH_TABLE_SQL = f"""
     """,
 )
 def q54_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs via pigeonhole banding: hamming ≤ 3 over 60 bits
-    guarantees at least one equal 15-bit chunk, so candidates come from 4
-    chunk-keyed equi-joins (shuffle joins, never a cross join).
+    """SimHash near-dup pairs via multi-table pigeonhole banding (Manku,
+    Jain, Das Sarma — "Detecting Near-Duplicates for Web Crawling",
+    WWW'07): the 60-bit fingerprint splits into 6 disjoint 10-bit blocks;
+    hamming ≤ 3 dirties at most 3 blocks, so every qualifying pair agrees
+    EXACTLY on some 3 clean blocks — candidates come from C(6,3) = 20
+    equi-joins keyed on a 30-bit block-triple concatenation (one exploded
+    table, one shuffle join, never a cross join). Exact: no false
+    negatives at the threshold, same output set as any pigeonhole scheme.
+
+    Why triples and not the minimal 4 × 15-bit single-chunk scheme: a
+    candidate key's bucket count is FIXED, so docs-per-bucket grows
+    linearly with the corpus and random within-bucket pairs grow
+    QUADRATICALLY. Measured at the sf100 fixture (5M docs): 15-bit keys
+    expect C(n,2)·4·2^-15 ≈ 1.5e9 joined rows (the pair build took ~650 s
+    and dominated q255); 30-bit triple keys expect C(n,2)·20·2^-30 ≈ 2e5.
+    The price is a 20-row-per-doc explode instead of 4 — linear, ~3 GB of
+    shuffle at 5M docs — for a ~6,000× cut in accidental candidates.
+    This is exactly Manku's design point (built for an 8B-page crawl).
 
     The fingerprint table is materialized once (``localCheckpoint``) before
     the self-join: without it both join sides recompute the full explode +
@@ -386,14 +409,28 @@ def q54_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of two longs — at 100 TB use ``checkpoint()`` to reliable storage, same
     shape.
     """
+    from itertools import combinations
+
     sh = q53_simhash(spark, sf_dir).localCheckpoint()
+
+    def _blk(i: int):
+        return F.shiftrightunsigned(
+            "simhash", _SIMHASH_BLOCK_BITS * i
+        ).bitwiseAND(F.lit((1 << _SIMHASH_BLOCK_BITS) - 1))
+
     chunk_structs = F.array(
         *[
             F.struct(
-                F.lit(c).cast("bigint").alias("c"),
-                F.shiftrightunsigned("simhash", 15 * c).bitwiseAND(F.lit(32767)).alias("chunk_key"),
+                F.lit(t).cast("bigint").alias("c"),
+                (
+                    _blk(i) * F.lit(1 << (2 * _SIMHASH_BLOCK_BITS))
+                    + _blk(j) * F.lit(1 << _SIMHASH_BLOCK_BITS)
+                    + _blk(k)
+                ).alias("chunk_key"),
             )
-            for c in range(_SIMHASH_CHUNKS)
+            for t, (i, j, k) in enumerate(
+                combinations(range(_SIMHASH_BLOCKS), _SIMHASH_BLOCKS - _HAMMING_MAX)
+            )
         ]
     )
     chunks = sh.select("doc_id", "simhash", F.explode(chunk_structs).alias("ck")).select(
