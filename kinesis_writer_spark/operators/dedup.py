@@ -628,11 +628,21 @@ CC_DRIVER_MAX_EDGES = 1_000_000
 #: rounds were the one super-linear term in the whole decade sweep, 8.7x
 #: time at 3.3x data; with the labels side broadcast a round costs 2.1 s
 #: vs 4.4 s re-shuffled, and the edge list is never exchanged at all).
-#: Labels are node-count-sized (duplicate-density, NOT corpus-sized):
-#: 4M rows x 16 B ≈ 64 MB serialized, the standard autoBroadcast bound.
-#: Above the gate the sort-merge rounds run unchanged — that is the
-#: arbitrarily-large-graph path.
-CC_LABELS_BROADCAST_MAX_ROWS = 4_000_000
+#: Labels are node-count-sized (duplicate-density, NOT corpus-sized).
+#: Gate at 1M rows (~16 MB serialized), NOT the 64 MB autoBroadcast-style
+#: bound originally used: the broadcast is rebuilt EVERY round (collect to
+#: driver + re-broadcast + build-side hash relation), and the r10 sf100
+#: decade run measured the cost of letting a 3.1M-label graph stay under
+#: a 4M gate — the per-round rebroadcasts left the whole session degraded
+#: (end-of-run calibration 1.65 s -> 10.9 s, per-job overhead 0.095 s ->
+#: 0.58 s, epoch drift 560%), while the same query forced above the gate
+#: at the same scale ended with a HEALTHY session (calib 1.71 s, overhead
+#: 0.067 s) and flat per-round times (artifacts/bench_sf100_cc_spot
+#: history + /tmp probe logs, r10). Since the above-gate rounds became
+#: exchange-free on the edge side (checkpoint_partitioned, r9/r10), the
+#: broadcast's advantage only holds while the broadcast itself is cheap —
+#: small multiples of the shuffle-partition count, not millions of rows.
+CC_LABELS_BROADCAST_MAX_ROWS = 1_000_000
 
 
 def _union_find_components(rows) -> dict:
