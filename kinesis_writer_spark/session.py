@@ -34,6 +34,17 @@ def get_spark(app_name: str = "kinesis_writer_spark", shuffle_partitions: int | 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # JDK 17 GCLocker starvation: a thread allocating while another
+        # holds a JNI critical region (Arrow/netty buffers) retries only
+        # GCLockerRetryAllocationCount=2 times before throwing a SPURIOUS
+        # OutOfMemoryError ("Retried waiting for GCLocker too often") even
+        # with tens of GB free — observed killing a 222M-row layout
+        # checkpoint at the sf100 fixture. Raise the retry budget; this is
+        # the documented JDK-side mitigation (JDK-8192647 family).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64",
+        )
         # Shuffle-file cleanup is GC-triggered (ContextCleaner weak refs),
         # and Spark's default periodic fallback GC is 30min — on a large
         # heap an iterative job (CC/PageRank rounds, multi-query sweeps)
