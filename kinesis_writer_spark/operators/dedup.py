@@ -443,14 +443,37 @@ def q54_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
         F.col("c").alias("c_b"), F.col("chunk_key").alias("chunk_key_b"),
     )
-    # hamming BEFORE the dedup: a pair matching in k chunks appears k (≤4)
-    # times out of the join, and bit_count on the joined row is a few ns —
-    # filtering first shrinks the distinct's input AND narrows its rows to
-    # (doc_a, doc_b, hamming) instead of carrying both 8-byte fingerprints
-    # through the dedup shuffle (r8: the memo-cold pair build is the top
-    # cost of the q144/q96/q255 sweep rows). hamming is a function of the
-    # pair, so the distinct is unchanged as a set.
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # Per-pair dedup WITHOUT a distinct shuffle: a near-identical pair is
+    # clean in most blocks, so it matches in up to C(6,3)=20 tables (a
+    # hamming-0 pair in all 20) — a distinct over that join output shuffles
+    # ~10-20 rows per true pair (measured: it doubled the sf10 pair build
+    # after the multi-table switch). Instead keep each pair ONLY in the
+    # first table whose block triple is fully clean for the pair — a pure
+    # expression of xor(sh_a, sh_b), evaluated map-side in the join's own
+    # Filter, so exactly one row per qualifying pair survives and the
+    # distinct exchange disappears. Every joined row's own triple is clean
+    # (its 30-bit key matched), so a qualifying pair always survives in
+    # exactly one table: no false negatives, no duplicates.
+    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+    hamming = F.bit_count(xor)
+
+    def _clean(i: int):
+        return (
+            F.shiftrightunsigned(xor, _SIMHASH_BLOCK_BITS * i).bitwiseAND(
+                F.lit((1 << _SIMHASH_BLOCK_BITS) - 1)
+            )
+            == 0
+        )
+
+    combos = list(
+        combinations(range(_SIMHASH_BLOCKS), _SIMHASH_BLOCKS - _HAMMING_MAX)
+    )
+    first_clean = F.lit(None).cast("bigint")
+    for t in range(len(combos) - 1, -1, -1):
+        i, j, k = combos[t]
+        first_clean = F.when(
+            _clean(i) & _clean(j) & _clean(k), F.lit(t).cast("bigint")
+        ).otherwise(first_clean)
     return (
         a.join(
             b,
@@ -458,9 +481,8 @@ def q54_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("chunk_key") == F.col("chunk_key_b"))
             & (F.col("doc_a") < F.col("doc_b")),
         )
+        .filter((hamming <= _HAMMING_MAX) & (F.col("c") == first_clean))
         .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
-        .filter(F.col("hamming") <= _HAMMING_MAX)
-        .distinct()
     )
 
 
