@@ -71,6 +71,7 @@ print(f"fixture: {n_edges} canonical edges "
       f"{N_DETACHED} detached chains)", flush=True)
 
 t0 = time.time()
+print(f"loop start unix: {t0:.3f}", flush=True)
 comps = dedup.connected_components(
     edges, src="doc_a", dst="doc_b", edges_distinct=True,
     driver_max_edges=0, algorithm="star", max_iters=60,
@@ -82,6 +83,8 @@ rr = dedup._components_star.last_round_rows
 print(f"star (above-gate): {n_nodes} nodes in {dt:.1f}s; "
       f"{len(rt)} rounds", flush=True)
 print(f"per-round times: {rt}", flush=True)
+print(f"boundary GC reclaims (r11, outside timed rounds): "
+      f"{getattr(dedup._components_star, 'last_boundary_gcs', [])}", flush=True)
 print(f"per-round edge rows (after large-star, after small-star): {rr}", flush=True)
 peak = max(max(a, b) for a, b in rr)
 print(f"peak materialized edge rows: {peak} "

@@ -80,6 +80,109 @@ def _run_once(queries, name: str, spark, sf_dir: str) -> None:
     queries[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
 
+#: Drift self-defense (r10 verdict task #2): a single-run headline taken in
+#: a drifting window needed manual adjudication (r10 driver artifact 36.08
+#: blend @ drift 13.9% vs same-HEAD rehearsal 28.52 @ 5.8% — a 27% spread
+#: above the ±20% floor). When the measured pass's intra-run calib drift
+#: exceeds this threshold, the headline pass re-runs (bounded) and the
+#: REPORTED figure is the median blend over the rehearsal set, preferring
+#: stable-window passes. A calm first pass costs nothing extra.
+DRIFT_RETRY_PCT = float(os.environ.get("SPARK_GRAFT_DRIFT_RETRY_PCT", "10"))
+DRIFT_MAX_RETRIES = int(os.environ.get("SPARK_GRAFT_DRIFT_RETRIES", "2"))
+
+
+def _headline_pass(queries, spark, sf_dir: str, errors: dict, pass_i: int) -> dict:
+    """One self-contained headline measurement: start probe -> median-of-3
+    suite -> end probe -> epoch verdict + blended normalization. Returns
+    everything a cross-round reader needs to adjudicate THIS pass alone."""
+    from kinesis_writer_spark.calibration import (
+        adjudicate_epoch,
+        calibrate,
+        normalize_suite,
+    )
+
+    tag = f"p{pass_i}"
+    calib: dict = {}
+    calib_end: dict = {}
+    timings: dict[str, float] = {}
+    headline_runs: dict[str, list[float]] = {}
+    try:
+        calib = calibrate(spark)
+    except Exception:
+        errors[f"calibration:{tag}"] = traceback.format_exc(limit=3)
+    for name in HEADLINE:
+        runs = []
+        try:
+            for _ in range(3):
+                t0 = time.monotonic()
+                _run_once(queries, name, spark, sf_dir)
+                runs.append(round(time.monotonic() - t0, 3))
+                spark.catalog.clearCache()
+            headline_runs[name] = runs
+            timings[name] = round(sorted(runs)[1], 3)
+        except Exception:
+            errors[f"{name}:{tag}"] = traceback.format_exc(limit=3)
+    try:
+        calib_end = calibrate(spark)
+    except Exception:
+        errors[f"calibration_end:{tag}"] = traceback.format_exc(limit=3)
+    try:
+        epoch = adjudicate_epoch(calib, calib_end)
+    except Exception:
+        epoch = {"verdict": "unmeasured"}
+        errors[f"epoch:{tag}"] = traceback.format_exc(limit=3)
+    try:
+        norm = normalize_suite(
+            timings, epoch.get("calib_vs_ref"), epoch.get("overhead_vs_ref")
+        )
+    except Exception:
+        norm = {"normalizer_note": "norm=error"}
+        errors[f"normalize:{tag}"] = traceback.format_exc(limit=3)
+    return {
+        "pass": pass_i,
+        "timings": timings,
+        "headline_runs": headline_runs,
+        "calibration": calib,
+        "calibration_end": calib_end,
+        "epoch": epoch,
+        "norm": norm,
+        "total": round(sum(timings.values()), 3),
+    }
+
+
+def _pick_reported_pass(passes: list[dict]) -> tuple[dict, dict]:
+    """Median-blend selection over the rehearsal set.
+
+    Stable-window passes (intra-run drift <= DRIFT_RETRY_PCT) are trusted
+    over drifting ones; among the trusted set (or all passes when none is
+    stable) the reported pass is the one whose blend is the median — so
+    ``value``/``queries`` and the normalized headline always come from the
+    SAME physical measurement. Returns (reported_pass, selection_note)."""
+    def _drift(p: dict):
+        return p["epoch"].get("intra_run_drift_pct")
+
+    def _blend(p: dict):
+        return p["norm"].get("value_norm_blend")
+
+    usable = [p for p in passes if _blend(p) is not None]
+    if not usable:
+        return passes[0], {"policy": "first-pass (no blend measured)"}
+    stable = [p for p in usable if _drift(p) is not None and _drift(p) <= DRIFT_RETRY_PCT]
+    pool = stable or usable
+    ranked = sorted(pool, key=_blend)
+    chosen = ranked[(len(ranked) - 1) // 2]  # lower median for even counts
+    return chosen, {
+        "policy": (
+            f"median blend over {len(pool)} "
+            + ("stable" if stable else "ALL-DRIFTING")
+            + f" pass(es) of {len(passes)} run"
+        ),
+        "pass_blends": [_blend(p) for p in passes],
+        "pass_drifts": [_drift(p) for p in passes],
+        "chosen_pass": chosen["pass"],
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -94,6 +197,9 @@ def main() -> None:
     calib_end: dict = {}
     gate: dict = {}
     cgate: dict = {}
+    hl_passes: list[dict] = []
+    hl_selection: dict = {}
+    reported: dict = {}
     # environment fingerprint: separates a code regression from a loaded
     # machine in one artifact (1/5/15-min loadavg before and after)
     load_start = list(os.getloadavg())
@@ -136,14 +242,6 @@ def main() -> None:
         except Exception:
             errors["calib_gate"] = traceback.format_exc(limit=3)
 
-        # host-throughput calibration (fixed pure-Spark probe, median of 3
-        # after its own warm-up): cross-round consumers should compare
-        # value/calib_seconds, not raw value — see BASELINE.md.
-        try:
-            calib = calibrate(spark)
-        except Exception:
-            errors["calibration"] = traceback.format_exc(limit=3)
-
         # one unmeasured pass first: JVM JIT + codegen caches warm up, so the
         # measured pass reports steady-state throughput (the regime a long-
         # running 100 TB job actually operates in, and the fair comparison
@@ -157,22 +255,29 @@ def main() -> None:
                 errors[name] = traceback.format_exc(limit=3)
         spark.catalog.clearCache()
 
-        # median of 3: single-shot timings at this scale swing ±2x with GC and
-        # thread scheduling; the median is the stable steady-state figure
-        for name in HEADLINE:
-            if name in warm_failed:
-                continue
-            runs = []
-            try:
-                for _ in range(3):
-                    t0 = time.monotonic()
-                    _run_once(queries, name, spark, sf_dir)
-                    runs.append(round(time.monotonic() - t0, 3))
-                    spark.catalog.clearCache()
-                headline_runs[name] = runs
-                timings[name] = round(sorted(runs)[1], 3)
-            except Exception:
-                errors[name] = traceback.format_exc(limit=3)
+        # Self-defending headline measurement (r10 verdict task #2): each
+        # pass is probe-bracketed (median of 3 per query inside); if the
+        # pass's own intra-run drift exceeds DRIFT_RETRY_PCT, re-run the
+        # whole pass (bounded by DRIFT_MAX_RETRIES) and report the median
+        # blend over the rehearsal set — no human adjudication needed when
+        # the driver's window happens to drift.
+        hl_passes = [_headline_pass(queries, spark, sf_dir, errors, 0)]
+        while len(hl_passes) <= DRIFT_MAX_RETRIES:
+            last = hl_passes[-1]
+            d = last["epoch"].get("intra_run_drift_pct")
+            if (
+                d is not None
+                and d <= DRIFT_RETRY_PCT
+                and last["norm"].get("value_norm_blend") is not None
+            ):
+                break  # calm window; this pass stands on its own
+            hl_passes.append(
+                _headline_pass(queries, spark, sf_dir, errors, len(hl_passes))
+            )
+        reported, hl_selection = _pick_reported_pass(hl_passes)
+        timings = reported["timings"]
+        headline_runs = reported["headline_runs"]
+        calib = reported["calibration"]
 
         # full-registry pass: covers every registered query so per-query
         # regressions anywhere show up round over round. A single cold shot
@@ -229,38 +334,31 @@ def main() -> None:
         errors["harness"] = traceback.format_exc(limit=5)
 
     total = round(sum(timings.values()), 3)
-    # Self-adjudication (r7 verdict task #2): normalized values + an epoch
-    # verdict computed HERE, so no future reader re-derives BASELINE.md's
-    # reading rules by hand. value_norm divides by this run's calib probe;
-    # comparing value_norm across rounds cancels host-epoch drift for the
-    # throughput-bound bulk of the suite (sub-second queries track the
-    # overhead ratio instead — both ratios are in the verdict string).
+    # Self-adjudication (r7 task #2) + drift self-defense (r10 task #2):
+    # the headline epoch verdict and blended normalization come from the
+    # REPORTED PASS's own probe bracket (tight around the suite), selected
+    # by median blend over the rehearsal set when the window drifted. The
+    # run-level epoch below (reported-pass start probe vs the closing probe
+    # after the full-registry sweep) stamps the all_queries window.
     try:
         from kinesis_writer_spark.calibration import adjudicate_epoch
 
-        epoch = adjudicate_epoch(calib, calib_end, cgate)
+        run_epoch = adjudicate_epoch(calib, calib_end, cgate)
     except Exception:
-        epoch = {"verdict": "unmeasured"}
+        run_epoch = {"verdict": "unmeasured"}
         errors["epoch_verdict"] = traceback.format_exc(limit=3)
+    epoch = dict(reported.get("epoch") or run_epoch)
+    if cgate.get("calib_gate_expired") and epoch.get("verdict"):
+        epoch["verdict"] += ";gate-expired"
+    norm_blend = reported.get("norm") or {"normalizer_note": "norm=unmeasured"}
     calib_sec = calib.get("calib_seconds")
     value_norm = round(total / calib_sec, 3) if calib_sec else None
-    # Blended normalizer (r9 verdict task #2): value_norm divides an
-    # overhead-dominated sum by the THROUGHPUT probe — the two epoch
-    # dimensions drift independently, so fast epochs inflated value_norm
-    # with no query-local movement (r9 adjudication). value_norm_blend
-    # divides each query by the probe that governs its regime and is the
-    # authoritative cross-round headline; the verdict string names it.
-    try:
-        from kinesis_writer_spark.calibration import normalize_suite
-
-        norm_blend = normalize_suite(
-            timings, epoch.get("calib_vs_ref"), epoch.get("overhead_vs_ref")
-        )
-    except Exception:
-        norm_blend = {"normalizer_note": "norm=error"}
-        errors["normalize_suite"] = traceback.format_exc(limit=3)
     if epoch.get("verdict") and norm_blend.get("normalizer_note"):
         epoch["verdict"] = f"{epoch['verdict']};{norm_blend['normalizer_note']}"
+    if epoch.get("verdict") and len(hl_passes) > 1:
+        epoch["verdict"] += (
+            f";hl_passes={len(hl_passes)}@p{hl_selection.get('chosen_pass')}"
+        )
     sec_norm = (
         {k: round(v / calib_sec, 4) for k, v in timings.items()} if calib_sec else {}
     )
@@ -311,6 +409,12 @@ def main() -> None:
         "all_sec_norm": all_sec_norm,
         "all_sec_norm_blend": all_sec_norm_blend,
         "epoch": epoch,
+        # drift self-defense detail (r10 task #2): every rehearsal pass in
+        # full, plus the median-blend selection rationale
+        "run_epoch": run_epoch,
+        "headline_passes": hl_passes,
+        "headline_selection": hl_selection,
+        "drift_retry_pct": DRIFT_RETRY_PCT,
         # Methodology stamp so cross-round deltas are interpretable
         # (timing changed r4->r5: cold single-shot -> warm median/min;
         # r5->r6: all_queries now memo-cold, see comment above the pass).
@@ -363,7 +467,8 @@ def main() -> None:
         "load1m": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
         "sf": sf,
         # compact stamp; full prose in artifacts/bench_full.json
-        "timing_method": "hl=median3-steady;aq=min2-memocold",
+        "timing_method": "hl=median3-steady+driftretry;aq=min2-memocold",
+        "hl_passes": len(hl_passes),
     }
     if errors:
         out["errors_n"] = len(errors)

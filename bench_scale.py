@@ -187,8 +187,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--base", default=SRC,
                     help="measured base scale dir (default /root/testdata/sf0.1)")
     ap.add_argument("--base-label", default="sf0.1")
-    ap.add_argument("--passes", type=int, default=2,
-                    help="decorrelated measurement passes per (query, scale)")
+    ap.add_argument("--passes", type=int, default=3,
+                    help="decorrelated measurement passes per (query, scale); "
+                    "3 since r11 — 2-run points carried visible noise (r10 "
+                    "verdict: q193's same-artifact sf10 runs spread 40.6/65.6s)")
     args = ap.parse_args(argv)
     scales = [int(s) for s in args.scales.split(",")]
     spot = [q for q in args.queries.split(",") if q]

@@ -781,15 +781,35 @@ def _components_star(e0: DataFrame, nodes: DataFrame, max_iters: int) -> DataFra
         live.append(out)
         return out
 
+    import os as _os
     import time as _time
+
+    # Round-boundary reclaim (r10 verdict task #3): shuffle-file /
+    # checkpoint-block cleanup is GC-triggered, and the session's 5-min
+    # periodic GC backstop (session.py) fires on ITS schedule — measured
+    # landing mid-round in the hub probe (round 12: 37.9 s vs ~8 s
+    # neighbors; artifacts/cc_hub_probe_gc_attrib.txt pins a Pause Full
+    # inside that round). When rounds are long enough for a scheduled GC
+    # to land inside one, do the reclaim explicitly AT the boundary
+    # instead — the periodic timer then finds a clean heap and its
+    # mid-round pause collapses. Gated on the previous round's duration
+    # so small-fixture tests (sub-second rounds, GC cost would dominate)
+    # never pay it; at cluster scale rounds are minutes and one boundary
+    # GC is noise.
+    _gc_thresh = float(_os.environ.get("SPARK_GRAFT_CC_BOUNDARY_GC_S", "5.0"))
 
     sig = _sig(cur)
     rounds = 0
     converged = False
     round_times: list[float] = []
     round_rows: list[tuple[int, int]] = []
+    boundary_gcs: list[float] = []
     for _ in range(max_iters):
         rounds += 1
+        if not bcast and round_times and round_times[-1] >= _gc_thresh:
+            _tg = _time.monotonic()
+            cur.sparkSession.sparkContext._jvm.System.gc()
+            boundary_gcs.append(round(_time.monotonic() - _tg, 3))
         _t0 = _time.monotonic()
         # large-star: (u, v) -> (u, m(v))
         mn = cur.groupBy(F.col("u").alias("n")).agg(F.min("v").alias("m"))
@@ -863,6 +883,7 @@ def _components_star(e0: DataFrame, nodes: DataFrame, max_iters: int) -> DataFra
     _components_star.last_converged = converged
     _components_star.last_round_times = round_times
     _components_star.last_round_rows = round_rows
+    _components_star.last_boundary_gcs = boundary_gcs
     star_labels = (
         cur.select(F.col("u").alias("node"), F.col("v").alias("comp"))
         .groupBy("node")

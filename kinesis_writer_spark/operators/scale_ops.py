@@ -49,6 +49,91 @@ _SHINGLES_DUCK = """
 """
 
 
+def q193_stages(
+    spark: SparkSession, sf_dir: str, ppjoin_filters: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """q193's (docs, candidates) stages, exposed so the candidate-cut is
+    testable in isolation (r10 verdict task #5): candidate count — not
+    candidate correctness — sizes the verify shuffle's scratch footprint,
+    and a refactor that silently dropped the PPJoin filters would only
+    surface as an sf100 ENOSPC. ``ppjoin_filters=False`` builds the
+    pre-r10 unfiltered prefix join, for measuring the cut.
+
+    Candidate join with the PPJoin length + positional filters (Xiao,
+    Wang, Lin, Yuan — WWW'08; row-level form per Vernica, Carey, Li —
+    SIGMOD'10). Both are EXACT (no false negatives at the threshold),
+    integer-only, and load-bearing at scale: the verify stage carries
+    two full shingle-hash arrays per candidate through a shuffle
+    (measured: the unfiltered candidate set at the sf100 fixture
+    demanded >65 GB of shuffle scratch and died ENOSPC on one box;
+    linear in candidates).
+     * length: J >= 4/5 needs 5*min(na,nb) >= 4*max(na,nb), since
+       inter <= min and union >= max.
+     * positional: for the EARLIEST shared prefix token, at rank rna
+       in a and rnb in b, every shared token sits at rank >= rna /
+       >= rnb, so inter <= 1 + min(na-rna, nb-rnb); J >= 4/5 needs
+       inter >= ceil(4(na+nb)/9), i.e. 9 + 9*min(na-rna, nb-rnb)
+       >= 4*(na+nb). A qualifying pair's earliest match always
+       passes, so filtering rows then distinct-ing pairs is exact.
+    """
+    from ..functions.hashing import md5_60bit
+
+    (documents,) = tables(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    inner = F.zip_with(
+        F.slice(ws, 2, F.size(ws) - 2),
+        F.slice(ws, 3, F.size(ws) - 2),
+        lambda b, c: F.concat_ws(" ", b, c),
+    )
+    sh3 = F.zip_with(
+        F.slice(ws, 1, F.size(ws) - 2), inner, lambda a, bc: F.concat_ws(" ", a, bc)
+    )
+    tok = documents.select(
+        "doc_id", F.explode(F.array_distinct(sh3)).alias("tok3")
+    ).select("doc_id", md5_60bit(F.col("tok3")).alias("tok")).distinct()
+    docs = tok.groupBy("doc_id").agg(F.sort_array(F.collect_list("tok")).alias("toks"))
+    dfq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id")
+    ranked = (
+        tok.join(dfq, "tok")
+        .withColumn("rn", F.row_number().over(w.orderBy("df", "tok")))
+        .withColumn("n", F.count(F.lit(1)).over(w))
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("n") - F.expr(f"({_J_NUM}*n + {_J_DEN - 1}) DIV {_J_DEN}") + 1
+    ).select("doc_id", "tok", "rn", "n")
+    join_cond = (F.col("tok") == F.col("tok_b")) & (F.col("doc_id") < F.col("doc_b"))
+    if ppjoin_filters:
+        join_cond = (
+            join_cond
+            & (
+                _J_DEN * F.least("n", "n_b")
+                >= _J_NUM * F.greatest("n", "n_b")
+            )
+            & (
+                (_J_NUM + _J_DEN)
+                * (1 + F.least(F.col("n") - F.col("rn"), F.col("n_b") - F.col("rn_b")))
+                >= _J_NUM * (F.col("n") + F.col("n_b"))
+            )
+        )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("tok").alias("tok_b"),
+                F.col("rn").alias("rn_b"),
+                F.col("n").alias("n_b"),
+            ),
+            join_cond,
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    return docs, cand
+
+
 @register(
     "q193_prefix_filter_join",
     oracle=f"""
@@ -118,74 +203,7 @@ def q193_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set (whose array payload sizes the verify shuffle) near the
     true-pair count rather than raw prefix co-occurrence.
     """
-    from ..functions.hashing import md5_60bit
-
-    (documents,) = tables(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
-    inner = F.zip_with(
-        F.slice(ws, 2, F.size(ws) - 2),
-        F.slice(ws, 3, F.size(ws) - 2),
-        lambda b, c: F.concat_ws(" ", b, c),
-    )
-    sh3 = F.zip_with(
-        F.slice(ws, 1, F.size(ws) - 2), inner, lambda a, bc: F.concat_ws(" ", a, bc)
-    )
-    tok = documents.select(
-        "doc_id", F.explode(F.array_distinct(sh3)).alias("tok3")
-    ).select("doc_id", md5_60bit(F.col("tok3")).alias("tok")).distinct()
-    docs = tok.groupBy("doc_id").agg(F.sort_array(F.collect_list("tok")).alias("toks"))
-    dfq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id")
-    ranked = (
-        tok.join(dfq, "tok")
-        .withColumn("rn", F.row_number().over(w.orderBy("df", "tok")))
-        .withColumn("n", F.count(F.lit(1)).over(w))
-    )
-    prefix = ranked.filter(
-        F.col("rn")
-        <= F.col("n") - F.expr(f"({_J_NUM}*n + {_J_DEN - 1}) DIV {_J_DEN}") + 1
-    ).select("doc_id", "tok", "rn", "n")
-    # Candidate join with the PPJoin length + positional filters (Xiao,
-    # Wang, Lin, Yuan — WWW'08; row-level form per Vernica, Carey, Li —
-    # SIGMOD'10). Both are EXACT (no false negatives at the threshold),
-    # integer-only, and load-bearing at scale: the verify stage below
-    # carries two full shingle-hash arrays per candidate through a
-    # shuffle, so candidate count — not candidate correctness — is what
-    # sizes the job's scratch footprint (measured: the unfiltered
-    # candidate set at the sf100 fixture demanded >65 GB of shuffle
-    # scratch and died ENOSPC on one box; linear in candidates).
-    #  * length: J >= 4/5 needs 5*min(na,nb) >= 4*max(na,nb), since
-    #    inter <= min and union >= max.
-    #  * positional: for the EARLIEST shared prefix token, at rank rna
-    #    in a and rnb in b, every shared token sits at rank >= rna /
-    #    >= rnb, so inter <= 1 + min(na-rna, nb-rnb); J >= 4/5 needs
-    #    inter >= ceil(4(na+nb)/9), i.e. 9 + 9*min(na-rna, nb-rnb)
-    #    >= 4*(na+nb). A qualifying pair's earliest match always
-    #    passes, so filtering rows then distinct-ing pairs is exact.
-    cand = (
-        prefix.alias("a")
-        .join(
-            prefix.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("tok").alias("tok_b"),
-                F.col("rn").alias("rn_b"),
-                F.col("n").alias("n_b"),
-            ),
-            (F.col("tok") == F.col("tok_b"))
-            & (F.col("doc_id") < F.col("doc_b"))
-            & (
-                _J_DEN * F.least("n", "n_b")
-                >= _J_NUM * F.greatest("n", "n_b")
-            )
-            & (
-                (_J_NUM + _J_DEN)
-                * (1 + F.least(F.col("n") - F.col("rn"), F.col("n_b") - F.col("rn_b")))
-                >= _J_NUM * (F.col("n") + F.col("n_b"))
-            ),
-        )
-        .select(F.col("doc_id").alias("doc_a"), "doc_b")
-        .distinct()
-    )
+    docs, cand = q193_stages(spark, sf_dir)
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     uni = F.size("toks_a") + F.size("toks_b") - inter
     return (

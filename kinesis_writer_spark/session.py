@@ -41,9 +41,15 @@ def get_spark(app_name: str = "kinesis_writer_spark", shuffle_partitions: int | 
         # with tens of GB free — observed killing a 222M-row layout
         # checkpoint at the sf100 fixture. Raise the retry budget; this is
         # the documented JDK-side mitigation (JDK-8192647 family).
+        # User-supplied driver JVM options (SPARK_GRAFT_DRIVER_JAVA_OPTS)
+        # are merged in front rather than replaced, mirroring the
+        # DRIVER_MEM / PERIODIC_GC override pattern.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64",
+            (
+                os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")
+                + " -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64"
+            ).strip(),
         )
         # Shuffle-file cleanup is GC-triggered (ContextCleaner weak refs),
         # and Spark's default periodic fallback GC is 30min — on a large

@@ -274,3 +274,61 @@ class TestNormalizeSuite:
             assert out["value_norm_blend"] is None
             assert out["value_norm_oh"] is None
             assert out["normalizer_note"] == "norm=unmeasured"
+
+
+class TestDriftRetrySelection:
+    """bench.py's drift self-defense (r10 verdict task #2): the reported
+    headline must be the median blend over the rehearsal set, preferring
+    stable-window passes, with value/queries taken from the SAME pass."""
+
+    @staticmethod
+    def _mk(pass_i, blend, drift):
+        return {
+            "pass": pass_i,
+            "timings": {"q": 1.0 + pass_i},
+            "epoch": {"intra_run_drift_pct": drift},
+            "norm": {"value_norm_blend": blend},
+        }
+
+    def test_single_calm_pass_reports_itself(self):
+        import bench
+
+        p = self._mk(0, 30.0, 5.0)
+        chosen, note = bench._pick_reported_pass([p])
+        assert chosen is p
+        assert "1 stable" in note["policy"]
+
+    def test_median_over_stable_passes_ignores_drifting_one(self):
+        import bench
+
+        drifty = self._mk(0, 40.0, 19.0)  # above DRIFT_RETRY_PCT default 10
+        calm_a = self._mk(1, 28.0, 4.0)
+        calm_b = self._mk(2, 31.0, 6.0)
+        chosen, note = bench._pick_reported_pass([drifty, calm_a, calm_b])
+        # lower median of the two stable blends (28.0, 31.0) -> pass 1
+        assert chosen is calm_a
+        assert note["chosen_pass"] == 1
+        assert "2 stable" in note["policy"]
+
+    def test_all_drifting_falls_back_to_median_of_all(self):
+        import bench
+
+        ps = [self._mk(i, b, 15.0) for i, b in enumerate([50.0, 33.0, 41.0])]
+        chosen, note = bench._pick_reported_pass(ps)
+        assert chosen["norm"]["value_norm_blend"] == 41.0
+        assert "ALL-DRIFTING" in note["policy"]
+
+    def test_missing_blend_never_crashes(self):
+        import bench
+
+        p = {"pass": 0, "timings": {}, "epoch": {}, "norm": {}}
+        chosen, note = bench._pick_reported_pass([p])
+        assert chosen is p
+        assert "no blend" in note["policy"]
+
+    def test_even_count_picks_lower_median_pass(self):
+        import bench
+
+        a, b = self._mk(0, 28.0, 3.0), self._mk(1, 34.0, 3.0)
+        chosen, _ = bench._pick_reported_pass([a, b])
+        assert chosen is a

@@ -252,6 +252,38 @@ class TestPrefixFilterBruteForce:
                     expected[(a, b)] = inter * 1_000_000 // uni
         assert got == expected
 
+    def test_q193_ppjoin_filters_stay_in_the_plan(self, spark):
+        """The PPJoin length + positional filters live in the candidate
+        join's ON condition; a refactor that dropped them would stay
+        oracle-green (they're exact) and only resurface as an sf100
+        ENOSPC (r10: unfiltered candidates demanded >65 GB scratch).
+        Pin their presence structurally: the optimized candidate plan
+        must carry the least/greatest filter expressions, and the
+        filtered candidate set must be strictly smaller than the
+        unfiltered prefix join on the same fixture."""
+        from kinesis_writer_spark.operators.scale_ops import q193_stages
+
+        _, cand = q193_stages(spark, SF_SMALL, ppjoin_filters=True)
+        plan = cand._jdf.queryExecution().optimizedPlan().toString().lower()
+        assert "least" in plan and "greatest" in plan, plan[:2000]
+
+    def test_q193_candidate_cut_pinned_at_sf01(self, spark):
+        """r10 verdict task #5: pin the measured candidate cut so scratch
+        blow-up can't regress silently. At sf0.1 the PPJoin filters cut
+        raw prefix co-occurrence 118 806 -> 12 806 (9.3x, SCALE.md);
+        assert the filtered count stays within 2x of the pinned figure
+        and the cut stays >= 4x. (sf0.01 is too small to discriminate —
+        measured cut there is 1.0x — so this one test runs at sf0.1,
+        ~15 s.)"""
+        from kinesis_writer_spark.operators.scale_ops import q193_stages
+
+        sf01 = "/root/testdata/sf0.1"
+        _, cand = q193_stages(spark, sf01, ppjoin_filters=True)
+        _, raw = q193_stages(spark, sf01, ppjoin_filters=False)
+        n_filtered, n_raw = cand.count(), raw.count()
+        assert n_filtered <= 2 * 12_806, n_filtered
+        assert n_raw >= 4 * n_filtered, (n_raw, n_filtered)
+
 
 class TestTriangleBruteForce:
     def test_q199_equals_adjacency_enumeration(self, spark):
