@@ -191,6 +191,11 @@ def main(argv: list[str] | None = None) -> None:
                     help="decorrelated measurement passes per (query, scale); "
                     "3 since r11 — 2-run points carried visible noise (r10 "
                     "verdict: q193's same-artifact sf10 runs spread 40.6/65.6s)")
+    ap.add_argument("--force-distributed-cc", action="store_true",
+                    help="zero the CC driver union-find AND labels-broadcast "
+                    "gates so every scale point runs the pure distributed "
+                    "star path — isolates trajectory from strategy-crossing "
+                    "(r10 verdict task #4)")
     args = ap.parse_args(argv)
     scales = [int(s) for s in args.scales.split(",")]
     spot = [q for q in args.queries.split(",") if q]
@@ -209,6 +214,12 @@ def main(argv: list[str] | None = None) -> None:
     from kinesis_writer_spark.memo import clear_all as clear_memos
     from kinesis_writer_spark.scalebench import summarize_results
     from kinesis_writer_spark.session import get_spark
+
+    if args.force_distributed_cc:
+        from kinesis_writer_spark.operators import dedup
+
+        dedup.CC_DRIVER_MAX_EDGES = 0
+        dedup.CC_LABELS_BROADCAST_MAX_ROWS = 0
 
     # The cross-scale RATIO is only drift-immune when the host epoch is
     # STABLE across the run; a mid-run slowdown hits one scale's shots
@@ -289,6 +300,7 @@ def main(argv: list[str] | None = None) -> None:
             f"calib probe shots (ref {ref_calib}s; scalebench.py)"
         ),
         "harness": "bench_scale.py (promoted r10; arithmetic in scalebench.py)",
+        "force_distributed_cc": args.force_distributed_cc,
         "queries": results,
         "max_ratio": max(e["ratio"] for e in results.values()),
         "calibration": calib,

@@ -1,0 +1,447 @@
+"""Streaming-plane soak bench (r10 verdict task #1): the last unmeasured
+axis. Three phases, one calib-bracketed artifact
+(artifacts/bench_stream_soak.json):
+
+(a) **sink soak** — replay an sf1+-sized event stream (sf0.1 events
+    replicated with shifted ids) through the production sink path:
+    ``readStream`` -> ``foreachBatch`` -> :func:`sink.write_dataframe`
+    (one KPL batcher per partition, random-shard routing, capture client
+    with a many-shard map). Records sustained user-records/s and payload
+    MB/s per micro-batch and overall, compared against (i) the single-core
+    pure-codec ceiling from bench_kpl.py and (ii) the Kinesis ingress
+    limit of the synthetic shard map (shards x 1 MiB/s) — the reference's
+    stated goal is that the SERVICE limit, not the producer, is the
+    bottleneck (build.sbt:21 "maximum throughput possible"), so the soak
+    passes when aggregate MB/s >> the shard map's ingress bound.
+
+(b) **stateful batcher soak** — the KPL batcher as a stateful streaming
+    operator (streaming/stateful_v2.py, applyInPandasWithState binding)
+    at >=128k distinct keys across many micro-batches, recording the
+    state store's ``numRowsTotal`` and size per batch. The flush
+    invariant bounds per-key state below the soft cap, so total state
+    must plateau at <= keys x (soft_max + per-key overhead) REGARDLESS
+    of stream length — the artifact records the plateau.
+
+(c) **checkpoint-resume mid-soak at volume** — a multi-million-record
+    keyed stream through the batcher with a file-sink + checkpoint; the
+    query is STOPPED mid-soak (not at a batch boundary of our choosing)
+    and restarted; after drain, every output wire batch is deaggregated
+    DISTRIBUTED-side and each input record id must appear EXACTLY once
+    (a final soft_max-sized sentinel per key forces all tails to flush,
+    so the check is total, not prefix-modulo-tail).
+
+Run:  PYTHONPATH=/root/repo python bench_stream.py [--replicas 100]
+          [--keys 131072] [--resume-rows 2000000] [--out bench_stream_soak.json]
+
+Reference behavior being scaled: KinesisWriter.scala:147-197's producer
+loop as a streaming sink; MyAggregator.scala:10-15's replay-from-raw state.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+ART = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
+EVENTS_SRC = "/root/testdata/sf0.1"
+FIX_ROOT = "/tmp/stream_soak_r11"
+
+
+# ---------------------------------------------------------------------------
+# fixtures (all built as DataFrame writes — nothing driver-side)
+# ---------------------------------------------------------------------------
+
+def build_sink_fixture(spark, replicas: int, n_files: int) -> str:
+    """sf0.1 events x replicas with shifted event ids, JSON-serialized to a
+    binary ``data`` column up front so the soak measures the SINK, not
+    to_json. ~190 B/payload."""
+    dst = f"{FIX_ROOT}/events_x{replicas}"
+    if os.path.exists(os.path.join(dst, "_SUCCESS")):
+        return dst
+    from kinesis_writer_spark import io as kio
+
+    ev = kio.load(spark, EVENTS_SRC, "events")
+    n = ev.count()
+    rep = spark.range(replicas).select(F.col("id").alias("r"))
+    (
+        ev.crossJoin(rep)
+        .select(
+            (F.col("event_id") + F.col("r") * n).alias("event_id"),
+            "ts", "user_id", "event_type", "value",
+        )
+        .select(
+            F.col("user_id").cast("string").alias("pk"),
+            F.to_json(F.struct("event_id", "ts", "user_id", "event_type", "value"))
+            .cast("binary")
+            .alias("data"),
+        )
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(dst)
+    )
+    return dst
+
+
+def build_keyed_fixture(spark, dst: str, n_files: int, rows_per_file: int,
+                        n_keys: int, payload_pad: int = 96) -> str:
+    """(pk, data) stream files; every record carries a globally unique id
+    inside its payload so exactly-once is checkable after deaggregation."""
+    if os.path.exists(os.path.join(dst, "_SUCCESS")):
+        return dst
+    total = n_files * rows_per_file
+    # contiguous id blocks per file, ids cycling over keys WITHIN each
+    # block: every key appears in every micro-batch (the per-key state is
+    # read+rewritten each batch — the soak regime), and each record id is
+    # globally unique
+    (
+        spark.range(total)
+        .select(
+            (F.col("id") / rows_per_file).cast("long").alias("f"),
+            F.format_string(f"k%0{len(str(n_keys))}d", (F.col("id") % n_keys)).alias("pk"),
+            F.encode(
+                F.concat(
+                    F.format_string("rec-%012d|", F.col("id")),
+                    F.lit("x" * payload_pad),
+                ),
+                "UTF-8",
+            ).alias("data"),
+        )
+        .repartitionByRange(n_files, "f")
+        .sortWithinPartitions("f")
+        .drop("f")
+        .write.mode("overwrite")
+        .parquet(dst)
+    )
+    return dst
+
+
+def build_sentinel_file(spark, stream_dir: str, n_keys: int, soft_max: int) -> None:
+    """One soft_max-sized payload per key, appended as the stream's final
+    file(s): adding it crosses the soft cap, so every key's tail flushes
+    and the exactly-once check covers EVERY record."""
+    (
+        spark.range(n_keys)
+        .select(
+            F.format_string(f"k%0{len(str(n_keys))}d", F.col("id")).alias("pk"),
+            F.encode(
+                F.concat(
+                    F.format_string("sent-%012d|", F.col("id")),
+                    F.lit("z" * soft_max),
+                ),
+                "UTF-8",
+            ).alias("data"),
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(stream_dir)
+    )
+
+
+def _keyed_stream(spark, path: str, max_files: int):
+    return (
+        spark.readStream.schema("pk string, data binary")
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+
+
+# ---------------------------------------------------------------------------
+# phase (a): sink throughput soak
+# ---------------------------------------------------------------------------
+
+def sink_soak(spark, replicas: int, n_files: int, files_per_trigger: int,
+              shards: int) -> dict:
+    from kinesis_writer_spark.sink import FakeKinesisClient, write_dataframe
+
+    src = build_sink_fixture(spark, replicas, n_files)
+    batches: list[dict] = []
+
+    def handle(batch_df, epoch_id: int) -> None:
+        nbytes = batch_df.agg(F.sum(F.length("data"))).first()[0] or 0
+        t0 = time.monotonic()
+        n = write_dataframe(
+            batch_df, "soak", lambda: FakeKinesisClient(num_shards=shards)
+        )
+        dt = time.monotonic() - t0
+        batches.append(
+            {"epoch": epoch_id, "records": n, "payload_bytes": int(nbytes),
+             "secs": round(dt, 3),
+             "recs_per_sec": round(n / dt) if dt > 0 else None,
+             "mb_per_sec": round(nbytes / dt / 1e6, 1) if dt > 0 else None}
+        )
+
+    q = (
+        spark.readStream.schema("pk string, data binary")
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(src)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", f"{FIX_ROOT}/ckpt_sink_{replicas}_{time.time_ns()}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    total_recs = sum(b["records"] for b in batches)
+    total_bytes = sum(b["payload_bytes"] for b in batches)
+    total_secs = sum(b["secs"] for b in batches)
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    kpl = {}
+    try:
+        with open(os.path.join(ART, "bench_kpl.json")) as f:
+            kpl = json.load(f)
+    except Exception:
+        pass
+    mb_s = round(total_bytes / total_secs / 1e6, 1) if total_secs else None
+    return {
+        "replicas": replicas,
+        "n_micro_batches": len(batches),
+        "shards": shards,
+        "total_records": total_recs,
+        "total_payload_mb": round(total_bytes / 1e6, 1),
+        "sustained_secs": round(total_secs, 2),
+        "sustained_recs_per_sec": round(total_recs / total_secs) if total_secs else None,
+        "sustained_mb_per_sec": mb_s,
+        "per_core_recs_per_sec": round(total_recs / total_secs / cpus) if total_secs else None,
+        # the soak's pass criterion: producer >> service ingress limit
+        "shard_ingress_limit_mb_per_sec": shards * 1.0,
+        "x_shard_ingress_limit": round(mb_s / shards, 1) if mb_s else None,
+        "bench_kpl_single_core_recs_per_sec": (kpl.get("cases") or [{}])[0].get(
+            "encode_recs_per_sec"
+        ),
+        "batches": batches,
+    }
+
+
+# ---------------------------------------------------------------------------
+# phase (b): stateful batcher state-growth soak
+# ---------------------------------------------------------------------------
+
+def state_soak(spark, n_keys: int, n_files: int, rows_per_file: int,
+               soft_max: int) -> dict:
+    from kinesis_writer_spark.streaming.stateful_v2 import kpl_batch_stream_legacy
+
+    src = build_keyed_fixture(
+        spark, f"{FIX_ROOT}/keyed_{n_keys}_{n_files}x{rows_per_file}",
+        n_files, rows_per_file, n_keys,
+    )
+    out = f"{FIX_ROOT}/state_out_{time.time_ns()}"
+    q = (
+        kpl_batch_stream_legacy(_keyed_stream(spark, src, 1), soft_max_bytes=soft_max)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", f"{FIX_ROOT}/ckpt_state_{time.time_ns()}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = []
+    for p in q.recentProgress:
+        ops = p.get("stateOperators") or [{}]
+        cm = ops[0].get("customMetrics") or {}
+        progress.append(
+            {
+                "batchId": p.get("batchId"),
+                "numInputRows": p.get("numInputRows"),
+                "trigger_ms": (p.get("durationMs") or {}).get("triggerExecution"),
+                "state_rows": ops[0].get("numRowsTotal"),
+                "state_mem_bytes": ops[0].get("memoryUsedBytes"),
+                "state_bytes_current": cm.get("stateOnCurrentVersionSizeBytes"),
+            }
+        )
+    measured = [p for p in progress if p["numInputRows"]]
+    peak_rows = max((p["state_rows"] or 0) for p in measured) if measured else 0
+    peak_bytes = max((p["state_bytes_current"] or p["state_mem_bytes"] or 0)
+                     for p in measured) if measured else 0
+    completed = spark.read.parquet(out).count()
+    return {
+        "n_keys": n_keys,
+        "n_micro_batches": len(measured),
+        "rows_per_batch": rows_per_file,
+        "soft_max_bytes": soft_max,
+        "completed_wire_batches": completed,
+        "peak_state_rows": peak_rows,
+        "state_rows_bounded_by_keys": peak_rows <= n_keys,
+        "peak_state_bytes": int(peak_bytes),
+        # flush invariant: tail < soft_max framed bytes per key; generous
+        # per-key bookkeeping overhead allowance on top
+        "state_bound_bytes": n_keys * (soft_max + 512),
+        "state_bytes_bounded": bool(peak_bytes <= n_keys * (soft_max + 512)),
+        "per_batch": measured,
+    }
+
+
+# ---------------------------------------------------------------------------
+# phase (c): checkpoint-resume mid-soak, exactly-once at volume
+# ---------------------------------------------------------------------------
+
+def resume_soak(spark, n_keys: int, n_files: int, rows_per_file: int,
+                soft_max: int) -> dict:
+    from kinesis_writer_spark.streaming.stateful_v2 import kpl_batch_stream_legacy
+
+    stream_dir = f"{FIX_ROOT}/resume_{n_keys}_{n_files}x{rows_per_file}_{time.time_ns()}"
+    build_keyed_fixture(spark, stream_dir, n_files, rows_per_file, n_keys)
+    build_sentinel_file(spark, stream_dir, n_keys, soft_max)
+    out = f"{FIX_ROOT}/resume_out_{time.time_ns()}"
+    ckpt = f"{FIX_ROOT}/ckpt_resume_{time.time_ns()}"
+
+    def start(trigger_available_now: bool):
+        writer = (
+            kpl_batch_stream_legacy(_keyed_stream(spark, stream_dir, 1), soft_max_bytes=soft_max)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    # leg 1: continuous micro-batches; stop MID-SOAK once ~half the files
+    # have been committed (not a cooperative end-of-input shutdown)
+    q = start(trigger_available_now=False)
+    half = (n_files + 1) // 2
+    t0 = time.monotonic()
+    committed = 0
+    while committed < half and time.monotonic() - t0 < 600:
+        time.sleep(0.5)
+        committed = sum(1 for p in q.recentProgress if p.get("numInputRows"))
+    q.stop()
+    q.awaitTermination()
+    leg1_batches = committed
+
+    # leg 2: resume from the checkpoint, drain everything incl. sentinel
+    q2 = start(trigger_available_now=True)
+    q2.awaitTermination()
+
+    # exactly-once check, DISTRIBUTED (no driver funnel): deaggregate every
+    # output wire batch executor-side, extract the unique record ids,
+    # assert each appears exactly once and none is missing.
+    wires = spark.read.parquet(out)
+
+    def explode_ids(pdf_iter):
+        import pandas as pd
+
+        from kinesis_writer_spark.kpl.deaggregator import deaggregate
+
+        for pdf in pdf_iter:
+            ids = []
+            for wire in pdf["wire"]:
+                for rec in deaggregate(bytes(wire)):
+                    ids.append(bytes(rec.data[:17]).decode("utf-8", "replace"))
+            yield pd.DataFrame({"rid": ids})
+
+    ids = wires.mapInPandas(explode_ids, "rid string")
+    stats = ids.groupBy("rid").count()
+    n_total = n_files * rows_per_file + n_keys  # records + sentinels
+    agg = stats.agg(
+        F.count(F.lit(1)).alias("distinct_ids"),
+        F.sum("count").alias("total_ids"),
+        F.max("count").alias("max_per_id"),
+    ).first()
+    return {
+        "n_keys": n_keys,
+        "input_records": n_files * rows_per_file,
+        "sentinel_records": n_keys,
+        "leg1_committed_batches": leg1_batches,
+        "decoded_total": int(agg["total_ids"] or 0),
+        "decoded_distinct": int(agg["distinct_ids"] or 0),
+        "max_occurrences_per_id": int(agg["max_per_id"] or 0),
+        "expected": n_total,
+        "exactly_once": bool(
+            agg["total_ids"] == n_total
+            and agg["distinct_ids"] == n_total
+            and agg["max_per_id"] == 1
+        ),
+    }
+
+
+# ---------------------------------------------------------------------------
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--replicas", type=int, default=100,
+                    help="events replication for the sink soak (100 = sf10, 10M records)")
+    ap.add_argument("--files", type=int, default=64)
+    ap.add_argument("--files-per-trigger", type=int, default=4)
+    ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--keys", type=int, default=131_072)
+    ap.add_argument("--state-batches", type=int, default=8)
+    ap.add_argument("--state-rows-per-batch", type=int, default=524_288)
+    ap.add_argument("--state-soft-max", type=int, default=1024)
+    ap.add_argument("--resume-keys", type=int, default=4096)
+    ap.add_argument("--resume-files", type=int, default=16)
+    ap.add_argument("--resume-rows", type=int, default=2_000_000)
+    ap.add_argument("--resume-soft-max", type=int, default=16_384)
+    ap.add_argument("--skip", default="", help="comma list: sink,state,resume")
+    ap.add_argument("--out", default="bench_stream_soak.json")
+    args = ap.parse_args(argv)
+    skip = set(args.skip.split(","))
+
+    from kinesis_writer_spark.calibration import (
+        _probe_once,
+        adjudicate_epoch,
+        calib_gate,
+        calibrate,
+    )
+    from kinesis_writer_spark.session import get_spark
+
+    spark = get_spark("bench_stream")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(FIX_ROOT, exist_ok=True)
+
+    cgate = calib_gate(spark, max_wait_s=float(os.environ.get("SPARK_GRAFT_CALIB_GATE_S", "600")))
+    calib = calibrate(spark)
+    out: dict = {
+        "metric": "stream_soak",
+        "calibration": calib,
+        "calib_gate": cgate,
+        "phases": {},
+        "paired_calib_shots": {},
+    }
+    try:
+        if "sink" not in skip:
+            shot = _probe_once(spark)
+            out["phases"]["sink"] = sink_soak(
+                spark, args.replicas, args.files, args.files_per_trigger, args.shards
+            )
+            out["paired_calib_shots"]["sink"] = [shot, _probe_once(spark)]
+        if "state" not in skip:
+            shot = _probe_once(spark)
+            out["phases"]["state"] = state_soak(
+                spark, args.keys, args.state_batches,
+                args.state_rows_per_batch, args.state_soft_max,
+            )
+            out["paired_calib_shots"]["state"] = [shot, _probe_once(spark)]
+        if "resume" not in skip:
+            shot = _probe_once(spark)
+            rows_per_file = args.resume_rows // args.resume_files
+            out["phases"]["resume"] = resume_soak(
+                spark, args.resume_keys, args.resume_files,
+                rows_per_file, args.resume_soft_max,
+            )
+            out["paired_calib_shots"]["resume"] = [shot, _probe_once(spark)]
+    finally:
+        calib_end = calibrate(spark)
+        out["calibration_end"] = calib_end
+        out["epoch"] = adjudicate_epoch(calib, calib_end, cgate)
+        os.makedirs(ART, exist_ok=True)
+        with open(os.path.join(ART, args.out), "w") as f:
+            json.dump(out, f, indent=1, sort_keys=True)
+        compact = {
+            k: {kk: vv for kk, vv in v.items() if not isinstance(vv, list)}
+            for k, v in out["phases"].items()
+        }
+        print(json.dumps({"metric": "stream_soak", "phases": compact,
+                          "epoch": out["epoch"].get("verdict")}))
+
+
+if __name__ == "__main__":
+    main()
