@@ -63,7 +63,7 @@ def build_sink_fixture(spark, replicas: int, n_files: int) -> str:
     """sf0.1 events x replicas with shifted event ids, JSON-serialized to a
     binary ``data`` column up front so the soak measures the SINK, not
     to_json. ~190 B/payload."""
-    dst = f"{FIX_ROOT}/events_x{replicas}"
+    dst = f"{FIX_ROOT}/events_x{replicas}_f{n_files}"
     if os.path.exists(os.path.join(dst, "_SUCCESS")):
         return dst
     from kinesis_writer_spark import io as kio

@@ -9,7 +9,8 @@ Capability parity targets (implementation original, Spark-first):
   - returned user-record count      /root/reference KinesisWriter.scala:115,192
 
 Cluster model: one :class:`KinesisStreamWriter` per Spark partition inside
-``foreachPartition`` (batch) or ``foreachBatch`` (streaming). Each partition
+an Arrow-batched ``mapInPandas`` (batch) or ``foreachBatch`` (streaming;
+same path per micro-batch). Each partition
 batches independently to ~1 MiB aggregated records and routes each flush to a
 uniformly random open shard, so N executors saturate all shards without
 coordination. No driver-side collect anywhere.
@@ -541,15 +542,27 @@ def write_dataframe(
 
     At 100 TB this is the whole design: partitions batch and ship in parallel,
     each flush routed to a random shard, no shuffle and no driver collect.
-    """
-    acc = df.sparkSession.sparkContext.accumulator(0)
 
-    def handle_partition(rows) -> None:
-        first = next(rows, None)
-        if first is None:
-            return
+    Arrow-batched (r11): the payload column reaches the Python worker as
+    Arrow record batches via ``mapInPandas`` — the r11 streaming soak
+    measured the previous row-at-a-time ``foreachPartition`` path at
+    9.1k recs/s/core on ~100 B payloads vs the pure codec's 184k/core,
+    i.e. Row pickling, not the KPL codec, was the sink bottleneck
+    (artifacts/bench_stream_soak.json). Only ``data_col`` is shipped
+    (column pruning reaches the scan), one batcher per partition as
+    before, and the count comes back as the job's OUTPUT rather than an
+    accumulator — accumulators can double-count on task retry.
+    """
+
+    def handle_batches(pdf_iter):
         import itertools
 
+        import pandas as pd
+
+        nonempty = (pdf for pdf in pdf_iter if len(pdf))
+        first = next(nonempty, None)
+        if first is None:
+            return  # empty partition: no client, no shard discovery
         client = client_factory()
         writer = KinesisStreamWriter(
             stream_name,
@@ -558,11 +571,19 @@ def write_dataframe(
             sleep=sleep,
             rate_limiter=rate_limiter_factory() if rate_limiter_factory else None,
         )
-        payloads = (row[data_col] for row in itertools.chain([first], rows))
-        acc.add(writer.write(payloads))
 
-    df.foreachPartition(handle_partition)
-    return acc.value
+        def payloads() -> Iterator[bytes]:
+            for pdf in itertools.chain([first], nonempty):
+                for data in pdf[data_col]:
+                    yield data if type(data) is bytes else bytes(data)
+
+        yield pd.DataFrame({"n": [writer.write(payloads())]})
+
+    from pyspark.sql import functions as F
+
+    counts = df.select(data_col).mapInPandas(handle_batches, "n bigint")
+    total = counts.agg(F.sum("n")).first()[0]
+    return int(total or 0)
 
 
 def foreach_batch_sink(stream_name: str, client_factory: Callable[[], object], data_col: str = "data"):
