@@ -223,17 +223,28 @@ def sink_soak(spark, replicas: int, n_files: int, files_per_trigger: int,
 # phase (b): stateful batcher state-growth soak
 # ---------------------------------------------------------------------------
 
-def state_soak(spark, n_keys: int, n_files: int, rows_per_file: int,
-               soft_max: int) -> dict:
-    from kinesis_writer_spark.streaming.stateful_v2 import kpl_batch_stream_legacy
+def _binding(name: str):
+    """legacy = applyInPandasWithState (HDFS-backed store); tws =
+    transformWithStateInPandas (RocksDB store — the provider a 100 TB
+    deployment would run, disk-backed with changelog checkpointing)."""
+    from kinesis_writer_spark.streaming import stateful_v2
 
+    if name == "tws":
+        if not stateful_v2.TWS_AVAILABLE:
+            raise RuntimeError("tws binding requires protobuf (TWS_AVAILABLE=False)")
+        return stateful_v2.kpl_batch_stream
+    return stateful_v2.kpl_batch_stream_legacy
+
+
+def state_soak(spark, n_keys: int, n_files: int, rows_per_file: int,
+               soft_max: int, binding: str = "legacy") -> dict:
     src = build_keyed_fixture(
         spark, f"{FIX_ROOT}/keyed_{n_keys}_{n_files}x{rows_per_file}",
         n_files, rows_per_file, n_keys,
     )
     out = f"{FIX_ROOT}/state_out_{time.time_ns()}"
     q = (
-        kpl_batch_stream_legacy(_keyed_stream(spark, src, 1), soft_max_bytes=soft_max)
+        _binding(binding)(_keyed_stream(spark, src, 1), soft_max_bytes=soft_max)
         .writeStream.format("parquet")
         .option("path", out)
         .outputMode("append")
@@ -253,7 +264,13 @@ def state_soak(spark, n_keys: int, n_files: int, rows_per_file: int,
                 "trigger_ms": (p.get("durationMs") or {}).get("triggerExecution"),
                 "state_rows": ops[0].get("numRowsTotal"),
                 "state_mem_bytes": ops[0].get("memoryUsedBytes"),
-                "state_bytes_current": cm.get("stateOnCurrentVersionSizeBytes"),
+                # HDFS provider reports committed-version bytes; RocksDB
+                # (tws binding) reports SST file bytes instead
+                "state_bytes_current": (
+                    cm.get("stateOnCurrentVersionSizeBytes")
+                    if cm.get("stateOnCurrentVersionSizeBytes") is not None
+                    else cm.get("rocksdbTotalSstFilesBytes")
+                ),
             }
         )
     measured = [p for p in progress if p["numInputRows"]]
@@ -262,6 +279,7 @@ def state_soak(spark, n_keys: int, n_files: int, rows_per_file: int,
                      for p in measured) if measured else 0
     completed = spark.read.parquet(out).count()
     return {
+        "binding": binding,
         "n_keys": n_keys,
         "n_micro_batches": len(measured),
         "rows_per_batch": rows_per_file,
@@ -376,6 +394,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--state-batches", type=int, default=8)
     ap.add_argument("--state-rows-per-batch", type=int, default=524_288)
     ap.add_argument("--state-soft-max", type=int, default=1024)
+    ap.add_argument("--binding", default="legacy", choices=["legacy", "tws"],
+                    help="stateful batcher API for the state phase: legacy="
+                    "applyInPandasWithState (HDFS store), tws="
+                    "transformWithStateInPandas (RocksDB store)")
     ap.add_argument("--resume-keys", type=int, default=4096)
     ap.add_argument("--resume-files", type=int, default=16)
     ap.add_argument("--resume-rows", type=int, default=2_000_000)
@@ -418,6 +440,7 @@ def main(argv: list[str] | None = None) -> None:
             out["phases"]["state"] = state_soak(
                 spark, args.keys, args.state_batches,
                 args.state_rows_per_batch, args.state_soft_max,
+                binding=args.binding,
             )
             out["paired_calib_shots"]["state"] = [shot, _probe_once(spark)]
         if "resume" not in skip:
