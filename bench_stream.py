@@ -278,20 +278,28 @@ def state_soak(spark, n_keys: int, n_files: int, rows_per_file: int,
     peak_bytes = max((p["state_bytes_current"] or p["state_mem_bytes"] or 0)
                      for p in measured) if measured else 0
     completed = spark.read.parquet(out).count()
+    # tws keeps TWO state variables per key (tail ListState + seq
+    # ValueState), each its own column family: numRowsTotal counts both,
+    # and RocksDB carries more per-key metadata than the HDFS map store
+    state_vars = 2 if binding == "tws" else 1
+    per_key_overhead = 1600 if binding == "tws" else 512
     return {
         "binding": binding,
+        "state_vars_per_key": state_vars,
         "n_keys": n_keys,
         "n_micro_batches": len(measured),
         "rows_per_batch": rows_per_file,
         "soft_max_bytes": soft_max,
         "completed_wire_batches": completed,
         "peak_state_rows": peak_rows,
-        "state_rows_bounded_by_keys": peak_rows <= n_keys,
+        "state_rows_bounded_by_keys": peak_rows <= n_keys * state_vars,
         "peak_state_bytes": int(peak_bytes),
-        # flush invariant: tail < soft_max framed bytes per key; generous
-        # per-key bookkeeping overhead allowance on top
-        "state_bound_bytes": n_keys * (soft_max + 512),
-        "state_bytes_bounded": bool(peak_bytes <= n_keys * (soft_max + 512)),
+        # flush invariant: tail < soft_max framed bytes per key; per-key
+        # bookkeeping allowance on top (column families + store metadata)
+        "state_bound_bytes": n_keys * (soft_max + per_key_overhead),
+        "state_bytes_bounded": bool(
+            peak_bytes <= n_keys * (soft_max + per_key_overhead)
+        ),
         "per_batch": measured,
     }
 
@@ -413,7 +421,10 @@ def main(argv: list[str] | None = None) -> None:
         calib_gate,
         calibrate,
     )
+    # the protobuf fallback (tws binding) must engage BEFORE the session
+    # exists so the JVM-spawned streaming Python runners inherit PYTHONPATH
     from kinesis_writer_spark.session import get_spark
+    from kinesis_writer_spark.streaming import stateful_v2  # noqa: F401
 
     spark = get_spark("bench_stream")
     spark.sparkContext.setLogLevel("ERROR")
