@@ -1,5 +1,5 @@
 """Streaming-plane soak bench (r10 verdict task #1): the last unmeasured
-axis. Three phases, one calib-bracketed artifact
+axis. Four phases, one calib-bracketed artifact
 (artifacts/bench_stream_soak.json):
 
 (a) **sink soak** — replay an sf1+-sized event stream (sf0.1 events
@@ -29,6 +29,13 @@ axis. Three phases, one calib-bracketed artifact
     DISTRIBUTED-side and each input record id must appear EXACTLY once
     (a final soft_max-sized sentinel per key forces all tails to flush,
     so the check is total, not prefix-modulo-tail).
+
+(d) **stream-stream interval join** — `interval_join_streams` at volume
+    (two watermarked sides, 30-min event-time interval), recording join
+    state rows per micro-batch: the watermark must EVICT, so state
+    plateaus at the buffered-hours bound instead of growing with the
+    stream — the feasibility condition for stream-stream joins at
+    100 TB/day.
 
 Run:  PYTHONPATH=/root/repo python bench_stream.py [--replicas 100]
           [--keys 131072] [--resume-rows 2000000] [--out bench_stream_soak.json]
@@ -305,6 +312,106 @@ def state_soak(spark, n_keys: int, n_files: int, rows_per_file: int,
 
 
 # ---------------------------------------------------------------------------
+# phase (d): stream-stream interval join — watermark eviction bounds state
+# ---------------------------------------------------------------------------
+
+def build_timed_fixture(spark, dst: str, n_files: int, rows_per_file: int,
+                        n_keys: int, id_offset: int = 0) -> str:
+    """Event-time-ordered stream files: file f covers hour f, written
+    SEQUENTIALLY so the file source's mod-time order advances event time
+    monotonically and the watermark actually moves every micro-batch."""
+    if os.path.exists(os.path.join(dst, "_FIXTURE_DONE")):
+        return dst
+    for f in range(n_files):
+        (
+            spark.range(f * rows_per_file, (f + 1) * rows_per_file)
+            .select(
+                F.timestamp_seconds(
+                    F.lit(f * 3600) + (F.col("id") % rows_per_file) * (3600.0 / rows_per_file)
+                ).alias("ts"),
+                (F.col("id") % n_keys).alias("user_id"),
+                (F.col("id") + id_offset).alias("event_id"),
+            )
+            .coalesce(4)
+            .write.mode("append")
+            .parquet(dst)
+        )
+        time.sleep(0.05)  # distinct mod-times -> deterministic file order
+    open(os.path.join(dst, "_FIXTURE_DONE"), "w").close()
+    return dst
+
+
+def join_soak(spark, n_keys: int, n_files: int, rows_per_file: int) -> dict:
+    """interval_join_streams at volume: both sides watermarked (2 h) with a
+    30-min event-time interval, so Spark EVICTS join state as the watermark
+    passes — per-batch state rows must PLATEAU (bounded by the hours the
+    watermark+interval keeps buffered), not grow with stream length. The
+    100 TB claim for stream-stream joins is exactly this plateau."""
+    from kinesis_writer_spark.streaming.windows import interval_join_streams
+
+    base = f"{FIX_ROOT}/joinfix_{n_keys}_{n_files}x{rows_per_file}"
+    left_dir = build_timed_fixture(spark, base + "_L", n_files, rows_per_file, n_keys)
+    right_dir = build_timed_fixture(
+        spark, base + "_R", n_files, rows_per_file, n_keys, id_offset=10**12
+    )
+    schema = "ts timestamp, user_id bigint, event_id bigint"
+
+    def src(path):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 4)  # one hour-file per side per batch
+            .parquet(path)
+        )
+
+    out = f"{FIX_ROOT}/join_out_{time.time_ns()}"
+    q = (
+        interval_join_streams(src(left_dir), src(right_dir))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", f"{FIX_ROOT}/ckpt_join_{time.time_ns()}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    per_batch = []
+    for p in q.recentProgress:
+        ops = p.get("stateOperators") or [{}]
+        per_batch.append(
+            {
+                "batchId": p.get("batchId"),
+                "numInputRows": p.get("numInputRows"),
+                "trigger_ms": (p.get("durationMs") or {}).get("triggerExecution"),
+                "state_rows": ops[0].get("numRowsTotal"),
+                "state_rows_removed": ops[0].get("numRowsRemoved"),
+                "watermark": p.get("eventTime", {}).get("watermark"),
+            }
+        )
+    measured = [p for p in per_batch if p["numInputRows"]]
+    peak = max((p["state_rows"] or 0) for p in measured) if measured else 0
+    total_in = 2 * n_files * rows_per_file
+    # watermark 2 h + interval 0.5 h -> <= ~3.5 buffered hours per side;
+    # generous bound at 5 hour-files per side
+    bound = 2 * rows_per_file * 5
+    evicted = sum((p["state_rows_removed"] or 0) for p in measured)
+    joined = spark.read.parquet(out).count()
+    return {
+        "n_keys": n_keys,
+        "n_files_per_side": n_files,
+        "rows_per_file": rows_per_file,
+        "total_input_rows": total_in,
+        "joined_rows": joined,
+        "n_micro_batches": len(measured),
+        "peak_state_rows": peak,
+        "state_bound_rows": bound,
+        "state_bounded": bool(peak <= bound),
+        "rows_evicted": evicted,
+        "eviction_active": bool(evicted > 0),
+        "per_batch": measured,
+    }
+
+
+# ---------------------------------------------------------------------------
 # phase (c): checkpoint-resume mid-soak, exactly-once at volume
 # ---------------------------------------------------------------------------
 
@@ -406,11 +513,14 @@ def main(argv: list[str] | None = None) -> None:
                     help="stateful batcher API for the state phase: legacy="
                     "applyInPandasWithState (HDFS store), tws="
                     "transformWithStateInPandas (RocksDB store)")
+    ap.add_argument("--join-keys", type=int, default=10_000)
+    ap.add_argument("--join-files", type=int, default=12)
+    ap.add_argument("--join-rows-per-file", type=int, default=200_000)
     ap.add_argument("--resume-keys", type=int, default=4096)
     ap.add_argument("--resume-files", type=int, default=16)
     ap.add_argument("--resume-rows", type=int, default=2_000_000)
     ap.add_argument("--resume-soft-max", type=int, default=16_384)
-    ap.add_argument("--skip", default="", help="comma list: sink,state,resume")
+    ap.add_argument("--skip", default="", help="comma list: sink,state,join,resume")
     ap.add_argument("--out", default="bench_stream_soak.json")
     args = ap.parse_args(argv)
     skip = set(args.skip.split(","))
@@ -454,6 +564,12 @@ def main(argv: list[str] | None = None) -> None:
                 binding=args.binding,
             )
             out["paired_calib_shots"]["state"] = [shot, _probe_once(spark)]
+        if "join" not in skip:
+            shot = _probe_once(spark)
+            out["phases"]["join"] = join_soak(
+                spark, args.join_keys, args.join_files, args.join_rows_per_file
+            )
+            out["paired_calib_shots"]["join"] = [shot, _probe_once(spark)]
         if "resume" not in skip:
             shot = _probe_once(spark)
             rows_per_file = args.resume_rows // args.resume_files
