@@ -1,5 +1,5 @@
 """Streaming-plane soak bench (r10 verdict task #1): the last unmeasured
-axis. Four phases, one calib-bracketed artifact
+axis. Five phases, one calib-bracketed artifact
 (artifacts/bench_stream_soak.json):
 
 (a) **sink soak** — replay an sf1+-sized event stream (sf0.1 events
@@ -36,6 +36,11 @@ axis. Four phases, one calib-bracketed artifact
     plateaus at the buffered-hours bound instead of growing with the
     stream — the feasibility condition for stream-stream joins at
     100 TB/day.
+
+(e) **kinesis source backlog drain** — a deep multi-shard backlog read
+    TRIM_HORIZON -> tip with the partitioned reader and deaggregated,
+    measuring sustained drain records/s + MB/s vs the per-shard read cap
+    (2 MB/s/shard): a lagging consumer must out-drain the producers.
 
 Run:  PYTHONPATH=/root/repo python bench_stream.py [--replicas 100]
           [--keys 131072] [--resume-rows 2000000] [--out bench_stream_soak.json]
@@ -412,6 +417,106 @@ def join_soak(spark, n_keys: int, n_files: int, rows_per_file: int) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# phase (e): kinesis source — backlog drain at volume
+# ---------------------------------------------------------------------------
+
+def source_soak(spark, shards: int, total_records: int) -> dict:
+    """Deep-backlog drain through the kinesis streaming SOURCE: a capture
+    stream holding ``total_records`` aggregated user records across
+    ``shards`` shards is read TRIM_HORIZON -> tip with the partitioned
+    reader (one input partition per shard slice, executor-side polling)
+    and deaggregated; measures sustained drain records/s + MB/s — the
+    consumer-side twin of the sink soak, and the 'backlog-drain behavior'
+    axis: a lagging consumer must drain faster than producers write or it
+    never catches up. Fixture built THROUGH the kinesis streaming sink
+    (distributed KPL aggregation into the capture layout)."""
+    import json as _json
+
+    from kinesis_writer_spark.sources import kinesis_stream
+    from kinesis_writer_spark.sources.kpl_stream import deaggregate_records
+
+    capture = f"{FIX_ROOT}/capture_{shards}x{total_records}"
+    if not os.path.exists(os.path.join(capture, "_FIXTURE_DONE")):
+        src = build_keyed_fixture(
+            spark, f"{FIX_ROOT}/srcfix_{total_records}", 8,
+            total_records // 8, 65536,
+        )
+        kinesis_stream.register(spark)
+        q = (
+            _keyed_stream(spark, src, 8)
+            .writeStream.format("kinesis")
+            .option("stream_name", "soak-src")
+            .option(
+                "client_factory",
+                "kinesis_writer_spark.sources.kinesis_stream:capture_sink_client_factory",
+            )
+            .option("client_kwargs", _json.dumps(
+                {"capture_dir": capture, "num_shards": shards}))
+            .option("checkpointLocation", f"{FIX_ROOT}/ckpt_srcfix_{time.time_ns()}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        open(os.path.join(capture, "_FIXTURE_DONE"), "w").close()
+
+    kinesis_stream.register(spark)
+    raw = (
+        spark.readStream.format("kinesis")
+        .option("stream_name", "soak-src")
+        .option("reader", "partitioned")
+        .option(
+            "client_factory",
+            "kinesis_writer_spark.sources.kinesis_stream:capture_client_factory",
+        )
+        .option("client_kwargs", _json.dumps({"capture_dir": capture}))
+        .load()
+    )
+    out = f"{FIX_ROOT}/source_out_{time.time_ns()}"
+    t0 = time.monotonic()
+    q = (
+        deaggregate_records(raw, wire_col="data", strict=False)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", f"{FIX_ROOT}/ckpt_srcdrain_{time.time_ns()}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    dt = time.monotonic() - t0
+    per_batch = [
+        {"batchId": p.get("batchId"), "wire_rows_in": p.get("numInputRows"),
+         "trigger_ms": (p.get("durationMs") or {}).get("triggerExecution")}
+        for p in q.recentProgress if p.get("numInputRows")
+    ]
+    drained = spark.read.parquet(out)
+    agg = drained.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.length("data")).alias("b")
+    ).first()
+    n, nbytes = int(agg["n"] or 0), int(agg["b"] or 0)
+    kpl = {}
+    try:
+        with open(os.path.join(ART, "bench_kpl.json")) as f:
+            kpl = json.load(f)
+    except Exception:
+        pass
+    return {
+        "shards": shards,
+        "expected_records": total_records,
+        "drained_records": n,
+        "drained_all": n == total_records,
+        "payload_mb": round(nbytes / 1e6, 1),
+        "drain_secs": round(dt, 2),
+        "drain_recs_per_sec": round(n / dt) if dt > 0 else None,
+        "drain_mb_per_sec": round(nbytes / dt / 1e6, 1) if dt > 0 else None,
+        "bench_kpl_single_core_decode_recs_per_sec": (kpl.get("cases") or [{}])[0].get(
+            "decode_recs_per_sec"
+        ),
+        "n_micro_batches": len(per_batch),
+        "per_batch": per_batch,
+    }
+
+
+# ---------------------------------------------------------------------------
 # phase (c): checkpoint-resume mid-soak, exactly-once at volume
 # ---------------------------------------------------------------------------
 
@@ -513,6 +618,8 @@ def main(argv: list[str] | None = None) -> None:
                     help="stateful batcher API for the state phase: legacy="
                     "applyInPandasWithState (HDFS store), tws="
                     "transformWithStateInPandas (RocksDB store)")
+    ap.add_argument("--source-shards", type=int, default=16)
+    ap.add_argument("--source-records", type=int, default=4_000_000)
     ap.add_argument("--join-keys", type=int, default=10_000)
     ap.add_argument("--join-files", type=int, default=12)
     ap.add_argument("--join-rows-per-file", type=int, default=200_000)
@@ -520,7 +627,7 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--resume-files", type=int, default=16)
     ap.add_argument("--resume-rows", type=int, default=2_000_000)
     ap.add_argument("--resume-soft-max", type=int, default=16_384)
-    ap.add_argument("--skip", default="", help="comma list: sink,state,join,resume")
+    ap.add_argument("--skip", default="", help="comma list: sink,state,source,join,resume")
     ap.add_argument("--out", default="bench_stream_soak.json")
     args = ap.parse_args(argv)
     skip = set(args.skip.split(","))
@@ -564,6 +671,12 @@ def main(argv: list[str] | None = None) -> None:
                 binding=args.binding,
             )
             out["paired_calib_shots"]["state"] = [shot, _probe_once(spark)]
+        if "source" not in skip:
+            shot = _probe_once(spark)
+            out["phases"]["source"] = source_soak(
+                spark, args.source_shards, args.source_records
+            )
+            out["paired_calib_shots"]["source"] = [shot, _probe_once(spark)]
         if "join" not in skip:
             shot = _probe_once(spark)
             out["phases"]["join"] = join_soak(
