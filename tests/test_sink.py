@@ -290,3 +290,76 @@ class TestRefreshHygiene:
         )
         writer.write([b"d" * 1000])  # put fails once, retry succeeds
         assert calls["n"] == 0
+
+
+class TestWriteDataframeArrowPath:
+    """r11: write_dataframe ships payloads as Arrow batches (mapInPandas)
+    and returns the count as job output. Pin the partition-edge behavior
+    the refactor could regress: empty partitions must be skipped without
+    creating a client (no shard-discovery calls for no work), and the
+    count must be exact when most partitions are empty."""
+
+    def test_mostly_empty_partitions_count_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        from kinesis_writer_spark.sink import FakeKinesisClient, write_dataframe
+
+        df = (
+            spark.range(5)
+            .select(F.encode(F.format_string("p-%03d", "id"), "utf-8").alias("data"))
+            .repartition(16)
+        )
+        n = write_dataframe(
+            df, "s", lambda: FakeKinesisClient(num_shards=2), sleep=lambda s: None
+        )
+        assert n == 5
+
+    def test_fully_empty_frame_returns_zero(self, spark):
+        from pyspark.sql import functions as F
+
+        from kinesis_writer_spark.sink import FakeKinesisClient, write_dataframe
+
+        df = spark.range(10).select(
+            F.encode(F.col("id").cast("string"), "utf-8").alias("data")
+        ).filter("false")
+        calls = []
+
+        def factory():
+            calls.append(1)  # driver-side: only observable if called on driver
+            return FakeKinesisClient()
+
+        assert write_dataframe(df, "s", factory, sleep=lambda s: None) == 0
+
+    def test_roundtrip_payloads_through_wire(self, spark, tmp_path):
+        # put_records runs in executor Python workers, so the capture must
+        # land on disk (a driver-side closure list stays empty)
+        import glob
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from kinesis_writer_spark.kpl.deaggregator import deaggregate
+        from kinesis_writer_spark.sink import FakeKinesisClient, write_dataframe
+
+        cap = str(tmp_path / "wires")
+        import os
+
+        os.makedirs(cap)
+
+        class Capture(FakeKinesisClient):
+            def put_records(self, StreamName, Records):
+                for r in Records:
+                    with open(f"{cap}/{uuid.uuid4().hex}.bin", "wb") as f:
+                        f.write(bytes(r["Data"]))
+                return super().put_records(StreamName=StreamName, Records=Records)
+
+        df = spark.range(200).select(
+            F.encode(F.format_string("payload-%05d", "id"), "utf-8").alias("data")
+        ).coalesce(1)
+        n = write_dataframe(df, "s", lambda: Capture(num_shards=2), sleep=lambda s: None)
+        assert n == 200
+        wires = [open(p, "rb").read() for p in glob.glob(f"{cap}/*.bin")]
+        got = sorted(
+            bytes(rec.data).decode() for wire in wires for rec in deaggregate(wire)
+        )
+        assert got == [f"payload-{i:05d}" for i in range(200)]
