@@ -90,11 +90,25 @@ def _run_once(queries, name: str, spark, sf_dir: str) -> None:
 DRIFT_RETRY_PCT = float(os.environ.get("SPARK_GRAFT_DRIFT_RETRY_PCT", "10"))
 DRIFT_MAX_RETRIES = int(os.environ.get("SPARK_GRAFT_DRIFT_RETRIES", "2"))
 
+#: Off-band epoch self-defense (r11 verdict task #5): the two-probe blend
+#: model under-corrects slow epochs (measured: same-HEAD window at calib
+#: 1.146xref blended 22% above the in-band cluster). Rather than model the
+#: mid-band, the headline simply refuses to REPORT from an off-band window
+#: when it can avoid it: a pass whose calib_vs_ref exceeds this bound
+#: triggers the same bounded re-run as a drifting pass, and selection
+#: prefers in-band passes. A persistent slow window still reports (bounded
+#: retries), stamped caution:calib-off-band as before.
+EPOCH_INBAND_MAX = float(os.environ.get("SPARK_GRAFT_EPOCH_INBAND_MAX", "1.15"))
 
-def _headline_pass(queries, spark, sf_dir: str, errors: dict, pass_i: int) -> dict:
+
+def _headline_pass(
+    queries, spark, sf_dir: str, errors: dict, pass_i: int, skip=()
+) -> dict:
     """One self-contained headline measurement: start probe -> median-of-3
     suite -> end probe -> epoch verdict + blended normalization. Returns
-    everything a cross-round reader needs to adjudicate THIS pass alone."""
+    everything a cross-round reader needs to adjudicate THIS pass alone.
+    ``skip`` (warm-up failures) are excluded instead of re-erroring 3x per
+    pass."""
     from kinesis_writer_spark.calibration import (
         adjudicate_epoch,
         calibrate,
@@ -111,6 +125,8 @@ def _headline_pass(queries, spark, sf_dir: str, errors: dict, pass_i: int) -> di
     except Exception:
         errors[f"calibration:{tag}"] = traceback.format_exc(limit=3)
     for name in HEADLINE:
+        if name in skip:
+            continue
         runs = []
         try:
             for _ in range(3):
@@ -150,35 +166,60 @@ def _headline_pass(queries, spark, sf_dir: str, errors: dict, pass_i: int) -> di
     }
 
 
+def _pass_drift(p: dict):
+    return p["epoch"].get("intra_run_drift_pct")
+
+
+def _pass_calm(p: dict) -> bool:
+    d = _pass_drift(p)
+    return d is not None and d <= DRIFT_RETRY_PCT
+
+
+def _pass_inband(p: dict) -> bool:
+    cvr = p["epoch"].get("calib_vs_ref")
+    return cvr is not None and cvr <= EPOCH_INBAND_MAX
+
+
 def _pick_reported_pass(passes: list[dict]) -> tuple[dict, dict]:
     """Median-blend selection over the rehearsal set.
 
-    Stable-window passes (intra-run drift <= DRIFT_RETRY_PCT) are trusted
-    over drifting ones; among the trusted set (or all passes when none is
-    stable) the reported pass is the one whose blend is the median — so
-    ``value``/``queries`` and the normalized headline always come from the
-    SAME physical measurement. Returns (reported_pass, selection_note)."""
-    def _drift(p: dict):
-        return p["epoch"].get("intra_run_drift_pct")
-
+    Preference order: calm AND in-band epoch (intra-run drift <=
+    DRIFT_RETRY_PCT and calib <= EPOCH_INBAND_MAX x ref) > calm > any pass
+    with a measured blend. Within the preferred pool the reported pass is
+    the one whose blend is the median — so ``value``/``queries`` and the
+    normalized headline always come from the SAME physical measurement.
+    Returns (reported_pass, selection_note)."""
     def _blend(p: dict):
         return p["norm"].get("value_norm_blend")
 
     usable = [p for p in passes if _blend(p) is not None]
     if not usable:
-        return passes[0], {"policy": "first-pass (no blend measured)"}
-    stable = [p for p in usable if _drift(p) is not None and _drift(p) <= DRIFT_RETRY_PCT]
-    pool = stable or usable
+        # normalization structurally unmeasurable: still prefer a calm-
+        # drift pass over a drifting one before falling back to pass 0
+        calm = [p for p in passes if _pass_calm(p)]
+        chosen = calm[0] if calm else passes[0]
+        return chosen, {
+            "policy": "no blend measured; "
+            + ("first calm-drift pass" if calm else "first pass"),
+            "chosen_pass": chosen["pass"],
+        }
+    stable = [p for p in usable if _pass_calm(p)]
+    inband = [p for p in stable if _pass_inband(p)]
+    pool, pool_name = (
+        (inband, "stable+in-band")
+        if inband
+        else (stable, "stable-OFF-BAND") if stable else (usable, "ALL-DRIFTING")
+    )
     ranked = sorted(pool, key=_blend)
     chosen = ranked[(len(ranked) - 1) // 2]  # lower median for even counts
     return chosen, {
         "policy": (
-            f"median blend over {len(pool)} "
-            + ("stable" if stable else "ALL-DRIFTING")
-            + f" pass(es) of {len(passes)} run"
+            f"median blend over {len(pool)} {pool_name} "
+            f"pass(es) of {len(passes)} run"
         ),
         "pass_blends": [_blend(p) for p in passes],
-        "pass_drifts": [_drift(p) for p in passes],
+        "pass_drifts": [_pass_drift(p) for p in passes],
+        "pass_calib_vs_ref": [p["epoch"].get("calib_vs_ref") for p in passes],
         "chosen_pass": chosen["pass"],
     }
 
@@ -261,18 +302,22 @@ def main() -> None:
         # whole pass (bounded by DRIFT_MAX_RETRIES) and report the median
         # blend over the rehearsal set — no human adjudication needed when
         # the driver's window happens to drift.
-        hl_passes = [_headline_pass(queries, spark, sf_dir, errors, 0)]
+        hl_passes = [_headline_pass(queries, spark, sf_dir, errors, 0, warm_failed)]
         while len(hl_passes) <= DRIFT_MAX_RETRIES:
             last = hl_passes[-1]
-            d = last["epoch"].get("intra_run_drift_pct")
-            if (
-                d is not None
-                and d <= DRIFT_RETRY_PCT
-                and last["norm"].get("value_norm_blend") is not None
-            ):
-                break  # calm window; this pass stands on its own
+            blend_ok = last["norm"].get("value_norm_blend") is not None
+            if _pass_calm(last) and _pass_inband(last) and blend_ok:
+                break  # calm, in-band window; this pass stands on its own
+            if not blend_ok and len(hl_passes) >= 2:
+                # normalization structurally unmeasurable (calibration or
+                # reference failure): one retry covers a transient probe
+                # hiccup; past that, burning the full budget can't produce
+                # a blend — report on drift alone (r11 ADVICE #3)
+                break
             hl_passes.append(
-                _headline_pass(queries, spark, sf_dir, errors, len(hl_passes))
+                _headline_pass(
+                    queries, spark, sf_dir, errors, len(hl_passes), warm_failed
+                )
             )
         reported, hl_selection = _pick_reported_pass(hl_passes)
         timings = reported["timings"]

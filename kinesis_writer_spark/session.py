@@ -42,13 +42,14 @@ def get_spark(app_name: str = "kinesis_writer_spark", shuffle_partitions: int | 
         # checkpoint at the sf100 fixture. Raise the retry budget; this is
         # the documented JDK-side mitigation (JDK-8192647 family).
         # User-supplied driver JVM options (SPARK_GRAFT_DRIVER_JAVA_OPTS)
-        # are merged in front rather than replaced, mirroring the
-        # DRIVER_MEM / PERIODIC_GC override pattern.
+        # are appended AFTER the defaults: for duplicated -XX flags the JVM
+        # honors the LAST occurrence, so user values win conflicts (e.g. a
+        # user may lower GCLockerRetryAllocationCount back toward stock).
         .config(
             "spark.driver.extraJavaOptions",
             (
-                os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")
-                + " -XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64"
+                "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64 "
+                + os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")
             ).strip(),
         )
         # Shuffle-file cleanup is GC-triggered (ContextCleaner weak refs),

@@ -551,7 +551,10 @@ def write_dataframe(
     (artifacts/bench_stream_soak.json). Only ``data_col`` is shipped
     (column pruning reaches the scan), one batcher per partition as
     before, and the count comes back as the job's OUTPUT rather than an
-    accumulator — accumulators can double-count on task retry.
+    accumulator. (The Arrow transfer is the motivation; the count change
+    is a hygiene bonus — action-side accumulators are exactly-once for
+    successful tasks, but only best-effort under stage retries and
+    speculative execution, while a job output is always exact.)
     """
 
     def handle_batches(pdf_iter):

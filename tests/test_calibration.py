@@ -282,11 +282,14 @@ class TestDriftRetrySelection:
     stable-window passes, with value/queries taken from the SAME pass."""
 
     @staticmethod
-    def _mk(pass_i, blend, drift):
+    def _mk(pass_i, blend, drift, calib_vs_ref=None):
         return {
             "pass": pass_i,
             "timings": {"q": 1.0 + pass_i},
-            "epoch": {"intra_run_drift_pct": drift},
+            "epoch": {
+                "intra_run_drift_pct": drift,
+                "calib_vs_ref": calib_vs_ref,
+            },
             "norm": {"value_norm_blend": blend},
         }
 
@@ -332,3 +335,38 @@ class TestDriftRetrySelection:
         a, b = self._mk(0, 28.0, 3.0), self._mk(1, 34.0, 3.0)
         chosen, _ = bench._pick_reported_pass([a, b])
         assert chosen is a
+
+    def test_inband_pass_beats_offband_stable_pass(self):
+        """r11 verdict task #5: a calm pass taken in a slow epoch (calib
+        1.146xref blended 22% high in the same-HEAD study) must lose to a
+        calm IN-BAND pass even when the off-band blend reads lower."""
+        import bench
+
+        off = self._mk(0, 27.0, 4.0, calib_vs_ref=1.30)  # slow epoch, low blend
+        inb = self._mk(1, 31.0, 4.0, calib_vs_ref=1.02)
+        chosen, note = bench._pick_reported_pass([off, inb])
+        assert chosen is inb
+        assert "in-band" in note["policy"]
+        assert note["pass_calib_vs_ref"] == [1.30, 1.02]
+
+    def test_all_offband_falls_back_to_stable_median(self):
+        import bench
+
+        ps = [
+            self._mk(i, b, 4.0, calib_vs_ref=1.4)
+            for i, b in enumerate([36.0, 33.0, 41.0])
+        ]
+        chosen, note = bench._pick_reported_pass(ps)
+        assert chosen["norm"]["value_norm_blend"] == 36.0
+        assert "OFF-BAND" in note["policy"]
+
+    def test_no_blend_prefers_calm_pass(self):
+        """r11 ADVICE #3 companion: when normalization is structurally
+        unmeasurable the selection still prefers a calm-drift pass."""
+        import bench
+
+        drifty = {"pass": 0, "timings": {}, "epoch": {"intra_run_drift_pct": 20.0}, "norm": {}}
+        calm = {"pass": 1, "timings": {}, "epoch": {"intra_run_drift_pct": 3.0}, "norm": {}}
+        chosen, note = bench._pick_reported_pass([drifty, calm])
+        assert chosen is calm
+        assert "no blend" in note["policy"]
