@@ -177,6 +177,12 @@ def sink_soak(spark, replicas: int, n_files: int, files_per_trigger: int,
 
     def handle(batch_df, epoch_id: int) -> None:
         nbytes = batch_df.agg(F.sum(F.length("data"))).first()[0] or 0
+        # input parallelism of THIS micro-batch: the sink runs one batcher
+        # per partition, so fewer partitions than cores leaves cores idle —
+        # a trigger-sizing property of the harness, not sink capability
+        # (r12: the per-core figure divides by ALL cores either way; the
+        # per_active_core rollup divides by what the trigger actually lit)
+        n_parts = batch_df.rdd.getNumPartitions()
         t0 = time.monotonic()
         n = write_dataframe(
             batch_df, "soak", lambda: FakeKinesisClient(num_shards=shards)
@@ -184,7 +190,7 @@ def sink_soak(spark, replicas: int, n_files: int, files_per_trigger: int,
         dt = time.monotonic() - t0
         batches.append(
             {"epoch": epoch_id, "records": n, "payload_bytes": int(nbytes),
-             "secs": round(dt, 3),
+             "secs": round(dt, 3), "partitions": n_parts,
              "recs_per_sec": round(n / dt) if dt > 0 else None,
              "mb_per_sec": round(nbytes / dt / 1e6, 1) if dt > 0 else None}
         )
@@ -220,6 +226,21 @@ def sink_soak(spark, replicas: int, n_files: int, files_per_trigger: int,
         "sustained_recs_per_sec": round(total_recs / total_secs) if total_secs else None,
         "sustained_mb_per_sec": mb_s,
         "per_core_recs_per_sec": round(total_recs / total_secs / cpus) if total_secs else None,
+        # divides by the cores the trigger actually engaged (min(partitions,
+        # cpus) per batch) — the sink-capability number; the plain per-core
+        # figure above charges idle cores to the sink when the trigger is
+        # smaller than the host
+        "per_active_core_recs_per_sec": (
+            round(
+                total_recs
+                / sum(
+                    b["secs"] * min(b.get("partitions") or cpus, cpus)
+                    for b in batches
+                )
+            )
+            if total_secs
+            else None
+        ),
         # the soak's pass criterion: producer >> service ingress limit
         "shard_ingress_limit_mb_per_sec": shards * 1.0,
         "x_shard_ingress_limit": round(mb_s / shards, 1) if mb_s else None,
