@@ -537,6 +537,247 @@ def source_soak(spark, shards: int, total_records: int) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# phase (f): reshard chaos at soak volume (r12 verdict task #2)
+# ---------------------------------------------------------------------------
+
+def reshard_soak(spark, shards: int, total_records: int,
+                 max_frames_per_batch: int = 8) -> dict:
+    """A SPLIT and a MERGE fire mid-stream with >=1M records in flight,
+    then the partitioned source drains the whole resharded history:
+
+      - sink side: one chaos CaptureSinkClient (stream coalesced to one
+        partition so the topology is coherent) splits every open shard at
+        ~1/3 of the put volume and merges the split children pairwise at
+        ~2/3; the writer's periodic shard-map refresh must re-route so
+        post-reshard traffic lands in live children, not closed parents.
+      - source side: the partitioned reader drains TRIM_HORIZON -> tip
+        through the persisted topology (_topology.json — no hand-wired
+        parent map), capped per micro-batch so admission ordering is
+        observable across batches.
+
+    Asserts: exactly-once delivery (every unique record id exactly once,
+    none missing), every closed shard drained to SHARD_END, and the KCL
+    rule — no child shard consumed in any micro-batch that does not
+    already have ALL its parents marked done by that batch's end offset.
+    The fixture-scale twin is tests/test_kinesis_stream_source.py
+    (TestReshardChaosEndToEnd / TestMergeTopology); this runs it at soak
+    volume with both topology mutations in one stream history.
+    """
+    import json as _json
+
+    from kinesis_writer_spark.sources import kinesis_stream
+    from kinesis_writer_spark.sources.kpl_stream import deaggregate_records
+
+    n_files = 8
+    src = build_keyed_fixture(
+        spark, f"{FIX_ROOT}/reshardfix_{total_records}", n_files,
+        total_records // n_files, 65536,
+    )
+    capture = f"{FIX_ROOT}/reshard_capture_{time.time_ns()}"
+    kinesis_stream.register(spark)
+
+    # ~109 B payloads against ~1 MB flushes -> estimate total puts, fire
+    # the split at ~1/3 and the merge at ~2/3 of the stream
+    est_puts = max(total_records * 112 // 1_000_000, 9)
+    split_at, merge_at = est_puts // 3, (2 * est_puts) // 3
+    t0 = time.monotonic()
+    q = (
+        _keyed_stream(spark, src, n_files)
+        .repartition(1)  # one writer client => one coherent chaos topology
+        .writeStream.format("kinesis")
+        .option("stream_name", "reshard-soak")
+        .option(
+            "client_factory",
+            "kinesis_writer_spark.sources.kinesis_stream:capture_sink_client_factory",
+        )
+        .option("client_kwargs", _json.dumps({
+            "capture_dir": capture, "num_shards": shards,
+            "split_after_puts": split_at, "merge_after_puts": merge_at,
+        }))
+        .option("shard_map_refresh_flushes", "8")
+        .option("checkpointLocation", f"{FIX_ROOT}/ckpt_reshard_w_{time.time_ns()}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    write_secs = time.monotonic() - t0
+
+    with open(os.path.join(capture, "_topology.json")) as f:
+        topo = _json.load(f)
+    parents_of = {
+        c: (p if isinstance(p, list) else [p])
+        for c, p in topo["parents"].items()
+    }
+    split_children = [c for c, ps in parents_of.items() if len(ps) == 1]
+    merge_children = [c for c, ps in parents_of.items() if len(ps) == 2]
+
+    def _shard_frames(sid: str) -> int:
+        d = os.path.join(capture, sid)
+        return len(os.listdir(d)) if os.path.isdir(d) else 0
+
+    traffic = {sid: _shard_frames(sid) for sid in sorted(
+        set(topo["closed"]) | set(parents_of) | {
+            f"shardId-{i:012d}" for i in range(shards)}
+    )}
+
+    # -- drain through the resharded topology ------------------------------
+    # continuous micro-batches with a per-shard admission cap (NOT
+    # availableNow: its single multi-pass latestOffset walks the whole
+    # split tree in one batch, which is correct but leaves nothing for the
+    # cross-batch admission assertion to observe)
+    raw = (
+        spark.readStream.format("kinesis")
+        .option("stream_name", "reshard-soak")
+        .option("reader", "partitioned")
+        .option("max_records_per_batch", str(max_frames_per_batch))
+        .option(
+            "client_factory",
+            "kinesis_writer_spark.sources.kinesis_stream:capture_client_factory",
+        )
+        .option("client_kwargs", _json.dumps({"capture_dir": capture}))
+        .load()
+    )
+    out = f"{FIX_ROOT}/reshard_out_{time.time_ns()}"
+    ckpt = f"{FIX_ROOT}/ckpt_reshard_r_{time.time_ns()}"
+    expected_seq = {
+        sid: str(n - 1) for sid, n in traffic.items() if n > 0
+    }
+
+    def _batch_ids(sub: str) -> list[int]:
+        d = os.path.join(ckpt, sub)
+        if not os.path.isdir(d):
+            return []
+        return sorted(int(f) for f in os.listdir(d) if f.isdigit())
+
+    def _offset_of(batch_id: int) -> dict:
+        lines = open(os.path.join(ckpt, "offsets", str(batch_id))).read().splitlines()
+        return _json.loads(lines[2]) if len(lines) >= 3 else {}
+
+    def _latest_committed_offset() -> dict:
+        # offsets/ is a write-ahead log (planned batches); commits/ records
+        # batches that finished — only those may gate the stop, or we
+        # interrupt an in-flight batch and lose its output
+        committed = _batch_ids("commits")
+        return _offset_of(committed[-1]) if committed else {}
+
+    def _fully_drained(off: dict) -> bool:
+        if not off:
+            return False
+        for sid, want in expected_seq.items():
+            got = off.get(sid) or {}
+            if got.get("seq") != want:
+                return False
+        return all((off.get(sid) or {}).get("done") for sid in topo["closed"])
+
+    t0 = time.monotonic()
+    q2 = (
+        deaggregate_records(raw, wire_col="data", strict=False)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    while not _fully_drained(_latest_committed_offset()):
+        if time.monotonic() - t0 > 600:
+            break
+        time.sleep(0.5)
+    q2.stop()
+    q2.awaitTermination()
+    drain_secs = time.monotonic() - t0
+
+    # committed per-batch offsets, straight from the checkpoint (the
+    # recentProgress ring buffer is bounded and its offset fields are not
+    # guaranteed JSON for Python data sources)
+    batch_offsets: list[tuple[int, dict]] = [
+        (b, _offset_of(b)) for b in _batch_ids("commits")
+    ]
+
+    # -- exactly-once at volume (distributed id explode, no driver funnel) -
+    drained = spark.read.parquet(out)
+
+    def explode_ids(pdf_iter):
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            yield pd.DataFrame({
+                "rid": [bytes(d[:17]).decode("utf-8", "replace")
+                        for d in pdf["data"].to_numpy()]
+            })
+
+    stats = (
+        drained.select("data").mapInPandas(explode_ids, "rid string")
+        .groupBy("rid").count()
+        .agg(
+            F.count(F.lit(1)).alias("distinct_ids"),
+            F.sum("count").alias("total_ids"),
+            F.max("count").alias("max_per_id"),
+        )
+        .first()
+    )
+
+    # -- KCL admission ordering, reconstructed from committed offsets ------
+    def _seq(off: dict, sid: str):
+        v = off.get(sid)
+        return (v or {}).get("seq") if isinstance(v, dict) else v
+
+    violations = []
+    batches_with_child_rows = 0
+    prev: dict = {}  # batch 0's start = initialOffset (nothing consumed)
+    for batch_id, end in batch_offsets:
+        for child, ps in parents_of.items():
+            if _seq(prev, child) == _seq(end, child):
+                continue  # no child rows consumed in this batch
+            batches_with_child_rows += 1
+            for parent in ps:
+                pv = end.get(parent)
+                pdone = bool(pv.get("done")) if isinstance(pv, dict) else False
+                if not pdone:
+                    violations.append(
+                        {"batchId": batch_id, "child": child,
+                         "parent_not_done": parent}
+                    )
+        prev = end
+
+    closed_set = set(topo["closed"])
+    final_end = batch_offsets[-1][1] if batch_offsets else {}
+    closed_done = all(
+        isinstance(final_end.get(sid), dict) and final_end[sid].get("done")
+        for sid in closed_set
+    )
+
+    return {
+        "shards_initial": shards,
+        "total_records": total_records,
+        "est_puts": est_puts,
+        "split_after_puts": split_at,
+        "merge_after_puts": merge_at,
+        "n_split_children": len(split_children),
+        "n_merge_children": len(merge_children),
+        "split_children_with_traffic": sum(
+            1 for c in split_children if traffic.get(c, 0) > 0),
+        "merge_children_with_traffic": sum(
+            1 for c in merge_children if traffic.get(c, 0) > 0),
+        "frames_per_shard": traffic,
+        "write_secs": round(write_secs, 2),
+        "drain_secs": round(drain_secs, 2),
+        "drain_recs_per_sec": round(total_records / drain_secs) if drain_secs else None,
+        "n_micro_batches": len(batch_offsets),
+        "distinct_ids": int(stats["distinct_ids"] or 0),
+        "total_ids": int(stats["total_ids"] or 0),
+        "max_occurrences_per_id": int(stats["max_per_id"] or 0),
+        "exactly_once": (
+            int(stats["distinct_ids"] or 0) == total_records
+            and int(stats["total_ids"] or 0) == total_records
+            and int(stats["max_per_id"] or 0) == 1
+        ),
+        "child_batches_checked": batches_with_child_rows,
+        "admission_violations": violations,
+        "admission_order_clean": not violations,
+        "all_closed_shards_drained": closed_done,
+    }
+
+
+# ---------------------------------------------------------------------------
 # phase (c): checkpoint-resume mid-soak, exactly-once at volume
 # ---------------------------------------------------------------------------
 
@@ -643,11 +884,16 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--join-keys", type=int, default=10_000)
     ap.add_argument("--join-files", type=int, default=12)
     ap.add_argument("--join-rows-per-file", type=int, default=200_000)
+    ap.add_argument("--reshard-shards", type=int, default=4,
+                    help="initial shards for the reshard chaos soak (splits "
+                    "to 2x at ~1/3 volume, merges pairwise at ~2/3)")
+    ap.add_argument("--reshard-records", type=int, default=2_000_000)
     ap.add_argument("--resume-keys", type=int, default=4096)
     ap.add_argument("--resume-files", type=int, default=16)
     ap.add_argument("--resume-rows", type=int, default=2_000_000)
     ap.add_argument("--resume-soft-max", type=int, default=16_384)
-    ap.add_argument("--skip", default="", help="comma list: sink,state,source,join,resume")
+    ap.add_argument("--skip", default="",
+                    help="comma list: sink,state,source,join,resume,reshard")
     ap.add_argument("--out", default="bench_stream_soak.json")
     args = ap.parse_args(argv)
     skip = set(args.skip.split(","))
@@ -711,6 +957,12 @@ def main(argv: list[str] | None = None) -> None:
                 rows_per_file, args.resume_soft_max,
             )
             out["paired_calib_shots"]["resume"] = [shot, _probe_once(spark)]
+        if "reshard" not in skip:
+            shot = _probe_once(spark)
+            out["phases"]["reshard"] = reshard_soak(
+                spark, args.reshard_shards, args.reshard_records
+            )
+            out["paired_calib_shots"]["reshard"] = [shot, _probe_once(spark)]
     finally:
         calib_end = calibrate(spark)
         out["calibration_end"] = calib_end

@@ -150,6 +150,16 @@ class CaptureReplayClient:
         self._shards: dict[str, list[bytes]] = {}
         self._pk = partition_key
         self._opaque = opaque
+        if reshard is None:
+            # auto-load the topology the capture sink persisted at reshard
+            # time (see CaptureSinkClient._persist_topology): a captured
+            # stream replays through its own split/merge history without
+            # the caller reconstructing parent/child wiring by hand.
+            # An explicit reshard={} still means "flat topology".
+            topo = os.path.join(capture_dir, "_topology.json")
+            if os.path.exists(topo):
+                with open(topo) as f:
+                    reshard = json.load(f)
         reshard = reshard or {}
         self._closed = set(reshard.get("closed", ()))
         self._parents = dict(reshard.get("parents", {}))
@@ -296,6 +306,33 @@ class CaptureSinkClient:
             )
             os.makedirs(os.path.join(capture_dir, sid), exist_ok=True)
 
+    def _persist_topology(self) -> None:
+        """Write the reshard topology to ``<capture_dir>/_topology.json``
+        so :class:`CaptureReplayClient` replays the capture through its own
+        split/merge history without the caller reconstructing parent/child
+        wiring. Written only when a reshard has happened (a flat capture
+        needs no file). Chaos knobs assume a single sink client per capture
+        dir (coalesce the stream to one partition), so last-write-wins here
+        is moot."""
+        import os
+
+        closed = [
+            s["ShardId"]
+            for s in self.shards
+            if s["SequenceNumberRange"].get("EndingSequenceNumber")
+        ]
+        parents: dict[str, object] = {}
+        for s in self.shards:
+            pid = s.get("ParentShardId")
+            if not pid:
+                continue
+            adj = s.get("AdjacentParentShardId")
+            parents[s["ShardId"]] = [pid, adj] if adj else pid
+        tmp = os.path.join(self._dir, "_topology.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"closed": closed, "parents": parents}, f)
+        os.replace(tmp, os.path.join(self._dir, "_topology.json"))
+
     def split_all_shards(self) -> None:
         """Close every open shard and open two children over each half of
         its hash range (parents stay listed with their EndingSequenceNumber,
@@ -327,6 +364,7 @@ class CaptureSinkClient:
                 )
                 os.makedirs(os.path.join(self._dir, sid), exist_ok=True)
         self.shards.extend(children)
+        self._persist_topology()
 
     def merge_adjacent_shards(self) -> None:
         """Close open shards pairwise (adjacent in hash space) and open ONE
@@ -364,6 +402,7 @@ class CaptureSinkClient:
             )
             os.makedirs(os.path.join(self._dir, sid), exist_ok=True)
         self.shards.extend(children)
+        self._persist_topology()
 
     def describe_stream(self, StreamName: str, ExclusiveStartShardId: str | None = None, **_):
         shards = self.shards
@@ -752,6 +791,7 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
             self._client = resolve_factory(self._factory_spec, self._factory_kwargs)
         return self._client
 
+
     def initialOffset(self) -> dict:
         start = {
             m["ShardId"]: {"seq": None, "done": False}
@@ -766,9 +806,10 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         client = self._c()
         sid = meta["ShardId"]
         ending = (meta.get("SequenceNumberRange") or {}).get("EndingSequenceNumber")
-        # admission cap — skipped on the first planning call after a restart
-        # (self._last_start unknown): the recovered batch re-plans from its
-        # checkpointed offsets, so an uncapped end can never land below them
+        # admission cap; latestOffset guarantees _last_start is known by
+        # now (fresh queries snap to TRIM_HORIZON, restarts are taught by
+        # partitions()), the guard is defense against future call-order
+        # drift — uncapped can never land below a checkpoint, capped could
         cap = self._max_per_batch if self._last_start is not None else 0
         it = client.get_shard_iterator(
             StreamName=self._stream, ShardId=sid, ShardIteratorType="LATEST"
@@ -792,6 +833,19 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         return {"seq": seq, "done": done}
 
     def latestOffset(self) -> dict:
+        if self._last_start is None:
+            # Spark 4 plans a FRESH query's first batch by calling
+            # latestOffset() BEFORE initialOffset() (measured:
+            # tests/test_kinesis_stream_source.py::TestAdmissionCapBatchZero
+            # traces the runner call order), while every restart shape
+            # re-plans its recovered batch through partitions() first —
+            # which teaches us the checkpointed end below. An unknown
+            # start here therefore means a fresh query: snap to the
+            # TRIM_HORIZON floor so the admission cap bounds batch 0 too.
+            # (Before r12 this case skipped the cap, and a fresh query
+            # with a deep backlog planned the WHOLE backlog as one batch
+            # — the cap only ever applied from batch 1 on.)
+            self._last_start = self.initialOffset()
         metas = _list_shards_meta(self._c(), self._stream)
         known = {m["ShardId"] for m in metas}
         start = self._last_start or {}
@@ -818,6 +872,14 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         return end
 
     def partitions(self, start: dict, end: dict) -> list[_ShardSlice]:
+        # A restarted query re-plans its recovered batch through here
+        # before any latestOffset call (measured for both committed and
+        # uncommitted tails), so the recovered END is the authoritative
+        # floor for the next planning call. Teaching it keeps the
+        # admission cap relative to the checkpoint after a restart —
+        # a cap computed from an unknown floor could plan an end BELOW
+        # the checkpoint, which replays committed records.
+        self._last_start = {sid: _norm_off(v) for sid, v in end.items()}
         slices = []
         for sid, raw_end in end.items():
             eo = _norm_off(raw_end)

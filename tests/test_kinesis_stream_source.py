@@ -1030,3 +1030,183 @@ class TestMergeChaosEndToEnd:
             for r in spark.sql("SELECT data FROM merge_chaos_readback").collect()
         )
         assert streamed == sorted(payloads)
+
+
+class TestTopologyPersistence:
+    """r12: the capture sink persists its reshard topology
+    (_topology.json) and the replay client auto-loads it, so a captured
+    stream replays through its own split/merge history without the caller
+    reconstructing parent/child wiring by hand."""
+
+    @staticmethod
+    def _agg(payload: bytes) -> bytes:
+        agg = RecordAggregator()
+        agg.add_user_record("pk", payload, str(1 << 100))
+        return agg.clear_and_get().to_bytes()
+
+    def _drive(self, tmp_path, **knobs):
+        cap = str(tmp_path / "cap")
+        client = kinesis_stream.CaptureSinkClient(cap, num_shards=2, **knobs)
+        for i in range(6):
+            client.put_records(
+                StreamName="s",
+                Records=[{
+                    "Data": self._agg(b"p%d" % i),
+                    "PartitionKey": "pk",
+                    "ExplicitHashKey": str((i % 2) * (1 << 127)),
+                }],
+            )
+        return cap, client
+
+    def test_split_topology_roundtrips_without_reshard_kwarg(self, tmp_path):
+        cap, sink = self._drive(tmp_path, split_after_puts=2)
+        replay = kinesis_stream.CaptureReplayClient(cap)
+        shards = {s["ShardId"]: s for s in replay.list_shards(StreamName="s")["Shards"]}
+        closed = {
+            sid for sid, s in shards.items()
+            if s["SequenceNumberRange"].get("EndingSequenceNumber")
+        }
+        assert closed == {"shardId-000000000000", "shardId-000000000001"}
+        children = {sid: s for sid, s in shards.items() if s.get("ParentShardId")}
+        assert len(children) == 4
+        assert all(s["ParentShardId"] in closed for s in children.values())
+
+    def test_merge_topology_carries_adjacent_parent(self, tmp_path):
+        cap, sink = self._drive(tmp_path, merge_after_puts=2)
+        replay = kinesis_stream.CaptureReplayClient(cap)
+        shards = {s["ShardId"]: s for s in replay.list_shards(StreamName="s")["Shards"]}
+        child = shards["shardId-000000000002"]
+        assert child["ParentShardId"] == "shardId-000000000000"
+        assert child["AdjacentParentShardId"] == "shardId-000000000001"
+
+    def test_explicit_empty_reshard_still_means_flat(self, tmp_path):
+        cap, _sink = self._drive(tmp_path, split_after_puts=2)
+        replay = kinesis_stream.CaptureReplayClient(cap, reshard={})
+        shards = replay.list_shards(StreamName="s")["Shards"]
+        assert all(not s.get("ParentShardId") for s in shards)
+
+    def test_flat_capture_writes_no_topology_file(self, tmp_path):
+        cap, _sink = self._drive(tmp_path)
+        assert not os.path.exists(os.path.join(cap, "_topology.json"))
+
+
+class TestAdmissionCapBatchZero:
+    """r12: Spark 4 plans a fresh query's FIRST batch by calling
+    latestOffset() before initialOffset(), which used to bypass the
+    max_records_per_batch admission cap — a fresh query over a deep
+    backlog planned the whole backlog as one batch. The reader now snaps
+    an unknown start to the TRIM_HORIZON floor (fresh) and is taught the
+    checkpointed end via partitions() (restart), so the cap binds from
+    batch 0 and never plans below a checkpoint."""
+
+    @staticmethod
+    def _frames(n, tag):
+        out = []
+        for i in range(n):
+            agg = RecordAggregator()
+            agg.add_user_record("pk", f"{tag}-{i:03d}".encode(), str(1 << 100))
+            out.append(agg.clear_and_get().to_bytes())
+        return out
+
+    def _offsets(self, ckpt):
+        import json as _json
+
+        d = os.path.join(ckpt, "offsets")
+        out = []
+        for f in sorted((f for f in os.listdir(d) if f.isdigit()), key=int):
+            lines = open(os.path.join(d, f)).read().splitlines()
+            if len(lines) >= 3:
+                out.append(_json.loads(lines[2]))
+        return out
+
+    def _start(self, spark, cap_dir, ckpt, out):
+        raw = (
+            spark.readStream.format("kinesis")
+            .option("stream_name", "capped")
+            .option("reader", "partitioned")
+            .option("max_records_per_batch", "2")
+            .option(
+                "client_factory",
+                "kinesis_writer_spark.sources.kinesis_stream:capture_client_factory",
+            )
+            .option("client_kwargs", json.dumps({"capture_dir": str(cap_dir)}))
+            .load()
+        )
+        # parquet sink: the memory sink cannot recover from a checkpoint,
+        # and the restart leg is the point of this test
+        return (
+            raw.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .start()
+        )
+
+    def test_fresh_query_batch_zero_is_capped_and_restart_never_regresses(
+        self, spark, tmp_path
+    ):
+        import time as _time
+
+        kinesis_stream.register(spark)
+        cap_dir = tmp_path / "cap"
+        shard = cap_dir / "shardId-000000000000"
+        os.makedirs(shard)
+        write_wire_file(str(shard / "a.kpl"), self._frames(9, "a"))
+        ckpt = tmp_path / "ckpt"
+        out = tmp_path / "out"
+
+        def drained(n):
+            try:
+                return spark.read.parquet(str(out)).count() >= n
+            except Exception:
+                return False
+
+        q = self._start(spark, cap_dir, ckpt, out)
+        t0 = _time.monotonic()
+        while not drained(9) and _time.monotonic() - t0 < 120:
+            _time.sleep(0.5)
+        q.stop()
+        q.awaitTermination()
+        offs = self._offsets(ckpt)
+        # batch 0 capped: its end seq must be 1 (two frames), not 8
+        assert offs, "no batches planned"
+        b0 = offs[0]["shardId-000000000000"]
+        assert b0["seq"] == "1", offs[0]
+        # every batch advances by <= cap frames
+        prev = -1
+        for off in offs:
+            seq = int(off["shardId-000000000000"]["seq"])
+            assert seq - prev <= 2, (prev, seq)
+            assert seq > prev, "offset regressed"
+            prev = seq
+        assert prev == 8  # fully drained
+
+        # restart with a new backlog: the first post-restart batch must
+        # start from the checkpoint (no replay) and stay capped
+        write_wire_file(str(shard / "b.kpl"), self._frames(6, "b"))
+        q = self._start(spark, cap_dir, ckpt, out)
+        t0 = _time.monotonic()
+        while not drained(15) and _time.monotonic() - t0 < 120:
+            _time.sleep(0.5)
+        q.stop()
+        q.awaitTermination()
+        offs = self._offsets(ckpt)
+        prev = -1
+        for off in offs:
+            seq = int(off["shardId-000000000000"]["seq"])
+            assert seq > prev, "offset regressed across restart"
+            assert seq - prev <= 2
+            prev = seq
+        assert prev == 14
+        rows = [
+            bytes(r["data"])
+            for r in spark.read.parquet(str(out)).select("data").collect()
+        ]
+        # across both legs: every record delivered exactly once
+        from kinesis_writer_spark.kpl.deaggregator import deaggregate
+
+        got = sorted(rec.data for w in rows for rec in deaggregate(w))
+        want = sorted(
+            [f"a-{i:03d}".encode() for i in range(9)]
+            + [f"b-{i:03d}".encode() for i in range(6)]
+        )
+        assert got == want
