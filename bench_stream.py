@@ -437,6 +437,199 @@ def join_soak(spark, n_keys: int, n_files: int, rows_per_file: int) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# phases (g,h): the two stateful ops r11 left unit-only (r12 verdict task #3)
+# ---------------------------------------------------------------------------
+
+def _state_progress(q) -> list[dict]:
+    per_batch = []
+    for p in q.recentProgress:
+        ops = p.get("stateOperators") or [{}]
+        per_batch.append(
+            {
+                "batchId": p.get("batchId"),
+                "numInputRows": p.get("numInputRows"),
+                "trigger_ms": (p.get("durationMs") or {}).get("triggerExecution"),
+                "state_rows": ops[0].get("numRowsTotal"),
+                "state_rows_removed": ops[0].get("numRowsRemoved"),
+                "watermark": p.get("eventTime", {}).get("watermark"),
+            }
+        )
+    return [p for p in per_batch if p["numInputRows"]]
+
+
+def dedup_soak(spark, n_keys: int, n_files: int, rows_per_file: int) -> dict:
+    """``dropDuplicatesWithinWatermark`` at volume: every event id arrives
+    TWICE inside the same hour-file (dup rate 2x), watermark 2 h. State
+    holds one row per distinct id still inside the watermark horizon, so
+    per-batch state must PLATEAU at ~buffered-hours x distinct-per-hour
+    and EVICT as the watermark passes — never grow with stream length —
+    while the output carries each id exactly once."""
+    dst = f"{FIX_ROOT}/dedupfix_{n_keys}_{n_files}x{rows_per_file}"
+    distinct_per_file = rows_per_file // 2
+    if not os.path.exists(os.path.join(dst, "_FIXTURE_DONE")):
+        for f in range(n_files):
+            base = f * distinct_per_file
+            (
+                spark.range(f * rows_per_file, (f + 1) * rows_per_file)
+                .select(
+                    F.timestamp_seconds(
+                        F.lit(f * 3600)
+                        + (F.col("id") % rows_per_file) * (3600.0 / rows_per_file)
+                    ).alias("ts"),
+                    (F.col("id") % n_keys).alias("user_id"),
+                    # ids 2x-duplicated WITHIN the file: both copies land
+                    # inside the same watermark window, so exactly one
+                    # survives regardless of batch boundaries
+                    (F.lit(base) + (F.col("id") % rows_per_file) % distinct_per_file)
+                    .alias("event_id"),
+                )
+                .coalesce(4)
+                .write.mode("append")
+                .parquet(dst)
+            )
+            time.sleep(0.05)
+        open(os.path.join(dst, "_FIXTURE_DONE"), "w").close()
+
+    from kinesis_writer_spark.streaming.windows import dedup_stream_within_watermark
+
+    files_per_trigger = 2
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id bigint, event_id bigint")
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(dst)
+    )
+    out = f"{FIX_ROOT}/dedup_out_{time.time_ns()}"
+    q = (
+        dedup_stream_within_watermark(stream, watermark="2 hours")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", f"{FIX_ROOT}/ckpt_dedup_{time.time_ns()}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    measured = _state_progress(q)
+    peak = max((p["state_rows"] or 0) for p in measured) if measured else 0
+    evicted = sum((p["state_rows_removed"] or 0) for p in measured)
+    got = spark.read.parquet(out)
+    n_out = got.count()
+    n_distinct_out = got.select("event_id").distinct().count()
+    total_in = n_files * rows_per_file
+    total_distinct = n_files * distinct_per_file
+    # state horizon = the hours one trigger ingests + the 2 h watermark lag
+    # (applied at the NEXT batch) + 1 h slack — independent of n_files,
+    # which is the claim: state tracks the horizon, not the stream length
+    bound = (files_per_trigger + 3) * distinct_per_file
+    return {
+        "op": "dropDuplicatesWithinWatermark",
+        "n_files": n_files,
+        "rows_per_file": rows_per_file,
+        "total_input_rows": total_in,
+        "total_distinct_ids": total_distinct,
+        "output_rows": n_out,
+        "output_distinct_ids": n_distinct_out,
+        "each_id_exactly_once": n_out == total_distinct == n_distinct_out,
+        "n_micro_batches": len(measured),
+        "peak_state_rows": peak,
+        "state_bound_rows": bound,
+        "state_bounded": bool(peak <= bound),
+        "rows_evicted": evicted,
+        "eviction_active": bool(evicted > 0),
+        "per_batch": measured,
+    }
+
+
+def session_soak(spark, n_keys: int, n_files: int, rows_per_file: int) -> dict:
+    """``session_window`` aggregation at volume: each user emits a burst in
+    the first half of every hour (events chained well inside the 10-min
+    gap), then 30 minutes of silence (> gap) — one multi-event session per
+    user per hour, so the soak exercises session MERGING, not just
+    single-event windows. State
+    holds only sessions the 2 h watermark has not yet closed, so per-batch
+    state must PLATEAU at ~buffered-hours x active-users and closed
+    sessions must flush append-side exactly once per (user, hour)."""
+    dst = f"{FIX_ROOT}/sessfix_{n_keys}_{n_files}x{rows_per_file}"
+    if not os.path.exists(os.path.join(dst, "_FIXTURE_DONE")):
+        for f in range(n_files):
+            (
+                spark.range(f * rows_per_file, (f + 1) * rows_per_file)
+                .select(
+                    F.timestamp_seconds(
+                        F.lit(f * 3600)
+                        + (F.col("id") % rows_per_file) * (1800.0 / rows_per_file)
+                    ).alias("ts"),
+                    (F.col("id") % n_keys).alias("user_id"),
+                    (F.col("id") % 100).cast("double").alias("value"),
+                )
+                .coalesce(4)
+                .write.mode("append")
+                .parquet(dst)
+            )
+            time.sleep(0.05)
+        open(os.path.join(dst, "_FIXTURE_DONE"), "w").close()
+
+    from kinesis_writer_spark.streaming.windows import session_values
+
+    files_per_trigger = 2
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id bigint, value double")
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(dst)
+    )
+    out = f"{FIX_ROOT}/sess_out_{time.time_ns()}"
+    q = (
+        session_values(stream, gap="10 minutes", watermark="2 hours")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", f"{FIX_ROOT}/ckpt_sess_{time.time_ns()}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    measured = _state_progress(q)
+    peak = max((p["state_rows"] or 0) for p in measured) if measured else 0
+    evicted = sum((p["state_rows_removed"] or 0) for p in measured)
+    got = spark.read.parquet(out)
+    n_out = got.count()
+    n_sessions_distinct = got.select("session_start", "user_id").distinct().count()
+    events_per_session = rows_per_file // n_keys
+    shape = got.agg(
+        F.min("n_events").alias("lo"), F.max("n_events").alias("hi")
+    ).first()
+    sessions_well_formed = (
+        shape["lo"] == shape["hi"] == events_per_session if n_out else False
+    )
+    # append mode emits only watermark-CLOSED sessions; the last ~2-3
+    # hour-sessions stay buffered at end-of-input
+    min_closed = n_keys * max(0, n_files - 4)
+    bound = (files_per_trigger + 3) * n_keys
+    return {
+        "op": "session_window aggregation",
+        "n_keys": n_keys,
+        "n_files": n_files,
+        "rows_per_file": rows_per_file,
+        "total_input_rows": n_files * rows_per_file,
+        "sessions_emitted": n_out,
+        "sessions_distinct": n_sessions_distinct,
+        "sessions_emitted_once": n_out == n_sessions_distinct,
+        "events_per_session_expected": events_per_session,
+        "events_per_session_min_max": [shape["lo"], shape["hi"]],
+        "sessions_well_formed": sessions_well_formed,
+        "min_closed_sessions_expected": min_closed,
+        "closed_sessions_ok": n_out >= min_closed,
+        "n_micro_batches": len(measured),
+        "peak_state_rows": peak,
+        "state_bound_rows": bound,
+        "state_bounded": bool(peak <= bound),
+        "rows_evicted": evicted,
+        "eviction_active": bool(evicted > 0),
+        "per_batch": measured,
+    }
+
+
+# ---------------------------------------------------------------------------
 # phase (e): kinesis source — backlog drain at volume
 # ---------------------------------------------------------------------------
 
@@ -884,6 +1077,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--join-keys", type=int, default=10_000)
     ap.add_argument("--join-files", type=int, default=12)
     ap.add_argument("--join-rows-per-file", type=int, default=200_000)
+    ap.add_argument("--dedup-files", type=int, default=12)
+    ap.add_argument("--dedup-rows-per-file", type=int, default=400_000)
+    ap.add_argument("--session-keys", type=int, default=20_000)
+    ap.add_argument("--session-files", type=int, default=12)
+    ap.add_argument("--session-rows-per-file", type=int, default=200_000)
     ap.add_argument("--reshard-shards", type=int, default=4,
                     help="initial shards for the reshard chaos soak (splits "
                     "to 2x at ~1/3 volume, merges pairwise at ~2/3)")
@@ -893,7 +1091,8 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--resume-rows", type=int, default=2_000_000)
     ap.add_argument("--resume-soft-max", type=int, default=16_384)
     ap.add_argument("--skip", default="",
-                    help="comma list: sink,state,source,join,resume,reshard")
+                    help="comma list: sink,state,source,join,resume,reshard,"
+                    "dedup,session")
     ap.add_argument("--out", default="bench_stream_soak.json")
     args = ap.parse_args(argv)
     skip = set(args.skip.split(","))
@@ -963,6 +1162,19 @@ def main(argv: list[str] | None = None) -> None:
                 spark, args.reshard_shards, args.reshard_records
             )
             out["paired_calib_shots"]["reshard"] = [shot, _probe_once(spark)]
+        if "dedup" not in skip:
+            shot = _probe_once(spark)
+            out["phases"]["dedup"] = dedup_soak(
+                spark, 1 << 20, args.dedup_files, args.dedup_rows_per_file
+            )
+            out["paired_calib_shots"]["dedup"] = [shot, _probe_once(spark)]
+        if "session" not in skip:
+            shot = _probe_once(spark)
+            out["phases"]["session"] = session_soak(
+                spark, args.session_keys, args.session_files,
+                args.session_rows_per_file,
+            )
+            out["paired_calib_shots"]["session"] = [shot, _probe_once(spark)]
     finally:
         calib_end = calibrate(spark)
         out["calibration_end"] = calib_end
