@@ -518,6 +518,95 @@ class FakeKinesisClient:
         }
 
 
+class ThrottlingKinesisClient(FakeKinesisClient):
+    """Capture client that ENFORCES the Kinesis service limits: every shard
+    has a token bucket of ``bytes_per_sec_per_shard`` / ``puts_per_sec_per_
+    shard`` (the real 1 MiB/s / 1000 puts/s caps by default); a put that
+    overdraws its shard's bucket fails with the service's partial-failure
+    shape (``ProvisionedThroughputExceededException`` in ``Records``) and
+    spends nothing. Records are routed by explicit hash key over the
+    synthetic shard map, so per-shard budgets bite exactly like the
+    service's. The injectable ``clock`` keeps unit tests on virtual time;
+    the throttling soak (bench_stream.py) runs it on the real clock to
+    measure the reference's back-off envelope (KinesisWriter.scala:82-93)
+    under sustained pressure.
+    """
+
+    def __init__(
+        self,
+        num_shards: int = 4,
+        bytes_per_sec_per_shard: float = 1_048_576.0,
+        puts_per_sec_per_shard: float = 1000.0,
+        burst_seconds: float = 1.0,
+        clock: Callable[[], float] = time.monotonic,
+    ) -> None:
+        import threading
+
+        super().__init__(num_shards=num_shards)
+        self.bytes_per_sec = float(bytes_per_sec_per_shard)
+        self.puts_per_sec = float(puts_per_sec_per_shard)
+        self.burst = float(burst_seconds)
+        self._clock = clock
+        # shard_id -> [byte_tokens, put_tokens, last_refill]
+        self._buckets: dict[str, list[float]] = {}
+        self.throttle_errors = 0
+        self.arrivals: list[tuple[float, int]] = []  # (ts, n_bytes) per accepted put
+        # the throttling soak drives one shared client from N concurrent
+        # writers (the per-partition-task shape); bucket read-modify-write
+        # must be atomic under that
+        self._lock = threading.Lock()
+
+    def _shard_for(self, ehk: str | None) -> str:
+        v = int(ehk or "0")
+        for s in self.shards:
+            if int(s["HashKeyRange"]["StartingHashKey"]) <= v <= int(
+                s["HashKeyRange"]["EndingHashKey"]
+            ):
+                return s["ShardId"]
+        return self.shards[0]["ShardId"]
+
+    def put_records(self, StreamName: str, Records: list[dict]):
+        with self._lock:
+            return self._put_records_locked(StreamName, Records)
+
+    def _put_records_locked(self, StreamName: str, Records: list[dict]):
+        now = self._clock()
+        results = []
+        failed = 0
+        for rec in Records:
+            shard = self._shard_for(rec.get("ExplicitHashKey"))
+            b = self._buckets.setdefault(
+                shard,
+                [self.bytes_per_sec * self.burst, self.puts_per_sec * self.burst, now],
+            )
+            dt = max(0.0, now - b[2])
+            b[0] = min(self.bytes_per_sec * self.burst, b[0] + dt * self.bytes_per_sec)
+            b[1] = min(self.puts_per_sec * self.burst, b[1] + dt * self.puts_per_sec)
+            b[2] = now
+            n_bytes = len(rec["Data"])
+            if b[0] < n_bytes or b[1] < 1:
+                failed += 1
+                self.throttle_errors += 1
+                results.append(
+                    {
+                        "ErrorCode": "ProvisionedThroughputExceededException",
+                        "ErrorMessage": (
+                            f"Rate exceeded for shard {shard} in stream "
+                            f"{StreamName} under account 000000000000."
+                        ),
+                    }
+                )
+                continue
+            b[0] -= n_bytes
+            b[1] -= 1
+            self.received.append(rec["Data"])
+            self.arrivals.append((now, n_bytes))
+            results.append(
+                {"SequenceNumber": str(len(self.received)), "ShardId": shard}
+            )
+        return {"FailedRecordCount": failed, "Records": results}
+
+
 def default_client_factory(region_name: str | None = None):
     """Real AWS client factory (boto3), gated behind an import so the engine
     works fully offline: tests and the driver inject :class:`FakeKinesisClient`.

@@ -117,3 +117,79 @@ class TestWriterIntegration:
         writer = KinesisStreamWriter("s", client, sleep=vc.sleep)
         writer.write([b"x" * 150_000 for _ in range(6)])
         assert vc.sleeps == []
+
+
+class TestThrottlingClient:
+    """ThrottlingKinesisClient: the service-side twin of the limiter —
+    per-shard token buckets that REJECT with the real partial-failure
+    shape instead of pacing, so the writer's reactive back-off envelope
+    (linear retry + re-route) is testable on virtual time."""
+
+    def _client(self, vc: VirtualClock, **kw):
+        from kinesis_writer_spark.sink import ThrottlingKinesisClient
+
+        kw.setdefault("num_shards", 1)
+        kw.setdefault("bytes_per_sec_per_shard", 1000.0)
+        kw.setdefault("puts_per_sec_per_shard", 10.0)
+        return ThrottlingKinesisClient(clock=vc.clock, **kw)
+
+    @staticmethod
+    def _put(client, n_bytes: int, ehk: str = "0"):
+        return client.put_records(
+            StreamName="s",
+            Records=[{"Data": b"x" * n_bytes, "PartitionKey": "a",
+                      "ExplicitHashKey": ehk}],
+        )
+
+    def test_over_budget_put_fails_with_service_shape_and_spends_nothing(self):
+        vc = VirtualClock()
+        c = self._client(vc)
+        assert self._put(c, 600)["FailedRecordCount"] == 0
+        resp = self._put(c, 600)  # 1200 > 1000 burst budget
+        assert resp["FailedRecordCount"] == 1
+        assert (
+            resp["Records"][0]["ErrorCode"]
+            == "ProvisionedThroughputExceededException"
+        )
+        assert len(c.received) == 1  # the failed put spent nothing
+        # a smaller put still inside the remaining 400 tokens succeeds
+        assert self._put(c, 300)["FailedRecordCount"] == 0
+
+    def test_refill_allows_after_wait(self):
+        vc = VirtualClock()
+        c = self._client(vc)
+        self._put(c, 1000)
+        assert self._put(c, 1000)["FailedRecordCount"] == 1
+        vc.now += 1.0  # 1 s refills the full 1000 B/s budget
+        assert self._put(c, 1000)["FailedRecordCount"] == 0
+        assert c.throttle_errors == 1
+
+    def test_writer_rides_out_sustained_throttle_on_virtual_time(self):
+        """The reactive envelope end-to-end: offered load far above the cap
+        must DEGRADE to ~the cap via linear back-off + re-route, complete
+        with zero loss, and never exhaust the retry budget."""
+        vc = VirtualClock()
+        # burst capacity must exceed one ~1 MB aggregated flush, or a
+        # max-size put could NEVER pass (the real service accepts a full
+        # 1 MiB put against its 1 MiB/s budget for the same reason)
+        c = self._client(
+            vc, num_shards=2, bytes_per_sec_per_shard=600_000.0,
+            burst_seconds=2.0,
+        )
+        w = KinesisStreamWriter(
+            "s", c, sleep=vc.sleep, clock=vc.clock, refresh_every_flushes=None
+        )
+        payloads = [b"p" * 900 for _ in range(12_000)]  # ~10.8 MB
+        n = w.write(iter(payloads))
+        assert n == 12_000
+        # zero loss: every payload delivered exactly once (flush granularity)
+        from kinesis_writer_spark.kpl.deaggregator import deaggregate
+
+        got = [rec.data for wire in c.received for rec in deaggregate(wire)]
+        assert sorted(got) == sorted(payloads)
+        # throughput degraded to the cap's order, not collapse: elapsed
+        # virtual time within 3x of the ideal bytes/budget
+        total_bytes = sum(len(w_) for w_ in c.received)
+        ideal = total_bytes / (2 * 600_000.0)
+        assert vc.now <= 3 * ideal + 5, (vc.now, ideal)
+        assert c.throttle_errors > 0  # the envelope was actually exercised
