@@ -42,6 +42,29 @@ axis. Five phases, one calib-bracketed artifact
     measuring sustained drain records/s + MB/s vs the per-shard read cap
     (2 MB/s/shard): a lagging consumer must out-drain the producers.
 
+r12 phases (verdict tasks #2/#3/#6):
+
+(f) **reshard chaos at volume** — a SPLIT and a MERGE fire mid-stream at
+    2M records; the sink writes through them (periodic refresh re-routes)
+    and the partitioned source drains the whole topology in capped
+    micro-batches. Asserts exactly-once, SHARD_END drain of every closed
+    shard, and zero violations of the KCL parent-before-child admission
+    rule reconstructed from committed checkpoint offsets.
+
+(g) **dropDuplicatesWithinWatermark state plateau** — 2x-duplicated ids,
+    2 h watermark: state locks at the trigger+watermark horizon
+    (independent of stream length), eviction active, every id emitted
+    exactly once.
+
+(h) **session_window state plateau** — multi-event per-user-hour bursts
+    (session MERGING exercised): state plateaus at the same horizon,
+    closed sessions flush exactly once with the exact event count.
+
+(i) **sustained-throttling envelope** — ThrottlingKinesisClient enforces
+    the real per-shard service budgets; reactive back-off alone vs the
+    shared proactive ShardRateLimiter, both at ~15x offered overload:
+    degrade-to-sustainable-rate, zero loss, bounded retries.
+
 Run:  PYTHONPATH=/root/repo python bench_stream.py [--replicas 100]
           [--keys 131072] [--resume-rows 2000000] [--out bench_stream_soak.json]
 
