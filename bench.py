@@ -91,13 +91,16 @@ DRIFT_RETRY_PCT = float(os.environ.get("SPARK_GRAFT_DRIFT_RETRY_PCT", "10"))
 DRIFT_MAX_RETRIES = int(os.environ.get("SPARK_GRAFT_DRIFT_RETRIES", "2"))
 
 #: Off-band epoch self-defense (r11 verdict task #5): the two-probe blend
-#: model under-corrects slow epochs (measured: same-HEAD window at calib
-#: 1.146xref blended 22% above the in-band cluster). Rather than model the
-#: mid-band, the headline simply refuses to REPORT from an off-band window
-#: when it can avoid it: a pass whose calib_vs_ref exceeds this bound
-#: triggers the same bounded re-run as a drifting pass, and selection
-#: prefers in-band passes. A persistent slow window still reports (bounded
-#: retries), stamped caution:calib-off-band as before.
+#: model mis-normalizes off-band epochs in BOTH directions (measured: a
+#: same-HEAD window at calib 1.146xref blended 22% above the in-band
+#: cluster; an r12 window at calib 0.781xref / oh 0.678xref blended 18%
+#: above it too — sub-second queries divide by a small oh ratio the real
+#: queries did not fully enjoy). Rather than model the mid-band, the
+#: headline refuses to REPORT from an off-band window when it can avoid
+#: it: a pass whose calib_vs_ref falls outside [1/MAX, MAX] triggers the
+#: same bounded re-run as a drifting pass, and selection prefers in-band
+#: passes. A persistently off-band window still reports (bounded
+#: retries), stamped by the selection policy string.
 EPOCH_INBAND_MAX = float(os.environ.get("SPARK_GRAFT_EPOCH_INBAND_MAX", "1.15"))
 
 
@@ -177,7 +180,7 @@ def _pass_calm(p: dict) -> bool:
 
 def _pass_inband(p: dict) -> bool:
     cvr = p["epoch"].get("calib_vs_ref")
-    return cvr is not None and cvr <= EPOCH_INBAND_MAX
+    return cvr is not None and 1.0 / EPOCH_INBAND_MAX <= cvr <= EPOCH_INBAND_MAX
 
 
 def _pick_reported_pass(passes: list[dict]) -> tuple[dict, dict]:

@@ -349,6 +349,18 @@ class TestDriftRetrySelection:
         assert "in-band" in note["policy"]
         assert note["pass_calib_vs_ref"] == [1.30, 1.02]
 
+    def test_fast_epoch_is_off_band_too(self):
+        """The blend model errs in BOTH directions (r12: calib 0.781xref /
+        oh 0.678xref read 18% high): a too-FAST window must also lose to a
+        mid-band pass."""
+        import bench
+
+        fast = self._mk(0, 36.3, 4.0, calib_vs_ref=0.78)
+        mid = self._mk(1, 32.0, 4.0, calib_vs_ref=0.95)
+        chosen, note = bench._pick_reported_pass([fast, mid])
+        assert chosen is mid
+        assert "in-band" in note["policy"]
+
     def test_all_offband_falls_back_to_stable_median(self):
         import bench
 
