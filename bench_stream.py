@@ -502,7 +502,7 @@ def throttle_soak(total_mb: int = 60, shards: int = 4,
     # OTHER shards' budgets (a single serial writer measures ~0.25x cap
     # for exactly that reason — measured in the r12 smoke artifact)
 
-    def leg(use_limiter: bool) -> dict:
+    def leg(use_limiter: bool, route_by_budget: bool = False) -> dict:
         from concurrent.futures import ThreadPoolExecutor
 
         client = ThrottlingKinesisClient(num_shards=shards)
@@ -529,7 +529,7 @@ def throttle_soak(total_mb: int = 60, shards: int = 4,
         def run_writer(i: int) -> int:
             writer = KinesisStreamWriter(
                 "throttle-soak", client, rate_limiter=shared_limiter,
-                routing_seed=42 + i,
+                routing_seed=42 + i, route_by_budget=route_by_budget,
             )
             return writer.write(iter(payloads[i::n_writers]))
 
@@ -573,6 +573,7 @@ def throttle_soak(total_mb: int = 60, shards: int = 4,
 
     reactive = leg(use_limiter=False)
     proactive = leg(use_limiter=True)
+    budget = leg(use_limiter=True, route_by_budget=True)
     return {
         "op": "sustained ProvisionedThroughputExceeded",
         "shards": shards,
@@ -581,6 +582,7 @@ def throttle_soak(total_mb: int = 60, shards: int = 4,
         "payload_bytes": payload_bytes,
         "reactive_backoff_only": reactive,
         "proactive_rate_limiter": proactive,
+        "proactive_budget_routing": budget,
         # reactive back-off alone sustains a STABLE ~0.3x of the cap
         # (each 2 s linear back-off overshoots the ~1 s actual deficit);
         # the proactive limiter recovers to 0.6-0.9x with ZERO service
