@@ -31,14 +31,18 @@ from . import protocol as P
 
 #: Per-record protobuf prefix cache for ehk_index == 0 (the steady state:
 #: every record of a flush references the single table entry). Key: payload
-#: length. Value: (prefix_bytes, body_delta). Unbounded in principle but in
-#: practice holds one entry per distinct payload length seen (collections
-#: have a few hundred).
+#: length. Value: (prefix_bytes, body_delta). In practice one entry per
+#: distinct payload length seen (collections have a few hundred); bounded
+#: so an adversarial stream of ~uniformly random lengths up to 1 MB cannot
+#: grow a worker-lifetime dict to ~10^6 entries — past the cap, prefixes
+#: are computed inline (the arithmetic is a few microseconds).
 _PRE0: dict[int, tuple[bytes, int]] = {}
 
 #: Same, for carry records referencing a non-zero ehk index (at most one
 #: per flush boundary — see FastBatcher.flushes).
 _PREN: dict[tuple[int, int], tuple[bytes, int]] = {}
+
+_PREFIX_CACHE_MAX = 65_536
 
 
 def _prefix(ld: int, ehk_idx: int) -> tuple[bytes, int]:
@@ -61,8 +65,9 @@ def _prefix(ld: int, ehk_idx: int) -> tuple[bytes, int]:
     )
     entry = (prefix, len(prefix) + ld)
     if ehk_idx == 0:
-        _PRE0[ld] = entry
-    else:
+        if len(_PRE0) < _PREFIX_CACHE_MAX:
+            _PRE0[ld] = entry
+    elif len(_PREN) < _PREFIX_CACHE_MAX:
         _PREN[(ld, ehk_idx)] = entry
     return entry
 
