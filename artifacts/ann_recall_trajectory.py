@@ -238,5 +238,57 @@ def main() -> None:
         json.dump(out, f, indent=1)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("ANN_ADAPTIVE_K"):
     main()
+
+
+def adaptive_k_point(spark, label: str, sf_dir: str, k: int,
+                     query_mod: int) -> dict:
+    """The 'knob to turn is cell count' claim, measured: train the SAME
+    IVF machinery with K = k cells (cells ~ sqrt(n)) instead of the
+    registered fixed 4, and re-measure recall + probed fraction. The
+    registered queries keep K=4 (bit-stable, oracle-twinned); this is the
+    scale-path operating point the SCALE.md row commits to."""
+    from kinesis_writer_spark.operators import similarity as sim
+
+    old_k = sim._KM_K
+    sim._KM_K = k
+    # the codebook memo is keyed by (sf_dir, iters) only — a K change must
+    # not read a stale K=4 codebook, nor poison later K=4 callers
+    sim._CODEBOOK_CACHE.pop((sf_dir, 2), None)
+    try:
+        pt = q135_point(spark, label, sf_dir, query_mod)
+    finally:
+        sim._KM_K = old_k
+        sim._CODEBOOK_CACHE.pop((sf_dir, 2), None)
+    pt["k_cells"] = k
+    pt["query_mod"] = query_mod
+    return pt
+
+
+def main_adaptive() -> None:
+    from kinesis_writer_spark.session import get_spark
+
+    build_embeddings(SRC, f"{FIX}/sf1", 10)
+    build_embeddings(SRC, f"{FIX}/sf10emb", 100)
+    spark = get_spark("ann-adaptive-k")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {"metric": "ann_adaptive_k", "points": []}
+    for label, d, k, mod in [
+        ("sf1", f"{FIX}/sf1", 4, 100),       # fixed-K control
+        ("sf1", f"{FIX}/sf1", 32, 100),      # ~sqrt(20k)/4
+        ("sf10", f"{FIX}/sf10emb", 4, 10000),
+        ("sf10", f"{FIX}/sf10emb", 64, 10000),  # ~sqrt(200k)/7
+    ]:
+        pt = adaptive_k_point(spark, label, d, k, mod)
+        out["points"].append(pt)
+        print(json.dumps({kk: pt[kk] for kk in (
+            "scale", "k_cells", "n_vectors", "recall_pct",
+            "probed_fraction_pct", "secs") if kk in pt}))
+    art = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(art, "ann_adaptive_k.json"), "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__" and os.environ.get("ANN_ADAPTIVE_K"):
+    main_adaptive()
