@@ -1030,6 +1030,18 @@ class KinesisStreamSinkWriter(DataSourceStreamWriter):
             raise ValueError(
                 f"rate_limit_burst_seconds must be > 0, got {self._rl_burst!r}"
             )
+        # opt-in budget-aware routing: route each flush to the shard whose
+        # limiter bucket is fullest (needs a rate limit configured —
+        # without one there is no budget to read). Measured: 0.61x -> 0.92x
+        # of the hard service cap under sustained throttle (SCALE.md r12).
+        self._route_by_budget = (
+            options.get("route_by_budget", "false").lower() == "true"
+        )
+        if self._route_by_budget and self._rl_bytes is None and self._rl_puts is None:
+            raise ValueError(
+                "route_by_budget requires rate_limit_bytes_per_sec and/or "
+                "rate_limit_puts_per_sec (routing reads the limiter's buckets)"
+            )
         # periodic shard-map re-discovery (long-running sinks survive
         # resharding without a restart): ON by default at the sink module's
         # cadence; '0' disables; error-triggered refresh is always on
@@ -1065,6 +1077,7 @@ class KinesisStreamSinkWriter(DataSourceStreamWriter):
             self._stream,
             client,
             rate_limiter=limiter,
+            route_by_budget=self._route_by_budget,
             refresh_every_flushes=self._refresh_flushes,
         )
         n = writer.write(bytes(row["data"]) for row in iterator)

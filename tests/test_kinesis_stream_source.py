@@ -1210,3 +1210,61 @@ class TestAdmissionCapBatchZero:
             + [f"b-{i:03d}".encode() for i in range(6)]
         )
         assert got == want
+
+
+class TestSinkBudgetRoutingOption:
+    """r12: the streaming sink exposes the writer's opt-in budget-aware
+    routing; it requires a configured rate limit (there is no budget to
+    read otherwise) and defaults off."""
+
+    def _writer(self, **opts):
+        base = {"stream_name": "s"}
+        base.update(opts)
+        return kinesis_stream.KinesisStreamSinkWriter(base, ["data"])
+
+    def test_default_off(self):
+        assert self._writer()._route_by_budget is False
+
+    def test_enabled_with_rate_limit(self):
+        w = self._writer(
+            route_by_budget="true", rate_limit_bytes_per_sec="1048576"
+        )
+        assert w._route_by_budget is True
+
+    def test_requires_a_rate_limit(self):
+        with pytest.raises(ValueError, match="route_by_budget requires"):
+            self._writer(route_by_budget="true")
+
+    def test_end_to_end_capture_roundtrip(self, spark, tmp_path):
+        kinesis_stream.register(spark)
+        sink_dir = str(tmp_path / "budget_capture")
+        src_dir = tmp_path / "budget_src"
+        os.makedirs(src_dir)
+        payloads = [f"bp-{i:04d}".encode() for i in range(200)]
+        spark.createDataFrame([(p,) for p in payloads], "data binary").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src_dir / "p"))
+        q = (
+            spark.readStream.schema("data binary")
+            .parquet(str(src_dir / "p"))
+            .writeStream.format("kinesis")
+            .option("stream_name", "budget-stream")
+            .option(
+                "client_factory",
+                "kinesis_writer_spark.sources.kinesis_stream:capture_sink_client_factory",
+            )
+            .option("client_kwargs", json.dumps(
+                {"capture_dir": sink_dir, "num_shards": 4}))
+            .option("rate_limit_bytes_per_sec", "10485760")  # ample: no pacing stalls
+            .option("route_by_budget", "true")
+            .option("checkpointLocation", str(tmp_path / "ckpt_budget"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        from kinesis_writer_spark.sources import kpl_datasource
+
+        kpl_datasource.register(spark)
+        back = spark.read.format("kpl").load(sink_dir + "/*/*.kpl")
+        got = sorted(bytes(r["data"]) for r in back.collect())
+        assert got == sorted(payloads)
