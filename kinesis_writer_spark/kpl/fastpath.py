@@ -249,17 +249,27 @@ class FastBatcher:
                     runs[-1][1] += 1
                     continue
             # -- general path (exact batch_records branch structure) ------
-            if ld > max_payload:
-                raise ValueError(
-                    f"record data exceeds {max_payload} bytes: {ld}"
-                )
             size = frame + body if recs else 0
             if size >= soft_max and ld > max_last:
                 # flush-before: the carry record keeps THIS draw (the
-                # redraw lands only after the yield resumes us)
+                # redraw lands only after the yield resumes us). The
+                # oversize raise comes AFTER this yield — the slow path's
+                # validate_data fires inside add_user_record, after
+                # batch_records' clear_and_get yield, so an oversize
+                # record must not drop the completed flush.
                 yield complete()
+                if ld > max_payload:
+                    raise ValueError(
+                        f"record data exceeds {max_payload} bytes: {ld}"
+                    )
                 check_fits_empty(ld, ehk)
                 add(data, ld, ehk)
+            elif ld > max_payload:
+                # every other branch validates before any flush, exactly
+                # where the slow path's add_user_record raises
+                raise ValueError(
+                    f"record data exceeds {max_payload} bytes: {ld}"
+                )
             elif size >= soft_max:
                 # add-then-flush, unless the add itself would overflow the
                 # protocol cap (then it seeds the next batch instead)

@@ -19,6 +19,7 @@ coordination. No driver-side collect anywhere.
 from __future__ import annotations
 
 import random
+import threading
 import time
 from collections.abc import Callable, Iterable, Iterator
 
@@ -169,6 +170,14 @@ class ShardRateLimiter:
         self._sleep = sleep
         # key -> [bytes_tokens, put_tokens, last_refill_ts]
         self._buckets: dict[str, list[float]] = {}
+        # One limiter instance is shared process-wide across concurrent
+        # writer threads (the streaming binding hands out a singleton), so
+        # bucket creation / refill / deduction are read-modify-writes that
+        # must not interleave — an unsynchronized pair of acquires can lose
+        # a deduction and over-admit. The lock guards bookkeeping only; the
+        # pacing sleep happens OUTSIDE it so one throttled shard never
+        # blocks another shard's acquire.
+        self._lock = threading.Lock()
 
     def _refill(self, state: list[float], now: float) -> None:
         dt = max(0.0, now - state[2])
@@ -190,42 +199,52 @@ class ShardRateLimiter:
         (The earlier refill-after-sleep variant re-capped at burst before
         subtracting, double-charging any cost above burst capacity and
         halving sustained throughput for oversized records.)"""
-        state = self._buckets.setdefault(
-            shard_key,
-            [
-                self.bytes_per_sec * self.burst_seconds,
-                self.puts_per_sec * self.burst_seconds,
-                self._clock(),
-            ],
-        )
-        self._refill(state, self._clock())
-        state[0] -= n_bytes
-        state[1] -= n_puts
-        wait = max(0.0, -state[0] / self.bytes_per_sec, -state[1] / self.puts_per_sec)
+        with self._lock:
+            state = self._buckets.setdefault(
+                shard_key,
+                [
+                    self.bytes_per_sec * self.burst_seconds,
+                    self.puts_per_sec * self.burst_seconds,
+                    self._clock(),
+                ],
+            )
+            self._refill(state, self._clock())
+            state[0] -= n_bytes
+            state[1] -= n_puts
+            wait = max(
+                0.0, -state[0] / self.bytes_per_sec, -state[1] / self.puts_per_sec
+            )
         if wait > 0.0:
             self._sleep(wait)
         return wait
 
     def richest_key(self, keys: list[str]) -> str:
-        """The key whose byte bucket holds the most tokens right now (ties
-        broken by list order; unseen keys count as full). Budget-aware
-        routing: uniform random routing walks into depleted buckets while
-        refilled ones idle at their burst cap, and the discarded refill is
+        """The key with the most *seconds of headroom* right now (ties
+        broken by list order; unseen keys count as full). Headroom is the
+        MINIMUM of the byte and put buckets, each normalized to seconds at
+        its own rate — ranking by raw byte tokens alone would, on put-bound
+        workloads (many small aggregated records), route to a shard whose
+        put bucket is in deep debt while another shard has put budget to
+        spare, forcing an avoidable acquire() sleep. Budget-aware routing:
+        uniform random routing walks into depleted buckets while refilled
+        ones idle at their burst cap, and the discarded refill is
         unrecoverable — measured at 0.61x of the service cap in the r12
         throttling soak vs ~0.9x with this selector."""
-        now = self._clock()
-        full = self.bytes_per_sec * self.burst_seconds
-        best_key, best_tokens = keys[0], float("-inf")
-        for key in keys:
-            state = self._buckets.get(key)
-            if state is None:
-                tokens = full
-            else:
-                self._refill(state, now)
-                tokens = state[0]
-            if tokens > best_tokens:
-                best_key, best_tokens = key, tokens
-        return best_key
+        with self._lock:
+            now = self._clock()
+            best_key, best_headroom = keys[0], float("-inf")
+            for key in keys:
+                state = self._buckets.get(key)
+                if state is None:
+                    headroom = self.burst_seconds  # both buckets full
+                else:
+                    self._refill(state, now)
+                    headroom = min(
+                        state[0] / self.bytes_per_sec, state[1] / self.puts_per_sec
+                    )
+                if headroom > best_headroom:
+                    best_key, best_headroom = key, headroom
+            return best_key
 
 
 # ---------------------------------------------------------------------------

@@ -499,6 +499,19 @@ def _norm_off(v) -> dict:
     return {"seq": str(n - 1) if n > 0 else None, "done": False}
 
 
+def _seq_ge(a: str | None, b: str | None) -> bool:
+    """True iff sequence number ``a`` is at-or-past ``b``. ``None`` means
+    "nothing read yet" and sorts below every real sequence number; Kinesis
+    sequence numbers are decimal strings ordered numerically (a big-int
+    timestamp+subsequence composite), so string-length-then-value compare
+    via int() is the documented total order."""
+    if b is None:
+        return True
+    if a is None:
+        return False
+    return int(a) >= int(b)
+
+
 def _list_shards_meta(client, stream: str) -> list[dict]:
     """Full shard map with reshard metadata (ParentShardId /
     SequenceNumberRange), paginated like the reference walks describeStream
@@ -879,12 +892,34 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         # admission cap relative to the checkpoint after a restart —
         # a cap computed from an unknown floor could plan an end BELOW
         # the checkpoint, which replays committed records.
-        self._last_start = {sid: _norm_off(v) for sid, v in end.items()}
+        #
+        # Defense-in-depth against a future Spark call-order change: the
+        # snap-to-TRIM_HORIZON in latestOffset() relies on restarts always
+        # re-planning through here first. If a runner ever computed a
+        # capped end from the horizon floor while the checkpoint sits
+        # further ahead, that end would land BELOW the start Spark hands
+        # in. Two clamps make that harmless regardless of call order:
+        # (1) an end at-or-below the start plans as EMPTY (never a
+        # backwards slice that replays committed records), and (2) the
+        # taught _last_start never regresses below the given start.
+        taught: dict = {}
+        for sid, raw_end in end.items():
+            eo = _norm_off(raw_end)
+            so = _norm_off(start.get(sid))
+            taught[sid] = eo if _seq_ge(eo.get("seq"), so.get("seq")) else so
+        for sid in start:  # shards Spark knows that this end omitted
+            if sid not in taught:
+                taught[sid] = _norm_off(start.get(sid))
+        self._last_start = taught
         slices = []
         for sid, raw_end in end.items():
             eo = _norm_off(raw_end)
             so = _norm_off(start.get(sid))
-            if eo["seq"] is not None and eo["seq"] != so["seq"]:
+            if (
+                eo["seq"] is not None
+                and eo["seq"] != so["seq"]
+                and not _seq_ge(so.get("seq"), eo.get("seq"))
+            ):
                 slices.append(_ShardSlice(sid, so, eo["seq"]))
         # Spark requires >= 1 partition per batch; an empty slice yields no rows
         return slices or [_ShardSlice(None, None, None)]

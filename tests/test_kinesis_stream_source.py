@@ -1268,3 +1268,56 @@ class TestSinkBudgetRoutingOption:
         back = spark.read.format("kpl").load(sink_dir + "/*/*.kpl")
         got = sorted(bytes(r["data"]) for r in back.collect())
         assert got == sorted(payloads)
+
+
+class TestBackwardsPlanClamp:
+    """r12 advice: the snap-to-TRIM_HORIZON in latestOffset relies on the
+    measured Spark 4 call order. If a future runner ever hands partitions()
+    an end BELOW the start (cap computed from an unknown floor while the
+    checkpoint sits ahead), the clamp must plan it as EMPTY — never a
+    backwards slice replaying committed records — and the taught
+    _last_start must never regress below the given start."""
+
+    def _reader(self, capture_dir):
+        from kinesis_writer_spark.sources.kinesis_stream import (
+            KinesisPartitionedStreamReader,
+        )
+
+        return KinesisPartitionedStreamReader(
+            {
+                "stream_name": "events",
+                "client_factory": "kinesis_writer_spark.sources.kinesis_stream:capture_client_factory",
+                "client_kwargs": json.dumps({"capture_dir": capture_dir}),
+            }
+        )
+
+    def test_end_below_start_plans_empty(self, capture_dir):
+        r = self._reader(capture_dir)
+        start, end = r.initialOffset(), r.latestOffset()
+        # simulate the pathological order: checkpoint (end) is the start,
+        # a horizon-floored cap produced an earlier end
+        behind = {sid: {"seq": "0", "done": False} for sid in end}
+        parts = r.partitions(end, behind)
+        assert len(parts) == 1 and parts[0].shard_id is None  # empty batch
+
+    def test_taught_floor_never_regresses(self, capture_dir):
+        r = self._reader(capture_dir)
+        start, end = r.initialOffset(), r.latestOffset()
+        behind = {sid: {"seq": "0", "done": False} for sid in end}
+        r.partitions(end, behind)
+        # _last_start keeps the checkpointed end, not the regressed one
+        for sid, off in r._last_start.items():
+            assert int(off["seq"]) >= int(end[sid]["seq"])
+        # and the NEXT latestOffset plans forward of the checkpoint
+        nxt = r.latestOffset()
+        for sid in nxt:
+            if nxt[sid]["seq"] is not None and end[sid]["seq"] is not None:
+                assert int(nxt[sid]["seq"]) >= int(end[sid]["seq"])
+
+    def test_forward_planning_unchanged(self, capture_dir):
+        r = self._reader(capture_dir)
+        start, end = r.initialOffset(), r.latestOffset()
+        parts = r.partitions(start, end)
+        assert len(parts) == 2
+        rows = [t for p in parts for t in r.read(p)]
+        assert len(rows) == sum(int(e["seq"]) + 1 for e in end.values())

@@ -209,3 +209,61 @@ class TestFastAggRecordSurface:
             for rec in deaggregate(r["Data"])
         ]
         assert decoded == [b"r1", b"r2", b"r3"]
+
+
+class TestFlushBeforeRaiseParity:
+    """r12 advice: the fast path must not drop a flush the slow path
+    would have delivered before failing. With a pending at-soft-cap batch,
+    an oversize record yields that batch FIRST on both paths, then raises
+    on the next generator advance (slow path: clear_and_get yields before
+    add_user_record's validate_data fires)."""
+
+    def _drain(self, gen):
+        yielded = []
+        err = None
+        try:
+            for batch in gen:
+                yielded.append(batch.num_user_records)
+        except ValueError as e:
+            err = str(e)
+        return yielded, err
+
+    def test_oversize_after_soft_cap_yields_pending_batch_first(self):
+        from kinesis_writer_spark.kpl.protocol import MAX_USER_PAYLOAD
+        from kinesis_writer_spark.sink import (
+            MAX_LAST_RECORD_SIZE,
+            SOFT_MAX_SIZE,
+            batch_records,
+        )
+
+        payloads = [b"x" * 200_000] * 5 + [b"z" * (MAX_USER_PAYLOAD + 1)]
+        ehk = "123"
+
+        fb = FastBatcher("a", SOFT_MAX_SIZE, MAX_LAST_RECORD_SIZE)
+        fast_yields, fast_err = self._drain(fb.flushes(iter(payloads), lambda: ehk))
+        slow_yields, slow_err = self._drain(
+            batch_records(("a", ehk, p) for p in payloads)
+        )
+        assert fast_yields == slow_yields == [5]
+        assert fast_err == slow_err
+        assert "record data exceeds" in fast_err
+
+    def test_oversize_below_soft_cap_raises_without_flush_on_both(self):
+        from kinesis_writer_spark.kpl.protocol import MAX_USER_PAYLOAD
+        from kinesis_writer_spark.sink import (
+            MAX_LAST_RECORD_SIZE,
+            SOFT_MAX_SIZE,
+            batch_records,
+        )
+
+        payloads = [b"x" * 10_000] * 3 + [b"z" * (MAX_USER_PAYLOAD + 1)]
+        ehk = "123"
+
+        fb = FastBatcher("a", SOFT_MAX_SIZE, MAX_LAST_RECORD_SIZE)
+        fast_yields, fast_err = self._drain(fb.flushes(iter(payloads), lambda: ehk))
+        slow_yields, slow_err = self._drain(
+            batch_records(("a", ehk, p) for p in payloads)
+        )
+        assert fast_yields == slow_yields == []
+        assert fast_err == slow_err
+        assert "record data exceeds" in fast_err
