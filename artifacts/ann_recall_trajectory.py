@@ -97,7 +97,8 @@ def q220_point(spark, label: str, sf_dir: str) -> dict:
     }
 
 
-def q135_point(spark, label: str, sf_dir: str, query_mod: int = 100) -> dict:
+def q135_point(spark, label: str, sf_dir: str, query_mod: int = 100,
+               k_cells=None) -> dict:
     """``query_mod=100`` is q135's registered 1%% query sample; the sf10
     point passes a sparser sample (the brute-force truth side is
     O(queries x corpus) and exists only to grade the IVF side — recall is
@@ -110,10 +111,10 @@ def q135_point(spark, label: str, sf_dir: str, query_mod: int = 100) -> dict:
     from kinesis_writer_spark.registry import all_queries
 
     t0 = time.monotonic()
-    if query_mod == 100:
+    if query_mod == 100 and k_cells is None:
         per_q = all_queries()["q135_ann_recall"](spark, sf_dir)
     else:
-        per_q = _q135_sampled(spark, sf_dir, query_mod)
+        per_q = _q135_sampled(spark, sf_dir, query_mod, k_cells)
     agg = per_q.agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.sum("n_ivf").alias("n_ivf"),
@@ -125,7 +126,7 @@ def q135_point(spark, label: str, sf_dir: str, query_mod: int = 100) -> dict:
     cells = (
         _km_assign(
             embeddings.select("vec_id", "embedding"),
-            ivf_train_centroids(embeddings, cache_key=sf_dir),
+            ivf_train_centroids(embeddings, cache_key=sf_dir, k_cells=k_cells),
         )
         .groupBy("cluster_id")
         .count()
@@ -151,7 +152,7 @@ def q135_point(spark, label: str, sf_dir: str, query_mod: int = 100) -> dict:
     }
 
 
-def _q135_sampled(spark, sf_dir: str, query_mod: int):
+def _q135_sampled(spark, sf_dir: str, query_mod: int, k_cells=None):
     """q135's exact comparison shape with a sparser query sample — same
     index, same brute-force truth definition, fewer graded queries."""
     from pyspark.sql import Window
@@ -166,7 +167,7 @@ def _q135_sampled(spark, sf_dir: str, query_mod: int):
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     vectors = embeddings.select("vec_id", "embedding")
     assigned = _km_assign(
-        vectors, ivf_train_centroids(embeddings, cache_key=sf_dir)
+        vectors, ivf_train_centroids(embeddings, cache_key=sf_dir, k_cells=k_cells)
     ).persist()
     q = assigned.filter(F.col("vec_id") % query_mod == 50).select(
         F.col("vec_id").alias("query_id"),
@@ -249,18 +250,9 @@ def adaptive_k_point(spark, label: str, sf_dir: str, k: int,
     registered fixed 4, and re-measure recall + probed fraction. The
     registered queries keep K=4 (bit-stable, oracle-twinned); this is the
     scale-path operating point the SCALE.md row commits to."""
-    from kinesis_writer_spark.operators import similarity as sim
-
-    old_k = sim._KM_K
-    sim._KM_K = k
-    # the codebook memo is keyed by (sf_dir, iters) only — a K change must
-    # not read a stale K=4 codebook, nor poison later K=4 callers
-    sim._CODEBOOK_CACHE.pop((sf_dir, 2), None)
-    try:
-        pt = q135_point(spark, label, sf_dir, query_mod)
-    finally:
-        sim._KM_K = old_k
-        sim._CODEBOOK_CACHE.pop((sf_dir, 2), None)
+    # k_cells is a first-class operator parameter as of r13 (the memo keys
+    # by resolved k, so mixed-K runs cannot cross-poison)
+    pt = q135_point(spark, label, sf_dir, query_mod, k_cells=k)
     pt["k_cells"] = k
     pt["query_mod"] = query_mod
     return pt

@@ -384,22 +384,68 @@ def _km_sql_assign(vec_src: str, cent_src: str) -> str:
 #: side Lloyd jobs entirely. The model is k tiny integer arrays.
 from ..memo import register as _register_memo
 
-_CODEBOOK_CACHE: dict[tuple[str, int], list[tuple[int, list[int]]]] = _register_memo({})
+_CODEBOOK_CACHE: dict[tuple, list[tuple[int, list[int]]]] = _register_memo({})
+
+
+def ivf_auto_cells(n_vectors: int) -> int:
+    """The sqrt(n)-scaled cell count for ``k_cells="auto"``: the largest
+    power of two at-or-below ``sqrt(n)/4``, floored at the oracle-twinned
+    ``_KM_K`` default. Powers of two keep the resolved count stable under
+    small corpus-size jitter (so the codebook memo and any persisted index
+    stay valid across minor appends). Pinned to the measured operating
+    points in artifacts/ann_adaptive_k.json: n=20 000 -> 32 cells (3.3%%
+    of the corpus probed, recall 98.0%%), n=200 000 -> 64 cells (1.9%%
+    probed, recall 100%%) — vs the fixed K=4 default's constant ~25%%
+    probed. At 100 TB this is the knob that keeps nprobe=1 probe cost
+    ~sqrt(n) instead of n/4."""
+    import math
+
+    if n_vectors <= 0:
+        return _KM_K
+    target = math.sqrt(n_vectors) / 4.0
+    if target < 2.0:
+        return _KM_K
+    return max(_KM_K, 2 ** int(math.log2(target)))
+
+
+def _resolve_k_cells(embeddings: DataFrame, k_cells: int | str | None) -> int:
+    if k_cells is None:
+        return _KM_K
+    if k_cells == "auto":
+        return ivf_auto_cells(embeddings.count())
+    k = int(k_cells)
+    if k < 1:
+        raise ValueError(f"k_cells must be >= 1, got {k_cells!r}")
+    return k
 
 
 def ivf_train_centroids(
-    embeddings: DataFrame, iters: int = 2, cache_key: str | None = None
+    embeddings: DataFrame,
+    iters: int = 2,
+    cache_key: str | None = None,
+    k_cells: int | str | None = None,
 ) -> list[tuple[int, list[int]]]:
-    """Train IVF centroids: seed from the first ``_KM_K`` vec_ids, run
+    """Train IVF centroids: seed from the first ``k`` vec_ids, run
     ``iters`` deterministic Lloyd iterations over a deterministic
     1-in-``_IVF_TRAIN_MOD`` hash-sample of the corpus (standard IVF
     practice — codebook quality needs a bounded sample, not the corpus, so
     at 100 TB training cost is fixed while assignment still covers every
     vector). Integer-quantized after every update, so the resulting cells
     are bit-identical cross-engine — the exact twin of
-    :func:`ivf_assigned_sql_ctes`."""
-    if cache_key is not None and (cache_key, iters) in _CODEBOOK_CACHE:
-        return _CODEBOOK_CACHE[(cache_key, iters)]
+    :func:`ivf_assigned_sql_ctes`.
+
+    ``k_cells`` selects the cell count: ``None`` keeps the oracle-twinned
+    ``_KM_K`` (=4) default (the registered q62/q134/q135 operating point),
+    an int pins an explicit count, and ``"auto"`` scales cells with the
+    corpus via :func:`ivf_auto_cells` (cells ~ sqrt(n)) — the operating
+    point a 100 TB deployment needs, where fixed-K probes a constant
+    fraction of the corpus while auto-K keeps per-query probe cost
+    sublinear (measured 7.6-13x probe-compute cut with recall held,
+    artifacts/ann_adaptive_k.json)."""
+    spec = "auto" if k_cells == "auto" else _resolve_k_cells(embeddings, k_cells)
+    if cache_key is not None and (cache_key, iters, spec) in _CODEBOOK_CACHE:
+        return _CODEBOOK_CACHE[(cache_key, iters, spec)]
+    k = _resolve_k_cells(embeddings, k_cells)
     # persist the BOUNDED training sample across the Lloyd jobs: each
     # iteration is its own Spark job (the centroid collect is a barrier), so
     # without the persist every iteration re-scans and re-filters the corpus
@@ -410,7 +456,7 @@ def ivf_train_centroids(
     )
     try:
         rows = _collect_centroids(
-            embeddings.filter(F.col("vec_id") < _KM_K).select(
+            embeddings.filter(F.col("vec_id") < k).select(
                 F.col("vec_id").alias("cluster_id"),
                 F.transform(
                     "embedding", lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint")
@@ -422,8 +468,30 @@ def ivf_train_centroids(
     finally:
         vectors.unpersist()
     if cache_key is not None:
-        _CODEBOOK_CACHE[(cache_key, iters)] = rows
+        _CODEBOOK_CACHE[(cache_key, iters, spec)] = rows
     return rows
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    k_cells: int | str | None = None,
+    cache_key: str | None = None,
+    iters: int = 2,
+) -> DataFrame:
+    """The IVF index build as one call: train the codebook (see
+    :func:`ivf_train_centroids` for the ``k_cells`` semantics, including
+    ``"auto"``) and assign every vector to its nearest cell. Returns
+    ``(vec_id, embedding, cluster_id)`` — ready for nprobe=1 probing by
+    joining queries on ``cluster_id``, exactly the q134/q135 shape. The
+    assignment is a broadcast-argmin over k tiny integer centroid arrays:
+    one corpus scan, no shuffle."""
+    vectors = embeddings.select("vec_id", "embedding")
+    return _km_assign(
+        vectors,
+        ivf_train_centroids(
+            embeddings, iters=iters, cache_key=cache_key, k_cells=k_cells
+        ),
+    )
 
 
 def ivf_assigned_sql_ctes() -> str:

@@ -47,3 +47,156 @@ def test_q135_ivf_recall_floor(spark):
     # measured 86.7% at sf0.01 and monotonically BETTER at every larger
     # scale (93.3% sf0.1, 99.5% sf1, 100% sf10) — the floor pins the worst
     assert agg["h"] * 100 >= 80 * agg["n"], (agg["h"], agg["n"])
+
+
+class TestAutoCellsOperator:
+    """r12 verdict task #1: sqrt(n)-scaled IVF cells promoted from the
+    bench harness into the operator surface (similarity.ivf_train_centroids
+    / ivf_assign take k_cells, with "auto" = cells ~ sqrt(n)). The floors
+    pin the measured ann_adaptive_k.json operating points so a codebook or
+    rule regression fails a test, not a 100 TB deployment."""
+
+    def test_auto_rule_matches_measured_rows(self):
+        from kinesis_writer_spark.operators.similarity import ivf_auto_cells
+
+        # the two measured ann_adaptive_k.json rows
+        assert ivf_auto_cells(20_000) == 32  # sf1: 3.3% probed, recall 98%
+        assert ivf_auto_cells(200_000) == 64  # sf10: 1.9% probed, recall 100%
+        # small corpora stay at the oracle-twinned default
+        assert ivf_auto_cells(200) == 4
+        assert ivf_auto_cells(0) == 4
+        # monotone non-decreasing across decades
+        pts = [ivf_auto_cells(10**e) for e in range(2, 10)]
+        assert pts == sorted(pts)
+
+    def test_default_k_unchanged(self, spark):
+        """The registered q62/q134/q135 operating point: k_cells=None must
+        keep training exactly _KM_K=4 cells (bit-stable oracle twin)."""
+        from kinesis_writer_spark import io as kio
+        from kinesis_writer_spark.operators.similarity import (
+            ivf_train_centroids,
+        )
+
+        emb = kio.load(spark, SF001, "embeddings")
+        assert len(ivf_train_centroids(emb)) == 4
+        # and "auto" at sf0.01 resolves to the same default (n=200 -> 4)
+        assert len(ivf_train_centroids(emb, k_cells="auto")) == 4
+
+    def test_explicit_k_validated(self, spark):
+        from kinesis_writer_spark import io as kio
+        from kinesis_writer_spark.operators.similarity import (
+            ivf_train_centroids,
+        )
+
+        emb = kio.load(spark, SF001, "embeddings")
+        with pytest.raises(ValueError, match="k_cells"):
+            ivf_train_centroids(emb, k_cells=0)
+
+
+class TestAutoCellsSf1Floor:
+    """The sf1 operating point, measured in-test (~45 s): 20 000 vectors,
+    auto -> 32 cells, probed fraction <= 5%, recall >= 95% — the
+    ann_adaptive_k.json K=32/sf1 row as a regression gate."""
+
+    FIXTURE = "/tmp/ann_traj/sf1"
+
+    @pytest.fixture(scope="class")
+    def sf1_dir(self):
+        src = "/root/testdata/sf0.1"
+        if not os.path.isdir(src):
+            pytest.skip("sf0.1 fixture not present")
+        import duckdb
+
+        out = os.path.join(self.FIXTURE, "embeddings.parquet")
+        if not (os.path.exists(out) and os.path.getsize(out) > 0):
+            os.makedirs(self.FIXTURE, exist_ok=True)
+            con = duckdb.connect()
+            n = con.sql(
+                f"SELECT COUNT(*) FROM '{src}/embeddings.parquet'"
+            ).fetchone()[0]
+            # x10 replicas, deterministic +-5% per-component perturbation
+            # (the artifacts/ann_recall_trajectory.py corpus-growth model)
+            con.sql(
+                f"""
+                COPY (
+                    SELECT d.vec_id + r.r * {n} AS vec_id,
+                           CASE WHEN r.r = 0 THEN d.embedding ELSE
+                               list_transform(range(1, len(d.embedding) + 1),
+                                   i -> CAST(d.embedding[i] * (1.0 +
+                                       (CAST(hash(d.vec_id * 131071 + i * 8191 + r.r)
+                                         % 2001 AS BIGINT) - 1000) / 20000.0) AS FLOAT))
+                           END AS embedding,
+                           d.label
+                    FROM '{src}/embeddings.parquet' d, range(10) r(r)
+                ) TO '{out}' (FORMAT PARQUET)
+                """
+            )
+        return self.FIXTURE
+
+    def test_auto_point_recall_and_probe_floors(self, spark, sf1_dir):
+        from pyspark.sql import Window
+
+        from kinesis_writer_spark.functions.vectors import cosine
+        from kinesis_writer_spark.operators._util import tables
+        from kinesis_writer_spark.operators.similarity import ivf_assign
+
+        (emb,) = tables(spark, sf1_dir, "embeddings")
+        n = emb.count()
+        assert n == 20_000
+        assigned = ivf_assign(emb, k_cells="auto", cache_key=sf1_dir).persist()
+        try:
+            occ = [
+                int(r["count"])
+                for r in assigned.groupBy("cluster_id").count().collect()
+            ]
+            assert len(occ) == 32  # the measured sf1 auto point
+            # nprobe=1 expected probed fraction: sum(c^2)/n^2 (measured 3.3%)
+            assert sum(c * c for c in occ) * 100 <= 5 * n * n
+            # recall vs exact brute top-10 on a deterministic 40-query
+            # subsample (q135's truth definition; measured 97.5%)
+            q = assigned.filter(F.col("vec_id") % 500 == 50).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv"),
+                F.col("cluster_id").alias("qcell"),
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.col("cos").desc(), F.col("neighbor_id").asc()
+            )
+            brute = (
+                F.broadcast(q.select("query_id", "qv"))
+                .join(emb, F.col("vec_id") != F.col("query_id"))
+                .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                        cosine("qv", "embedding").alias("cos"))
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 10)
+                .select(F.col("query_id").alias("b_query"),
+                        F.col("neighbor_id").alias("b_neighbor"),
+                        F.lit(1).alias("hit"))
+            )
+            ivf = (
+                F.broadcast(q)
+                .join(assigned, (F.col("cluster_id") == F.col("qcell"))
+                      & (F.col("vec_id") != F.col("query_id")))
+                .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                        cosine("qv", "embedding").alias("cos"))
+                .withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= 3)
+                .select("query_id", "neighbor_id")
+            )
+            agg = (
+                ivf.join(
+                    brute,
+                    (F.col("query_id") == F.col("b_query"))
+                    & (F.col("neighbor_id") == F.col("b_neighbor")),
+                    "left",
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.when(F.col("hit").isNull(), 0).otherwise(1)).alias("h"),
+                )
+                .first()
+            )
+            assert agg["n"] >= 100  # 40 queries x top-3 minus short cells
+            assert agg["h"] * 100 >= 95 * agg["n"], (agg["h"], agg["n"])
+        finally:
+            assigned.unpersist()

@@ -23,7 +23,7 @@ def test_codebook_cache_hits_and_matches(spark):
     c2 = ivf_train_centroids(emb, cache_key=key)
     assert c1 == fresh  # cached content identical to a fresh training run
     assert c2 is c1  # second call is a pure cache hit
-    assert (key, 2) in _CODEBOOK_CACHE
+    assert (key, 2, 4) in _CODEBOOK_CACHE  # default resolves to _KM_K=4 cells
 
 
 def test_neardup_caches_match_fresh_computation(spark):
