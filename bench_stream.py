@@ -1019,7 +1019,8 @@ def session_soak(spark, n_keys: int, n_files: int, rows_per_file: int) -> dict:
 # phase (e): kinesis source — backlog drain at volume
 # ---------------------------------------------------------------------------
 
-def source_soak(spark, shards: int, total_records: int) -> dict:
+def source_soak(spark, shards: int, total_records: int,
+                max_frames_per_batch: int | None = None) -> dict:
     """Deep-backlog drain through the kinesis streaming SOURCE: a capture
     stream holding ``total_records`` aggregated user records across
     ``shards`` shards is read TRIM_HORIZON -> tip with the partitioned
@@ -1059,7 +1060,7 @@ def source_soak(spark, shards: int, total_records: int) -> dict:
         open(os.path.join(capture, "_FIXTURE_DONE"), "w").close()
 
     kinesis_stream.register(spark)
-    raw = (
+    reader = (
         spark.readStream.format("kinesis")
         .option("stream_name", "soak-src")
         .option("reader", "partitioned")
@@ -1068,19 +1069,69 @@ def source_soak(spark, shards: int, total_records: int) -> dict:
             "kinesis_writer_spark.sources.kinesis_stream:capture_client_factory",
         )
         .option("client_kwargs", _json.dumps({"capture_dir": capture}))
-        .load()
     )
+    if max_frames_per_batch is not None:
+        # bounded micro-batches: the decade point uses this so per-batch
+        # trigger times are observable (flat trigger_ms across the drain
+        # == no state growth in the reader), not one availableNow mega-batch
+        reader = reader.option("max_records_per_batch", str(max_frames_per_batch))
+    raw = reader.load()
     out = f"{FIX_ROOT}/source_out_{time.time_ns()}"
+    ckpt = f"{FIX_ROOT}/ckpt_srcdrain_{time.time_ns()}"
     t0 = time.monotonic()
-    q = (
+    sink = (
         deaggregate_records(raw, wire_col="data", strict=False)
         .writeStream.format("parquet")
         .option("path", out)
-        .option("checkpointLocation", f"{FIX_ROOT}/ckpt_srcdrain_{time.time_ns()}")
-        .trigger(availableNow=True)
-        .start()
+        .option("checkpointLocation", ckpt)
     )
-    q.awaitTermination()
+    if max_frames_per_batch is None:
+        # uncapped: availableNow's one-shot latestOffset snapshot IS the tip
+        q = sink.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        # capped: availableNow would stop at ONE capped latestOffset snapshot
+        # (see KinesisPartitionedStreamReader docstring) — run continuous
+        # micro-batches and stop once the checkpoint's committed offsets
+        # reach every shard's tail frame
+        from kinesis_writer_spark.sources.kpl_datasource import count_wire_frames
+
+        expected_seq = {}
+        for sd in sorted(os.listdir(capture)):
+            d = os.path.join(capture, sd)
+            if os.path.isdir(d):
+                n_frames = sum(
+                    count_wire_frames(os.path.join(d, f))
+                    for f in os.listdir(d) if f.endswith(".kpl")
+                )
+                if n_frames:
+                    expected_seq[sd] = str(n_frames - 1)
+
+        def _latest_committed() -> dict:
+            cdir = os.path.join(ckpt, "commits")
+            if not os.path.isdir(cdir):
+                return {}
+            ids = sorted(int(f) for f in os.listdir(cdir) if f.isdigit())
+            if not ids:
+                return {}
+            lines = open(
+                os.path.join(ckpt, "offsets", str(ids[-1]))
+            ).read().splitlines()
+            return _json.loads(lines[2]) if len(lines) >= 3 else {}
+
+        def _drained(off: dict) -> bool:
+            return bool(off) and all(
+                (off.get(sid) or {}).get("seq") == want
+                for sid, want in expected_seq.items()
+            )
+
+        q = sink.start()
+        while not _drained(_latest_committed()):
+            if time.monotonic() - t0 > 1800:
+                break
+            time.sleep(0.5)
+        q.stop()
+        q.awaitTermination()
     dt = time.monotonic() - t0
     per_batch = [
         {"batchId": p.get("batchId"), "wire_rows_in": p.get("numInputRows"),

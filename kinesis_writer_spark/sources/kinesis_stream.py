@@ -145,9 +145,6 @@ class CaptureReplayClient:
         import glob as _glob
         import os
 
-        from .kpl_datasource import read_wire_file
-
-        self._shards: dict[str, list[bytes]] = {}
         self._pk = partition_key
         self._opaque = opaque
         if reshard is None:
@@ -163,15 +160,48 @@ class CaptureReplayClient:
         reshard = reshard or {}
         self._closed = set(reshard.get("closed", ()))
         self._parents = dict(reshard.get("parents", {}))
+        # LAZY per-shard loading (r13): eager construction loaded the WHOLE
+        # capture into every client instance, and each Spark task builds its
+        # own client — at a 20M-record / 2.3 GB capture that was 16 tasks x
+        # 2.3 GB of redundant parsing per batch, a per-task fixed cost
+        # proportional to TOTAL stream size (measured: per-shard drain rate
+        # fell 2.4x from the 4M point for no per-shard reason). Discovery
+        # stays eager (cheap directory listing); frames parse on first
+        # touch of THAT shard, and the driver's LATEST probes use a
+        # seek-based frame count that never materializes payloads.
+        self._shard_files: dict[str, list[str]] = {}
         for shard_dir in sorted(_glob.glob(os.path.join(capture_dir, "*"))):
-            if not os.path.isdir(shard_dir):
-                continue
-            frames: list[bytes] = []
-            for f in sorted(_glob.glob(os.path.join(shard_dir, "*.kpl"))):
-                frames.extend(read_wire_file(f))
-            self._shards[os.path.basename(shard_dir)] = frames
-        if not self._shards:
+            if os.path.isdir(shard_dir):
+                self._shard_files[os.path.basename(shard_dir)] = sorted(
+                    _glob.glob(os.path.join(shard_dir, "*.kpl"))
+                )
+        if not self._shard_files:
             raise FileNotFoundError(f"no <shard>/*.kpl captures under {capture_dir}")
+        self._frames_cache: dict[str, list[bytes]] = {}
+        self._count_cache: dict[str, int] = {}
+
+    def _frames(self, sid: str) -> list[bytes]:
+        frames = self._frames_cache.get(sid)
+        if frames is None:
+            from .kpl_datasource import read_wire_file
+
+            frames = []
+            for path in self._shard_files.get(sid, ()):
+                frames.extend(read_wire_file(path))
+            self._frames_cache[sid] = frames
+            self._count_cache[sid] = len(frames)
+        return frames
+
+    def _n_frames(self, sid: str) -> int:
+        n = self._count_cache.get(sid)
+        if n is None:
+            from .kpl_datasource import count_wire_frames
+
+            n = sum(
+                count_wire_frames(path) for path in self._shard_files.get(sid, ())
+            )
+            self._count_cache[sid] = n
+        return n
 
     def _tok(self, shard: str, idx: int) -> str:
         if self._opaque:
@@ -188,7 +218,7 @@ class CaptureReplayClient:
     # --- boto3 consumer surface -------------------------------------------
     def list_shards(self, StreamName: str, NextToken: str | None = None, **_):
         shards = []
-        for sid in sorted(self._shards):
+        for sid in sorted(self._shard_files):
             s: dict = {"ShardId": sid}
             if sid in self._parents:
                 p = self._parents[sid]
@@ -200,7 +230,7 @@ class CaptureReplayClient:
                     s["ParentShardId"] = p
             rng: dict = {"StartingSequenceNumber": "0"}
             if sid in self._closed:
-                rng["EndingSequenceNumber"] = str(len(self._shards[sid]) - 1)
+                rng["EndingSequenceNumber"] = str(self._n_frames(sid) - 1)
             s["SequenceNumberRange"] = rng
             shards.append(s)
         return {"Shards": shards}
@@ -220,7 +250,7 @@ class CaptureReplayClient:
         elif ShardIteratorType == "AFTER_SEQUENCE_NUMBER":
             idx = int(StartingSequenceNumber) + 1
         elif ShardIteratorType == "LATEST":
-            idx = len(self._shards[ShardId])
+            idx = self._n_frames(ShardId)
         else:
             raise ValueError(f"unsupported iterator type {ShardIteratorType}")
         return {"ShardIterator": self._tok(ShardId, idx)}
@@ -229,7 +259,7 @@ class CaptureReplayClient:
         if Limit > 10000:
             raise ValueError("Limit must be <= 10000 (Kinesis API bound)")
         shard, idx = self._untok(ShardIterator)
-        frames = self._shards[shard]
+        frames = self._frames(shard)
         batch = frames[idx : idx + Limit]
         records = [
             {
@@ -775,6 +805,17 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
       ``max_records_per_batch`` (strongly recommended live) — the probe then
       stops at the cap and the stream is consumed in bounded, deterministic
       batches, exactly like Kafka's ``maxOffsetsPerTrigger``.
+
+    CAP x availableNow caveat (measured, Spark 4.1): a Python data source
+    only implements ``MicroBatchStream`` — not ``SupportsTriggerAvailableNow``
+    — so ``Trigger.AvailableNow`` wraps it in ``AvailableNowDataStreamWrapper``,
+    which snapshots ONE ``latestOffset()`` at query start as the terminal
+    offset. With an admission cap set, that snapshot is a CAPPED offset:
+    the run drains exactly one cap's worth and stops (observed: 16.3M of a
+    20M backlog at cap 128 x 16 shards). Use the default processing-time
+    trigger and stop on checkpointed offsets for capped backlog drains
+    (bench_stream.py's reshard/decade drains show the pattern); reserve
+    availableNow for uncapped runs, where the snapshot IS the tip.
 
     Resharding follows the KCL rule: closed shards (SHARD_END, or
     ``EndingSequenceNumber`` in the shard map — the predicate the reference

@@ -81,6 +81,31 @@ def read_wire_file(path: str) -> list[bytes]:
     return frames
 
 
+def count_wire_frames(path: str) -> int:
+    """Frame count of one ``.kpl`` container WITHOUT materializing payloads:
+    read each 4-byte length prefix and seek past the frame. The capture
+    replay client's driver-side LATEST probes only need counts (sequence
+    numbers are dense frame indices) — seeking keeps that O(frames) prefix
+    reads instead of parsing the whole multi-GB capture per planning call."""
+    n = 0
+    with open(path, "rb") as f:
+        f.seek(0, 2)
+        end = f.tell()
+        f.seek(0)
+        pos = 0
+        while pos < end:
+            head = f.read(4)
+            if len(head) != 4:
+                raise ValueError(f"{path}: torn length prefix")
+            (ln,) = _LEN.unpack(head)
+            pos += 4 + ln
+            if pos > end:
+                raise ValueError(f"{path}: torn frame (want {ln} more bytes)")
+            f.seek(pos)
+            n += 1
+    return n
+
+
 def write_wire_dir(wire_df, directory: str, wire_col: str = "wire") -> None:
     """Spill a DataFrame of aggregated wire records into ``.kpl`` container
     files, one file per partition (executor-side, no driver collect)."""

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from kinesis_writer_spark import io as kio
 from kinesis_writer_spark.sources.kpl_datasource import (
+    count_wire_frames,
     read_wire_file,
     register,
     write_wire_dir,
@@ -50,6 +51,21 @@ class TestContainerFormat:
             f.truncate(7)  # cut mid-frame
         with pytest.raises(ValueError, match="torn"):
             read_wire_file(p)
+
+    def test_count_matches_read(self, tmp_path):
+        # seek-based count == materializing read, incl. empty frames
+        p = str(tmp_path / "c.kpl")
+        frames = [b"a" * 10, b"", b"b" * 100_000, b"c"]
+        write_wire_file(p, frames)
+        assert count_wire_frames(p) == len(read_wire_file(p)) == 4
+
+    def test_count_torn_file_fails_loudly(self, tmp_path):
+        p = str(tmp_path / "torn2.kpl")
+        write_wire_file(p, [b"abcdef"])
+        with open(p, "r+b") as f:
+            f.truncate(7)
+        with pytest.raises(ValueError, match="torn"):
+            count_wire_frames(p)
 
 
 class TestKplDataSource:
