@@ -179,6 +179,50 @@ def build_sentinel_file(spark, stream_dir: str, n_keys: int, soft_max: int) -> N
     )
 
 
+def _ckpt_batch_ids(ckpt: str, sub: str) -> list[int]:
+    d = os.path.join(ckpt, sub)
+    if not os.path.isdir(d):
+        return []
+    return sorted(int(f) for f in os.listdir(d) if f.isdigit())
+
+
+def _ckpt_offset_of(ckpt: str, batch_id: int) -> dict:
+    lines = open(os.path.join(ckpt, "offsets", str(batch_id))).read().splitlines()
+    return json.loads(lines[2]) if len(lines) >= 3 else {}
+
+
+def _ckpt_latest_committed(ckpt: str) -> dict:
+    # offsets/ is a write-ahead log (planned batches); commits/ records
+    # batches that finished — only those may gate a stop, or we interrupt
+    # an in-flight batch and lose its output
+    committed = _ckpt_batch_ids(ckpt, "commits")
+    return _ckpt_offset_of(ckpt, committed[-1]) if committed else {}
+
+
+def _stop_when_drained(q, ckpt: str, expected_seq: dict,
+                       done_shards=(), timeout_s: float = 600.0) -> None:
+    """Poll a running streaming query's checkpoint until the latest
+    COMMITTED offsets reach every shard's tail sequence number (and every
+    ``done_shards`` entry flips done), then stop it. This is the capped
+    backlog-drain pattern: availableNow cannot drive a capped drain (its
+    one-shot latestOffset snapshot IS capped — see the reader docstring)."""
+    def _drained(off: dict) -> bool:
+        if not off:
+            return False
+        for sid, want in expected_seq.items():
+            if (off.get(sid) or {}).get("seq") != want:
+                return False
+        return all((off.get(sid) or {}).get("done") for sid in done_shards)
+
+    t0 = time.monotonic()
+    while not _drained(_ckpt_latest_committed(ckpt)):
+        if time.monotonic() - t0 > timeout_s:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination()
+
+
 def _keyed_stream(spark, path: str, max_files: int):
     return (
         spark.readStream.schema("pk string, data binary")
@@ -807,9 +851,17 @@ def reshard_throttle_soak(total_records: int = 1_000_000, shards: int = 4,
         "exactly_once": distinct == total == n_records and max_per_id == 1,
         "throttle_errors": client.throttle_errors,
         "epochs": epochs,
-        "utilization_holds": all(
-            e["x_service_cap"] is not None and e["x_service_cap"] >= 0.8
-            for e in epochs
+        # an epoch shorter than head_trim + 0.5s has no measurable window
+        # (x_service_cap None) — skip it rather than flag a spurious
+        # failure, but require at least one measured epoch
+        "utilization_holds": any(
+            e["x_service_cap"] is not None for e in epochs
+        ) and all(
+            e["x_service_cap"] >= 0.8
+            for e in epochs if e["x_service_cap"] is not None
+        ),
+        "epochs_measured": sum(
+            1 for e in epochs if e["x_service_cap"] is not None
         ),
         "limiter_bucket_keys": len(bucket_keys),
         "split_child_buckets": len(split_child_keys),
@@ -1107,31 +1159,8 @@ def source_soak(spark, shards: int, total_records: int,
                 if n_frames:
                     expected_seq[sd] = str(n_frames - 1)
 
-        def _latest_committed() -> dict:
-            cdir = os.path.join(ckpt, "commits")
-            if not os.path.isdir(cdir):
-                return {}
-            ids = sorted(int(f) for f in os.listdir(cdir) if f.isdigit())
-            if not ids:
-                return {}
-            lines = open(
-                os.path.join(ckpt, "offsets", str(ids[-1]))
-            ).read().splitlines()
-            return _json.loads(lines[2]) if len(lines) >= 3 else {}
-
-        def _drained(off: dict) -> bool:
-            return bool(off) and all(
-                (off.get(sid) or {}).get("seq") == want
-                for sid, want in expected_seq.items()
-            )
-
         q = sink.start()
-        while not _drained(_latest_committed()):
-            if time.monotonic() - t0 > 1800:
-                break
-            time.sleep(0.5)
-        q.stop()
-        q.awaitTermination()
+        _stop_when_drained(q, ckpt, expected_seq, timeout_s=1800)
     dt = time.monotonic() - t0
     per_batch = [
         {"batchId": p.get("batchId"), "wire_rows_in": p.get("numInputRows"),
@@ -1273,32 +1302,6 @@ def reshard_soak(spark, shards: int, total_records: int,
         sid: str(n - 1) for sid, n in traffic.items() if n > 0
     }
 
-    def _batch_ids(sub: str) -> list[int]:
-        d = os.path.join(ckpt, sub)
-        if not os.path.isdir(d):
-            return []
-        return sorted(int(f) for f in os.listdir(d) if f.isdigit())
-
-    def _offset_of(batch_id: int) -> dict:
-        lines = open(os.path.join(ckpt, "offsets", str(batch_id))).read().splitlines()
-        return _json.loads(lines[2]) if len(lines) >= 3 else {}
-
-    def _latest_committed_offset() -> dict:
-        # offsets/ is a write-ahead log (planned batches); commits/ records
-        # batches that finished — only those may gate the stop, or we
-        # interrupt an in-flight batch and lose its output
-        committed = _batch_ids("commits")
-        return _offset_of(committed[-1]) if committed else {}
-
-    def _fully_drained(off: dict) -> bool:
-        if not off:
-            return False
-        for sid, want in expected_seq.items():
-            got = off.get(sid) or {}
-            if got.get("seq") != want:
-                return False
-        return all((off.get(sid) or {}).get("done") for sid in topo["closed"])
-
     t0 = time.monotonic()
     q2 = (
         deaggregate_records(raw, wire_col="data", strict=False)
@@ -1307,19 +1310,15 @@ def reshard_soak(spark, shards: int, total_records: int,
         .option("checkpointLocation", ckpt)
         .start()
     )
-    while not _fully_drained(_latest_committed_offset()):
-        if time.monotonic() - t0 > 600:
-            break
-        time.sleep(0.5)
-    q2.stop()
-    q2.awaitTermination()
+    _stop_when_drained(q2, ckpt, expected_seq,
+                       done_shards=topo["closed"], timeout_s=600)
     drain_secs = time.monotonic() - t0
 
     # committed per-batch offsets, straight from the checkpoint (the
     # recentProgress ring buffer is bounded and its offset fields are not
     # guaranteed JSON for Python data sources)
     batch_offsets: list[tuple[int, dict]] = [
-        (b, _offset_of(b)) for b in _batch_ids("commits")
+        (b, _ckpt_offset_of(ckpt, b)) for b in _ckpt_batch_ids(ckpt, "commits")
     ]
 
     # -- exactly-once at volume (distributed id explode, no driver funnel) -

@@ -442,10 +442,16 @@ def ivf_train_centroids(
     fraction of the corpus while auto-K keeps per-query probe cost
     sublinear (measured 7.6-13x probe-compute cut with recall held,
     artifacts/ann_adaptive_k.json)."""
-    spec = "auto" if k_cells == "auto" else _resolve_k_cells(embeddings, k_cells)
-    if cache_key is not None and (cache_key, iters, spec) in _CODEBOOK_CACHE:
-        return _CODEBOOK_CACHE[(cache_key, iters, spec)]
+    # resolve "auto" BEFORE the memo check (one count() per call — cheap
+    # next to training): memoizing under the literal "auto" froze the
+    # resolved cell count at the first call forever, so a corpus growing
+    # under the same cache_key silently kept a stale, too-small codebook.
+    # Resolving first keeps the memo valid exactly while the power-of-two
+    # cell count is unchanged (minor appends), re-trains when it steps,
+    # and shares the entry with an explicit k_cells=<same int> call.
     k = _resolve_k_cells(embeddings, k_cells)
+    if cache_key is not None and (cache_key, iters, k) in _CODEBOOK_CACHE:
+        return _CODEBOOK_CACHE[(cache_key, iters, k)]
     # persist the BOUNDED training sample across the Lloyd jobs: each
     # iteration is its own Spark job (the centroid collect is a barrier), so
     # without the persist every iteration re-scans and re-filters the corpus
@@ -468,7 +474,7 @@ def ivf_train_centroids(
     finally:
         vectors.unpersist()
     if cache_key is not None:
-        _CODEBOOK_CACHE[(cache_key, iters, spec)] = rows
+        _CODEBOOK_CACHE[(cache_key, iters, k)] = rows
     return rows
 
 

@@ -160,15 +160,18 @@ class CaptureReplayClient:
         reshard = reshard or {}
         self._closed = set(reshard.get("closed", ()))
         self._parents = dict(reshard.get("parents", {}))
-        # LAZY per-shard loading (r13): eager construction loaded the WHOLE
-        # capture into every client instance, and each Spark task builds its
-        # own client — at a 20M-record / 2.3 GB capture that was 16 tasks x
-        # 2.3 GB of redundant parsing per batch, a per-task fixed cost
-        # proportional to TOTAL stream size (measured: per-shard drain rate
-        # fell 2.4x from the 4M point for no per-shard reason). Discovery
-        # stays eager (cheap directory listing); frames parse on first
-        # touch of THAT shard, and the driver's LATEST probes use a
-        # seek-based frame count that never materializes payloads.
+        # LAZY + SLICED per-shard reads (r13): eager construction loaded the
+        # WHOLE capture into every client instance, and each Spark task
+        # builds its own client — at a 20M-record / 2.3 GB capture that was
+        # 16 tasks x 2.3 GB of redundant parsing per batch, a per-task fixed
+        # cost proportional to TOTAL stream size (measured: per-shard drain
+        # rate fell 2.4x from the 4M point for no per-shard reason).
+        # Discovery stays eager (cheap directory listing); the driver's
+        # LATEST probes use seek-based frame counts that never materialize
+        # payloads; get_records materializes ONLY the requested slice
+        # (files before it are skipped by cached per-file counts, frames
+        # before it inside a file by 4-byte prefix seeks) — so a capped
+        # micro-batch costs O(cap), not O(shard), per batch.
         self._shard_files: dict[str, list[str]] = {}
         for shard_dir in sorted(_glob.glob(os.path.join(capture_dir, "*"))):
             if os.path.isdir(shard_dir):
@@ -177,31 +180,37 @@ class CaptureReplayClient:
                 )
         if not self._shard_files:
             raise FileNotFoundError(f"no <shard>/*.kpl captures under {capture_dir}")
-        self._frames_cache: dict[str, list[bytes]] = {}
-        self._count_cache: dict[str, int] = {}
+        self._file_counts_cache: dict[str, list[int]] = {}
 
-    def _frames(self, sid: str) -> list[bytes]:
-        frames = self._frames_cache.get(sid)
-        if frames is None:
-            from .kpl_datasource import read_wire_file
-
-            frames = []
-            for path in self._shard_files.get(sid, ()):
-                frames.extend(read_wire_file(path))
-            self._frames_cache[sid] = frames
-            self._count_cache[sid] = len(frames)
-        return frames
-
-    def _n_frames(self, sid: str) -> int:
-        n = self._count_cache.get(sid)
-        if n is None:
+    def _file_counts(self, sid: str) -> list[int]:
+        # KeyError on an unknown shard, like the real API's
+        # ResourceNotFoundException — a checkpoint naming a shard whose
+        # capture directory vanished must fail loudly, not read as empty
+        counts = self._file_counts_cache.get(sid)
+        if counts is None:
             from .kpl_datasource import count_wire_frames
 
-            n = sum(
-                count_wire_frames(path) for path in self._shard_files.get(sid, ())
-            )
-            self._count_cache[sid] = n
-        return n
+            counts = [count_wire_frames(p) for p in self._shard_files[sid]]
+            self._file_counts_cache[sid] = counts
+        return counts
+
+    def _n_frames(self, sid: str) -> int:
+        return sum(self._file_counts(sid))
+
+    def _read_slice(self, sid: str, lo: int, hi: int) -> list[bytes]:
+        from .kpl_datasource import read_wire_slice
+
+        out: list[bytes] = []
+        base = 0
+        for path, cnt in zip(self._shard_files[sid], self._file_counts(sid)):
+            if base >= hi:
+                break
+            if base + cnt > lo:
+                out.extend(
+                    read_wire_slice(path, max(lo - base, 0), min(hi - base, cnt))
+                )
+            base += cnt
+        return out
 
     def _tok(self, shard: str, idx: int) -> str:
         if self._opaque:
@@ -259,8 +268,8 @@ class CaptureReplayClient:
         if Limit > 10000:
             raise ValueError("Limit must be <= 10000 (Kinesis API bound)")
         shard, idx = self._untok(ShardIterator)
-        frames = self._frames(shard)
-        batch = frames[idx : idx + Limit]
+        n_frames = self._n_frames(shard)
+        batch = self._read_slice(shard, idx, min(idx + Limit, n_frames))
         records = [
             {
                 "SequenceNumber": str(idx + i),
@@ -271,7 +280,7 @@ class CaptureReplayClient:
             for i, frame in enumerate(batch)
         ]
         next_idx = idx + len(batch)
-        drained = next_idx >= len(frames)
+        drained = next_idx >= n_frames
         # SHARD_END: a closed (split/merged-away) shard has no next iterator
         # once drained — the consumer-side signal to hand off to children
         next_it = None if (drained and shard in self._closed) else self._tok(shard, next_idx)
@@ -956,11 +965,10 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         for sid, raw_end in end.items():
             eo = _norm_off(raw_end)
             so = _norm_off(start.get(sid))
-            if (
-                eo["seq"] is not None
-                and eo["seq"] != so["seq"]
-                and not _seq_ge(so.get("seq"), eo.get("seq"))
-            ):
+            # one numeric comparison covers both "nothing new" (equal) and
+            # the backwards-plan clamp (start past end) — plan only strictly
+            # forward slices
+            if eo["seq"] is not None and not _seq_ge(so.get("seq"), eo.get("seq")):
                 slices.append(_ShardSlice(sid, so, eo["seq"]))
         # Spark requires >= 1 partition per batch; an empty slice yields no rows
         return slices or [_ShardSlice(None, None, None)]

@@ -106,6 +106,39 @@ def count_wire_frames(path: str) -> int:
     return n
 
 
+def read_wire_slice(path: str, lo: int, hi: int) -> list[bytes]:
+    """Frames ``[lo, hi)`` of one ``.kpl`` container, materializing ONLY that
+    slice: the first ``lo`` frames are skipped by seeking past their length
+    prefixes (4-byte reads, no payload bytes), and reading stops at ``hi``.
+    Serving a capped micro-batch this way costs O(cap) payload bytes instead
+    of O(shard) — the difference between a drain whose per-batch cost tracks
+    the admission cap and one that re-parses the whole shard every batch."""
+    frames: list[bytes] = []
+    with open(path, "rb") as f:
+        f.seek(0, 2)
+        end = f.tell()
+        f.seek(0)
+        pos = 0
+        i = 0
+        while pos < end and i < hi:
+            head = f.read(4)
+            if len(head) != 4:
+                raise ValueError(f"{path}: torn length prefix")
+            (n,) = _LEN.unpack(head)
+            pos += 4 + n
+            if pos > end:
+                raise ValueError(f"{path}: torn frame (want {n} more bytes)")
+            if i >= lo:
+                frame = f.read(n)
+                if len(frame) != n:
+                    raise ValueError(f"{path}: torn frame (want {n}, got {len(frame)})")
+                frames.append(frame)
+            else:
+                f.seek(pos)
+            i += 1
+    return frames
+
+
 def write_wire_dir(wire_df, directory: str, wire_col: str = "wire") -> None:
     """Spill a DataFrame of aggregated wire records into ``.kpl`` container
     files, one file per partition (executor-side, no driver collect)."""

@@ -103,35 +103,49 @@ class TestCaptureReplayClient:
 
     def test_driver_surface_is_lazy(self, capture_dir):
         # each Spark task builds its own client, so construction and the
-        # driver's planning calls (list_shards, LATEST probes) must not
+        # driver's planning calls (list_shards, LATEST probes) must never
         # parse capture payloads — at a multi-GB capture an eager client
         # charged every task a fixed cost proportional to TOTAL stream
         # size (measured 2.4x per-shard drain loss at 20M records)
         c = kinesis_stream.capture_client_factory(capture_dir)
-        assert c._frames_cache == {}, "construction must not load frames"
+        assert c._file_counts_cache == {}, "construction must not touch frames"
         c.list_shards(StreamName="events")
-        assert c._frames_cache == {}, "list_shards must not load frames"
+        assert c._file_counts_cache == {}, (
+            "list_shards on a flat topology must not touch frames"
+        )
         it = c.get_shard_iterator(
             StreamName="events",
             ShardId="shardId-000000000000",
             ShardIteratorType="LATEST",
         )["ShardIterator"]
-        assert c._frames_cache == {}, "LATEST probe must use seek counts"
-        # first actual read touches exactly the shard it reads
+        # LATEST probed seek-based counts for exactly that shard
+        assert set(c._file_counts_cache) == {"shardId-000000000000"}
+        # reads materialize only the requested slice and LATEST sits one
+        # past the tail
         th = c.get_shard_iterator(
             StreamName="events",
             ShardId="shardId-000000000000",
             ShardIteratorType="TRIM_HORIZON",
         )["ShardIterator"]
-        recs = c.get_records(ShardIterator=th, Limit=100)["Records"]
-        assert recs
-        assert set(c._frames_cache) == {"shardId-000000000000"}
-        # LATEST landed exactly one past the tail frame of that shard
+        recs = c.get_records(ShardIterator=th, Limit=1)["Records"]
+        assert len(recs) == 1
         import json as _j
 
-        assert _j.loads(it)["idx"] == len(
-            c._frames_cache["shardId-000000000000"]
-        ) or "opaque" in it
+        assert _j.loads(it)["idx"] == c._n_frames("shardId-000000000000")
+
+    def test_unknown_shard_fails_loudly(self, capture_dir):
+        # a checkpoint naming a shard whose capture dir vanished must
+        # surface as an error (like ResourceNotFoundException), never as
+        # an empty, already-drained shard
+        c = kinesis_stream.capture_client_factory(capture_dir)
+        with pytest.raises(KeyError):
+            c.get_shard_iterator(
+                StreamName="events",
+                ShardId="shardId-000000000099",
+                ShardIteratorType="LATEST",
+            )
+        with pytest.raises(KeyError):
+            c.get_records(ShardIterator=c._tok("shardId-000000000099", 0))
 
 
 class TestKinesisReadStream:

@@ -15,6 +15,7 @@ from kinesis_writer_spark import io as kio
 from kinesis_writer_spark.sources.kpl_datasource import (
     count_wire_frames,
     read_wire_file,
+    read_wire_slice,
     register,
     write_wire_dir,
     write_wire_file,
@@ -58,6 +59,16 @@ class TestContainerFormat:
         frames = [b"a" * 10, b"", b"b" * 100_000, b"c"]
         write_wire_file(p, frames)
         assert count_wire_frames(p) == len(read_wire_file(p)) == 4
+
+    def test_slice_matches_read(self, tmp_path):
+        # every [lo, hi) slice equals the materializing read's slice
+        p = str(tmp_path / "s.kpl")
+        frames = [b"a" * 10, b"", b"b" * 100_000, b"c", b"d" * 7]
+        write_wire_file(p, frames)
+        whole = read_wire_file(p)
+        for lo in range(6):
+            for hi in range(lo, 6):
+                assert read_wire_slice(p, lo, hi) == whole[lo:hi], (lo, hi)
 
     def test_count_torn_file_fails_loudly(self, tmp_path):
         p = str(tmp_path / "torn2.kpl")
