@@ -191,36 +191,20 @@ def _ckpt_offset_of(ckpt: str, batch_id: int) -> dict:
     return json.loads(lines[2]) if len(lines) >= 3 else {}
 
 
-def _ckpt_latest_committed(ckpt: str) -> dict:
-    # offsets/ is a write-ahead log (planned batches); commits/ records
-    # batches that finished — only those may gate a stop, or we interrupt
-    # an in-flight batch and lose its output
-    committed = _ckpt_batch_ids(ckpt, "commits")
-    return _ckpt_offset_of(ckpt, committed[-1]) if committed else {}
-
-
 def _stop_when_drained(q, ckpt: str, expected_seq: dict,
                        done_shards=(), timeout_s: float = 600.0) -> None:
     """Poll a running streaming query's checkpoint until the latest
     COMMITTED offsets reach every shard's tail sequence number (and every
     ``done_shards`` entry flips done), then stop it. This is the capped
     backlog-drain pattern: availableNow cannot drive a capped drain (its
-    one-shot latestOffset snapshot IS capped — see the reader docstring)."""
-    def _drained(off: dict) -> bool:
-        if not off:
-            return False
-        for sid, want in expected_seq.items():
-            if (off.get(sid) or {}).get("seq") != want:
-                return False
-        return all((off.get(sid) or {}).get("done") for sid in done_shards)
+    one-shot latestOffset snapshot IS capped — see the reader docstring).
+    Promoted to the package as streaming.drain_backlog (r13 verdict task
+    #1); this shim keeps the soaks' no-raise-on-timeout behavior (every
+    soak asserts drained_all on its own output afterwards)."""
+    from kinesis_writer_spark.streaming import drain_backlog
 
-    t0 = time.monotonic()
-    while not _drained(_ckpt_latest_committed(ckpt)):
-        if time.monotonic() - t0 > timeout_s:
-            break
-        time.sleep(0.5)
-    q.stop()
-    q.awaitTermination()
+    drain_backlog(q, ckpt, expected_seq, done_shards=done_shards,
+                  timeout_s=timeout_s, raise_on_timeout=False)
 
 
 def _keyed_stream(spark, path: str, max_files: int):
@@ -1146,19 +1130,9 @@ def source_soak(spark, shards: int, total_records: int,
         # (see KinesisPartitionedStreamReader docstring) — run continuous
         # micro-batches and stop once the checkpoint's committed offsets
         # reach every shard's tail frame
-        from kinesis_writer_spark.sources.kpl_datasource import count_wire_frames
+        from kinesis_writer_spark.streaming import capture_tail_offsets
 
-        expected_seq = {}
-        for sd in sorted(os.listdir(capture)):
-            d = os.path.join(capture, sd)
-            if os.path.isdir(d):
-                n_frames = sum(
-                    count_wire_frames(os.path.join(d, f))
-                    for f in os.listdir(d) if f.endswith(".kpl")
-                )
-                if n_frames:
-                    expected_seq[sd] = str(n_frames - 1)
-
+        expected_seq = capture_tail_offsets(capture)
         q = sink.start()
         _stop_when_drained(q, ckpt, expected_seq, timeout_s=1800)
     dt = time.monotonic() - t0

@@ -159,11 +159,34 @@ def q51_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _band_exprs_spark():
-    """Band key = hash of the concatenated signature slice (8 sigs per band)."""
+def _check_banding(n_bands: int, rows_per_band: int | None) -> int:
+    """Resolve/validate a (bands, rows_per_band) pair against the 16-perm
+    signature; returns rows_per_band (default: use every permutation)."""
+    if n_bands < 1:
+        raise ValueError(f"banding needs >= 1 band, got {n_bands}")
+    rows = _N_HASHES // n_bands if rows_per_band is None else rows_per_band
+    if rows < 1 or n_bands * rows > _N_HASHES:
+        raise ValueError(
+            f"banding {n_bands}x{rows} needs 1 <= bands*rows <= {_N_HASHES} "
+            f"signature permutations"
+        )
+    return rows
+
+
+def _band_exprs_spark(n_bands: int = _N_BANDS, rows_per_band: int | None = None):
+    """Band key = hash of the concatenated signature slice.
+
+    ``(n_bands, rows_per_band)`` selects the LSH S-curve threshold
+    ``(1/b)^(1/r)`` — the registered default stays 2x8 (threshold 0.917,
+    the q51/q52/q61 operating point); the measured recovery point is 3x5
+    (threshold 0.803: recall 95.6 -> 99.5%% at 3.3x verify cost —
+    artifacts/lsh_band_probe.json, floor-tested in
+    tests/test_ann_recall_floors.py::TestLshBandParameter). Band ``b``
+    reads signature slots ``[b*rows, (b+1)*rows)``; bands*rows may
+    undershoot the 16 permutations (3x5 uses 15)."""
+    rows = _check_banding(n_bands, rows_per_band)
     out = []
-    rows = _N_HASHES // _N_BANDS
-    for b in range(_N_BANDS):
+    for b in range(n_bands):
         slice_concat = F.concat_ws(
             ",", *[F.col("signature").getItem(b * rows + r).cast("string") for r in range(rows)]
         )
@@ -171,13 +194,49 @@ def _band_exprs_spark():
     return out
 
 
-def _band_exprs_sql() -> list[str]:
-    rows = _N_HASHES // _N_BANDS
+def _band_exprs_sql(n_bands: int = _N_BANDS, rows_per_band: int | None = None) -> list[str]:
+    rows = _check_banding(n_bands, rows_per_band)
     out = []
-    for b in range(_N_BANDS):
+    for b in range(n_bands):
         concat = " || ',' || ".join(f"CAST(signature[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows))
         out.append(duckdb_md5_60bit(f"({concat})", salt=f"band{b}"))
     return out
+
+
+def minhash_band_candidates(
+    sigs: DataFrame,
+    n_bands: int = _N_BANDS,
+    rows_per_band: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """LSH candidate pairs from a MinHash ``signature`` column (the q51
+    shape: ``array<bigint>`` of the 16 permutation minima): band each
+    signature with :func:`_band_exprs_spark`'s ``(n_bands, rows_per_band)``
+    knob, bucket on the band keys, and emit each bucket's distinct
+    ``(id_a, id_b)`` pairs (``id_a < id_b``) for downstream exact
+    verification.
+
+    The knob is the S-curve tuner the r13 verdict asked to expose: the
+    default 2x8 is the registered q51/q52/q61/q220 operating point
+    (threshold 0.917 — recall 95.6%, 0.069 candidates/doc at sf1), and
+    3x5 is the measured recovery point if recall ever sags at sf10+
+    (threshold 0.803 — recall 99.5% at 0.231 candidates/doc, 3.3x the
+    verify cost; artifacts/lsh_band_probe.json). Scale shape: one shuffle
+    on band_key; the per-bucket self-join is quadratic only within a
+    bucket, and the band hash keeps buckets near-singleton away from true
+    near-duplicates."""
+    bands = sigs.select(
+        F.col(id_col).alias("id_a"),
+        F.explode(F.array(*_band_exprs_spark(n_bands, rows_per_band))).alias("band_key"),
+    )
+    return (
+        bands.join(
+            bands.select(F.col("id_a").alias("id_b"), F.col("band_key").alias("bk")),
+            (F.col("band_key") == F.col("bk")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 _THRESHOLD = 0.95

@@ -63,6 +63,7 @@ from __future__ import annotations
 
 import importlib
 import json
+import logging
 from collections.abc import Iterator
 from datetime import datetime, timezone
 
@@ -846,6 +847,26 @@ class KinesisPartitionedStreamReader(DataSourceStreamReader):
         # therefore recovery replay) the way maxOffsetsPerTrigger does for
         # Kafka; 0 = unbounded
         self._max_per_batch = int(options.get("max_records_per_batch", "0"))
+        if self._max_per_batch > 0:
+            # planning-time defense for the cap x availableNow footgun (the
+            # reader cannot see the trigger, so warn whenever the cap is
+            # on): under Trigger.AvailableNow a Python source's terminal
+            # offset is ONE capped latestOffset snapshot, and the run
+            # drains exactly one cap's worth per shard while REPORTING
+            # SUCCESS (measured 16.3M of 20M). The safe capped-drain
+            # recipe is streaming.drain_backlog — default trigger, stop on
+            # committed tail offsets.
+            logging.getLogger(__name__).warning(
+                "kinesis source: max_records_per_batch=%d is set — do NOT "
+                "drain a backlog with Trigger.AvailableNow (it snapshots "
+                "one CAPPED latestOffset as the terminal offset and stops "
+                "after ~%d records/shard, silently truncating the drain). "
+                "Use the default trigger with "
+                "kinesis_writer_spark.streaming.drain_backlog() to stop at "
+                "the true tip.",
+                self._max_per_batch,
+                self._max_per_batch,
+            )
         self._client = None
         self._last_start: dict | None = None
 

@@ -2,6 +2,11 @@
 with watermarks, stateful dedup, and the KPL foreachBatch sink.
 """
 
+from .drain import (
+    capture_tail_offsets,
+    drain_backlog,
+    latest_committed_offsets,
+)
 from .windows import (
     dedup_stream,
     dedup_stream_within_watermark,
@@ -24,4 +29,7 @@ __all__ = [
     "dedup_stream",
     "dedup_stream_within_watermark",
     "run_available_now",
+    "drain_backlog",
+    "capture_tail_offsets",
+    "latest_committed_offsets",
 ]

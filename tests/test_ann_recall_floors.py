@@ -92,6 +92,71 @@ class TestAutoCellsOperator:
         with pytest.raises(ValueError, match="k_cells"):
             ivf_train_centroids(emb, k_cells=0)
 
+    def test_auto_cells_sql_parity(self):
+        """q261's oracle computes the auto cell count in DuckDB (the
+        kparam CTE emitted by ivf_assigned_sql_ctes('auto')); it must
+        round identically to the Python rule at every corpus size — a
+        drifted transliteration would hash-mismatch only at scale factors
+        where the branch flips."""
+        import duckdb
+
+        from kinesis_writer_spark.operators.similarity import (
+            ivf_auto_cells,
+            ivf_assigned_sql_ctes,
+        )
+
+        kparam_sql = ivf_assigned_sql_ctes("auto").split("c0 AS")[0]
+        # strip the trailing "," so kparam stands alone as one CTE
+        kparam_sql = kparam_sql.rstrip().rstrip(",")
+        con = duckdb.connect()
+        # decades, the fixture counts (500 / 2000), and the power-of-two
+        # step boundaries around them
+        for n in [1, 7, 63, 64, 65, 255, 256, 500, 2000, 20_000,
+                  200_000, 10**6, 10**8, 10**10]:
+            con.execute(f"CREATE OR REPLACE VIEW embeddings AS SELECT * FROM range({n})")
+            got = con.execute(f"WITH {kparam_sql} SELECT k FROM kparam").fetchone()[0]
+            assert got == ivf_auto_cells(n), (n, got, ivf_auto_cells(n))
+
+    def test_auto_count_memoized_per_cache_key(self):
+        """r13 ADVICE: resolving "auto" ran a full corpus count() on every
+        call, including pure codebook-memo hits — a full scan per call at
+        the 100 TB scale the feature targets. The resolution is memoized
+        per cache_key; refresh=True is the explicit re-count path."""
+        from kinesis_writer_spark.operators.similarity import (
+            _AUTO_CELLS_CACHE,
+            _resolve_k_cells,
+        )
+
+        class CountingCorpus:
+            def __init__(self, n):
+                self.n, self.counts = n, 0
+
+            def count(self):
+                self.counts += 1
+                return self.n
+
+        corpus = CountingCorpus(20_000)
+        key = "auto-memo-test"
+        _AUTO_CELLS_CACHE.pop(key, None)
+        try:
+            assert _resolve_k_cells(corpus, "auto", cache_key=key) == 32
+            assert _resolve_k_cells(corpus, "auto", cache_key=key) == 32
+            assert corpus.counts == 1  # second call served from the memo
+            # corpus grew: without refresh the memo answer stands...
+            corpus.n = 2_000_000
+            assert _resolve_k_cells(corpus, "auto", cache_key=key) == 32
+            assert corpus.counts == 1
+            # ...refresh re-counts and overwrites the memo
+            assert _resolve_k_cells(corpus, "auto", cache_key=key, refresh=True) == 256
+            assert corpus.counts == 2
+            assert _resolve_k_cells(corpus, "auto", cache_key=key) == 256
+            assert corpus.counts == 2
+            # no cache_key: every call counts (nothing to key the memo on)
+            assert _resolve_k_cells(corpus, "auto") == 256
+            assert corpus.counts == 3
+        finally:
+            _AUTO_CELLS_CACHE.pop(key, None)
+
 
 class TestAutoCellsSf1Floor:
     """The sf1 operating point, measured in-test (~45 s): 20 000 vectors,
@@ -250,4 +315,126 @@ class TestLshSf1Trajectory:
         # exactly verified downstream)
         assert row["n_hit"] * 100 >= 65 * row["n_candidates"], (
             row["n_hit"], row["n_candidates"],
+        )
+
+
+class TestLshBandParameter:
+    """r13 verdict task #3: (bands, rows_per_band) exposed as an operator
+    parameter on the MinHash family, default 2x8 unchanged, with the
+    measured 3x5 recovery point selectable and floor-tested (recall >= 99%,
+    candidates/doc <= 0.3 — artifacts/lsh_band_probe.json: 99.53% /
+    0.231)."""
+
+    FIXTURE = "/tmp/ann_traj/sf1"
+
+    @pytest.fixture(scope="class")
+    def sf1_docs(self):
+        src = "/root/testdata/sf0.1"
+        if not os.path.isdir(src):
+            pytest.skip("sf0.1 fixture not present")
+        if not os.path.exists(os.path.join(self.FIXTURE, "documents.parquet")):
+            from bench_scale import build_fixture
+
+            build_fixture(src, self.FIXTURE, 10)
+        return self.FIXTURE
+
+    def test_default_banding_unchanged(self, spark):
+        """The registered q51/q52/q61/q220 operating point: no-arg banding
+        must stay exactly the explicit 2x8 call (same exprs, same SQL)."""
+        from kinesis_writer_spark.operators.dedup import (
+            _band_exprs_spark,
+            _band_exprs_sql,
+        )
+
+        assert [str(e) for e in _band_exprs_spark()] == [
+            str(e) for e in _band_exprs_spark(2, 8)
+        ]
+        assert _band_exprs_sql() == _band_exprs_sql(2, 8)
+
+    def test_banding_validated(self, spark):
+        from kinesis_writer_spark.operators.dedup import _band_exprs_spark
+
+        with pytest.raises(ValueError, match="banding"):
+            _band_exprs_spark(4, 5)  # 20 > 16 permutations
+        with pytest.raises(ValueError, match="banding"):
+            _band_exprs_spark(0)
+
+    def test_3x5_recovery_point_floors(self, spark, sf1_docs):
+        """The lsh_band_probe.json 3x5 row, reproduced THROUGH the operator
+        surface (minhash_band_candidates) against the same exact-Jaccard
+        truth set at sf1."""
+        import duckdb
+
+        from kinesis_writer_spark.functions.hashing import md5_60bit
+        from kinesis_writer_spark.operators._util import tables
+        from kinesis_writer_spark.operators.dedup import (
+            _MINHASH_MASK,
+            _minhash_sig_spark,
+            minhash_band_candidates,
+        )
+        from kinesis_writer_spark.operators.scale_ops import q193_prefix_filter_join
+
+        n_docs = duckdb.sql(
+            f"SELECT COUNT(*) FROM '{sf1_docs}/documents.parquet'"
+        ).fetchone()[0]
+        truth = q193_prefix_filter_join(spark, sf1_docs).select("doc_a", "doc_b")
+
+        # the probe's 3-shingle MinHash signatures (q193's truth tokens)
+        (documents,) = tables(spark, sf1_docs, "documents")
+        ws = F.split("text", " ")
+        inner = F.zip_with(
+            F.slice(ws, 2, F.size(ws) - 2),
+            F.slice(ws, 3, F.size(ws) - 2),
+            lambda b, c: F.concat_ws(" ", b, c),
+        )
+        sh3 = F.zip_with(
+            F.slice(ws, 1, F.size(ws) - 2), inner,
+            lambda a, bc: F.concat_ws(" ", a, bc),
+        )
+        toks = F.when(
+            F.size(ws) >= 3,
+            F.array_distinct(F.transform(sh3, lambda s: md5_60bit(s))),
+        ).otherwise(F.array().cast("array<bigint>"))
+        hs = (
+            documents.select("doc_id", toks.alias("toks"))
+            .filter(F.size("toks") > 0)
+            .select(
+                "doc_id",
+                F.transform(
+                    "toks", lambda t: t.bitwiseAND(F.lit(_MINHASH_MASK))
+                ).alias("hashes"),
+            )
+        )
+        sigs = hs.select(
+            "doc_id", F.array(*_minhash_sig_spark(F.col("hashes"))).alias("signature")
+        )
+        cands = minhash_band_candidates(sigs, 3, 5).select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        )
+        agg = (
+            cands.withColumn("is_cand", F.lit(1))
+            .join(
+                truth.withColumn("is_truth", F.lit(1)),
+                ["doc_a", "doc_b"],
+                "full_outer",
+            )
+            .agg(
+                F.sum(F.coalesce("is_truth", F.lit(0))).alias("n_truth"),
+                F.sum(F.coalesce("is_cand", F.lit(0))).alias("n_candidates"),
+                F.sum(
+                    F.when(
+                        (F.col("is_cand") == 1) & (F.col("is_truth") == 1), 1
+                    ).otherwise(0)
+                ).alias("n_hit"),
+            )
+            .first()
+        )
+        assert agg["n_truth"] > 2000
+        # recall floor: measured 99.53% at the 3x5 point
+        assert agg["n_hit"] * 100 >= 99 * agg["n_truth"], (
+            agg["n_hit"], agg["n_truth"],
+        )
+        # verify-cost ceiling: measured 0.231 candidates/doc
+        assert agg["n_candidates"] <= 0.3 * n_docs, (
+            agg["n_candidates"], n_docs,
         )

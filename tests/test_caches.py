@@ -26,6 +26,46 @@ def test_codebook_cache_hits_and_matches(spark):
     assert (key, 2, 4) in _CODEBOOK_CACHE  # default resolves to _KM_K=4 cells
 
 
+def test_codebook_cache_concurrent(spark):
+    """r13 verdict task #5 (singleton concurrency audit): _CODEBOOK_CACHE
+    is process-wide and reachable from concurrent driver threads (parallel
+    streaming queries' foreachBatch bodies). Concurrent trainings under one
+    fresh cache_key must interleave safely: every caller gets the same
+    deterministic codebook and the cache ends with exactly one entry —
+    worst case is duplicate training (the check-insert runs under
+    _IVF_CACHE_LOCK; Lloyd jobs themselves run outside it)."""
+    import threading
+
+    from kinesis_writer_spark.operators.similarity import (
+        _CODEBOOK_CACHE,
+        ivf_train_centroids,
+    )
+
+    emb = kio.load(spark, SF_DIR, "embeddings")
+    key = "concurrent-cache-key"
+    _CODEBOOK_CACHE.pop((key, 2, 4), None)
+    results, errors = [None] * 4, []
+
+    def train(i):
+        try:
+            results[i] = ivf_train_centroids(emb, cache_key=key)
+        except Exception as e:  # pragma: no cover - failure path
+            errors.append(e)
+
+    threads = [threading.Thread(target=train, args=(i,)) for i in range(4)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert not errors, errors
+        assert all(r == results[0] for r in results)
+        assert results[0] == ivf_train_centroids(emb)  # matches a fresh run
+        assert (key, 2, 4) in _CODEBOOK_CACHE
+    finally:
+        _CODEBOOK_CACHE.pop((key, 2, 4), None)
+
+
 def test_neardup_caches_match_fresh_computation(spark):
     from kinesis_writer_spark.operators.dedup import (
         _neardup_components,
