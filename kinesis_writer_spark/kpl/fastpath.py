@@ -36,6 +36,12 @@ from . import protocol as P
 #: so an adversarial stream of ~uniformly random lengths up to 1 MB cannot
 #: grow a worker-lifetime dict to ~10^6 entries — past the cap, prefixes
 #: are computed inline (the arithmetic is a few microseconds).
+#: concurrency (r13 singleton audit): no lock by design. These memos live
+#: in executor Python workers (one single-threaded worker per task) and,
+#: driver-side, hold immutable bytes values under GIL-atomic get/set — a
+#: racing pair of writers at worst computes the same prefix twice and the
+#: second insert overwrites with an identical value. Nothing to leak,
+#: nothing to corrupt.
 _PRE0: dict[int, tuple[bytes, int]] = {}
 
 #: Same, for carry records referencing a non-zero ehk index (at most one

@@ -23,6 +23,17 @@ from typing import MutableMapping
 
 _log = logging.getLogger(__name__)
 
+#: concurrency (r13 singleton audit): register() appends only at module
+#: import (serialized by the import lock); clear_all() runs from the bench
+#: harness / tests on one thread while cache-OWNING modules may insert from
+#: other driver threads. Safe without a lock because every step is
+#: GIL-atomic or snapshot-based: list iteration sees a stable prefix,
+#: ``list(c.values())`` snapshots before release, and ``c.clear()`` is one
+#: atomic op. Worst interleaving: an entry inserted mid-clear is either
+#: cleared with the rest or survives into the next cycle — cache semantics
+#: either way, never corruption. Per-cache check-then-insert races are the
+#: OWNER's contract (see _IVF_CACHE_LOCK, _NEARDUP_CACHE_LOCK,
+#: _SINK_LIMITERS_LOCK, and the no-lock notes on _PCT_CACHE/_PRE0).
 _CACHES: list[MutableMapping] = []
 
 #: warn-once flag: the localCheckpoint block release below reaches through

@@ -600,8 +600,14 @@ def _pct_train(spark: SparkSession, sf_dir: str):
     sums; the 64-int weight vector is collected and inlined as literals
     for the next epoch (the q97/q134 tiny-model pattern). Memoized per
     dataset."""
-    if sf_dir in _PCT_CACHE:
-        return _PCT_CACHE[sf_dir]
+    # concurrency (r13 audit): .get / setdefault below are each GIL-atomic;
+    # two driver threads racing here at worst BOTH train (deterministic,
+    # identical results — values are plain int tuples, nothing to leak) and
+    # setdefault makes the loser adopt the winner's entry, so consumers
+    # always share one object. No lock needed; test_pct_cache_concurrent.
+    cached = _PCT_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     q = embeddings.select(
         F.when(F.col("label") % 2 == 1, 1).otherwise(-1).alias("y"),
@@ -630,8 +636,7 @@ def _pct_train(spark: SparkSession, sf_dir: str):
         counts.append(int(row["n"]))
         w = [w[d] + int(row[f"g{d}"] or 0) for d in range(_PCT_DIM)]
         weights.append(list(w))
-    _PCT_CACHE[sf_dir] = (counts, weights)
-    return _PCT_CACHE[sf_dir]
+    return _PCT_CACHE.setdefault(sf_dir, (counts, weights))
 
 
 def _q222_oracle() -> str:

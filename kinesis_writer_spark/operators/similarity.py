@@ -977,8 +977,11 @@ def _pq_train_subspace(
     1-in-``_IVF_TRAIN_MOD`` sample (same quantization discipline as
     :func:`ivf_train_centroids`, same memoization)."""
     key = (f"{cache_key}#pq{s}", 1)
-    if cache_key is not None and key in _CODEBOOK_CACHE:
-        return _CODEBOOK_CACHE[key]
+    if cache_key is not None:
+        with _IVF_CACHE_LOCK:
+            cached = _CODEBOOK_CACHE.get(key)
+        if cached is not None:
+            return cached
     sub = embeddings.select(
         "vec_id", F.slice("embedding", s * _PQ_SUB + 1, _PQ_SUB).alias("embedding")
     )
@@ -993,7 +996,8 @@ def _pq_train_subspace(
     train = sub.filter(F.col("vec_id") % _IVF_TRAIN_MOD == 0)
     rows = _collect_centroids(_km_update(_km_assign(train, seeds)))
     if cache_key is not None:
-        _CODEBOOK_CACHE[key] = rows
+        with _IVF_CACHE_LOCK:
+            _CODEBOOK_CACHE[key] = rows
     return rows
 
 

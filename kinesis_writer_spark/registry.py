@@ -33,6 +33,10 @@ class RegisteredQuery:
     fast_oracle: Callable | None = None
 
 
+#: concurrency (r13 singleton audit): written ONLY at import time by the
+#: @register decorators below — module imports are serialized by Python's
+#: import lock, so no two writes interleave; after import the dict is
+#: read-only (all_queries/all_oracles copy into fresh dicts). No lock.
 _REGISTRY: dict[str, RegisteredQuery] = {}
 
 

@@ -64,6 +64,7 @@ from __future__ import annotations
 import importlib
 import json
 import logging
+import threading
 from collections.abc import Iterator
 from datetime import datetime, timezone
 
@@ -1088,16 +1089,27 @@ def _parse_positive_rate(options, key: str) -> float | None:
 #: size ``rate_limit_burst_seconds`` with that in mind.
 _SINK_LIMITERS: dict[tuple, "object"] = {}
 
+#: Guards the get-or-create below (r13 singleton audit). The registry's
+#: whole point is ONE limiter per (stream, budget) per process; an
+#: unsynchronized check-then-insert can hand two concurrent writer threads
+#: (streaming foreachBatch bindings share the driver process) two DISTINCT
+#: limiters for the same key — each tracking its own token buckets, so the
+#: pair admits up to 2x the configured budget until one is dropped.
+#: Creation is cheap, so the lock covers the whole get-or-create.
+#: tests/test_caches.py::test_shared_sink_limiter_concurrent pins this.
+_SINK_LIMITERS_LOCK = threading.Lock()
+
 
 def _shared_sink_limiter(stream: str, bps: float, pps: float, burst: float):
     from ..sink import ShardRateLimiter
 
     key = (stream, bps, pps, burst)
-    limiter = _SINK_LIMITERS.get(key)
-    if limiter is None:
-        limiter = _SINK_LIMITERS[key] = ShardRateLimiter(
-            bytes_per_sec=bps, puts_per_sec=pps, burst_seconds=burst
-        )
+    with _SINK_LIMITERS_LOCK:
+        limiter = _SINK_LIMITERS.get(key)
+        if limiter is None:
+            limiter = _SINK_LIMITERS[key] = ShardRateLimiter(
+                bytes_per_sec=bps, puts_per_sec=pps, burst_seconds=burst
+            )
     return limiter
 
 

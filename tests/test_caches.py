@@ -6,6 +6,8 @@ downstream query that rides it (q96/q102/q134/q135/q143/q144/q148).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from kinesis_writer_spark import io as kio
 from tests.conftest import SF_DIR
 
@@ -64,6 +66,123 @@ def test_codebook_cache_concurrent(spark):
         assert (key, 2, 4) in _CODEBOOK_CACHE
     finally:
         _CODEBOOK_CACHE.pop((key, 2, 4), None)
+
+
+def test_shared_sink_limiter_concurrent():
+    """r13 singleton audit: the per-(stream, budget) limiter registry must
+    hand every concurrent caller the SAME instance — two instances for one
+    key means two independent token buckets, admitting up to 2x the
+    configured budget."""
+    import threading
+
+    from kinesis_writer_spark.sources.kinesis_stream import (
+        _SINK_LIMITERS,
+        _shared_sink_limiter,
+    )
+
+    key = ("audit-stream", 123.0, 45.0, 1.0)
+    _SINK_LIMITERS.pop(key, None)
+    results = [None] * 8
+
+    def get(i):
+        results[i] = _shared_sink_limiter(*key)
+
+    threads = [threading.Thread(target=get, args=(i,)) for i in range(8)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+        assert all(r is results[0] and r is not None for r in results)
+        # distinct budgets stay distinct limiters
+        other = _shared_sink_limiter("audit-stream", 999.0, 45.0, 1.0)
+        assert other is not results[0]
+    finally:
+        _SINK_LIMITERS.pop(key, None)
+        _SINK_LIMITERS.pop(("audit-stream", 999.0, 45.0, 1.0), None)
+
+
+def test_neardup_pairs_cache_concurrent(spark, monkeypatch):
+    """r13 singleton audit: the near-dup pair memo holds localCheckpointed
+    BLOCKS — a duplicate-insert race must not orphan a loser's blocks.
+    Concurrent misses may each compute, but all callers get one shared
+    entry and every losing frame is released."""
+    import threading
+
+    from kinesis_writer_spark.operators import dedup
+
+    computes, releases = [], []
+
+    def fake_q54(spark_, sf_dir_):
+        computes.append(1)
+        return spark.range(3).select(
+            F.col("id").alias("doc_a"), (F.col("id") + 100).alias("doc_b")
+        )
+
+    real_release = dedup.release_checkpoint
+    monkeypatch.setattr(dedup, "q54_simhash_neardup", fake_q54)
+    monkeypatch.setattr(
+        dedup, "release_checkpoint",
+        lambda df: (releases.append(1), real_release(df))[1],
+    )
+    key = (spark.sparkContext.applicationId, "/audit/fake-sf")
+    dedup._NEARDUP_PAIRS_CACHE.pop(key, None)
+    results = [None] * 4
+
+    def get(i):
+        results[i] = dedup._neardup_pairs(spark, "/audit/fake-sf")
+
+    threads = [threading.Thread(target=get, args=(i,)) for i in range(4)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert all(r is results[0] and r is not None for r in results)
+        assert results[0].count() == 3
+        # every duplicate computation (beyond the winning insert) released
+        # its checkpoint blocks; none held by the cache
+        assert len(releases) == len(computes) - 1, (computes, releases)
+        assert dedup._NEARDUP_PAIRS_CACHE[key] is results[0]
+    finally:
+        entry = dedup._NEARDUP_PAIRS_CACHE.pop(key, None)
+        if entry is not None:
+            real_release(entry)
+
+
+def test_pct_cache_concurrent(spark):
+    """r13 singleton audit: the perceptron-weights memo has no lock by
+    design (values are immutable int tuples, setdefault is GIL-atomic) —
+    concurrent trainings must converge on ONE shared entry with the
+    deterministic weights."""
+    import threading
+
+    from kinesis_writer_spark import registry
+
+    registry._ensure_loaded()  # canonical operator import order (a direct
+    # pipeline_ops_eval import first would hit the composed<->eval cycle)
+    from kinesis_writer_spark.operators.pipeline_ops_eval import (
+        _PCT_CACHE,
+        _pct_train,
+    )
+
+    baseline = _PCT_CACHE.pop(SF_DIR, None) or _pct_train(spark, SF_DIR)
+    _PCT_CACHE.pop(SF_DIR, None)
+    results = [None] * 3
+
+    def train(i):
+        results[i] = _pct_train(spark, SF_DIR)
+
+    threads = [threading.Thread(target=train, args=(i,)) for i in range(3)]
+    try:
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        assert all(r is results[0] and r is not None for r in results)
+        assert results[0] == baseline  # deterministic across racers
+    finally:
+        _PCT_CACHE.pop(SF_DIR, None)
 
 
 def test_neardup_caches_match_fresh_computation(spark):
