@@ -366,35 +366,44 @@ _SIMHASH_BITS = 60
 def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprint: per bit, majority vote of word-hash bits.
 
-    Spark-shaped: explode distinct words → one groupBy(doc_id) carrying 60
-    vote-sum aggregates (map-side partials make this one narrow shuffle of
-    60 ints per doc) → bit assembly in a single projection. Zero UDFs.
+    Shuffle-free: the word-hash array is computed once per doc (one MD5
+    pass), then each of the 60 vote sums is an array ``aggregate`` over
+    that array — all whole-stage-codegen expressions inside one narrow
+    projection, no explode, no exchange. The majority vote
+    ``sum(±1) > 0`` is evaluated as ``2·ones > n_words`` so only the
+    per-bit one-counts are accumulated. (The previous shape exploded
+    words and ran a 60-aggregate groupBy(doc_id); removing the explode
+    and the doc_id shuffle measured 0.81 s → 0.23 s at sf0.1, identical
+    output. CollapseProject does not inline the hash-array producer into
+    the 60 consumers — verified one md5 per plan.) Zero UDFs.
     """
     import operator
     from functools import reduce
 
     (documents,) = tables(spark, sf_dir, "documents")
     documents = documents.repartition(spark.sparkContext.defaultParallelism)
-    # explode in the same select that computes the word array: aliasing it
-    # in one projection and exploding in the next leaves the split+distinct
-    # inlined into Generate, re-evaluated per output word (2.5× slower)
-    exploded = documents.select(
-        "doc_id", F.explode(_WORDS_SPARK()).alias("word")
-    ).withColumn("h", md5_60bit(F.col("word")))
-    votes = exploded.groupBy("doc_id").agg(
-        *[
-            F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << k)) != 0, 1).otherwise(-1)).alias(f"v{k}")
-            for k in range(_SIMHASH_BITS)
-        ]
+    hs = documents.select(
+        "doc_id", F.transform(_WORDS_SPARK(), lambda w: md5_60bit(w)).alias("hs")
     )
+
+    def _ones(k: int):
+        # count of word-hashes with bit k set; votes = 2*ones - n_words
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0).cast("bigint"),
+            lambda acc, h: acc + F.shiftrightunsigned(h, k).bitwiseAND(F.lit(1)),
+        )
+
     simhash = reduce(
         operator.add,
         [
-            F.when(F.col(f"v{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0)).cast("bigint")
+            F.when(_ones(k) * 2 > F.size("hs"), F.lit(1 << k))
+            .otherwise(F.lit(0))
+            .cast("bigint")
             for k in range(_SIMHASH_BITS)
         ],
     )
-    return votes.select("doc_id", simhash.alias("simhash"))
+    return hs.select("doc_id", simhash.alias("simhash"))
 
 
 _SIMHASH_CHUNKS = 4  # oracle-side: 4 x 15-bit pigeonhole chunks (hamming<=3 => chunk equal)
