@@ -88,16 +88,27 @@ def q193_stages(
     sh3 = F.zip_with(
         F.slice(ws, 1, F.size(ws) - 2), inner, lambda a, bc: F.concat_ws(" ", a, bc)
     )
-    tok = documents.select(
-        "doc_id", F.explode(F.array_distinct(sh3)).alias("tok3")
-    ).select("doc_id", md5_60bit(F.col("tok3")).alias("tok")).distinct()
-    docs = tok.groupBy("doc_id").agg(F.sort_array(F.collect_list("tok")).alias("toks"))
+    # Per-doc distinct hashed shingle set built entirely map-side: the outer
+    # array_distinct collapses 60-bit hash collisions within a doc exactly
+    # like the row-level DISTINCT it replaces, so the (doc_id, tok) row set
+    # is identical — but the corpus-sized distinct exchange disappears, and
+    # ``docs`` (the verify-side arrays) needs NO collect_list shuffle at
+    # all: the array the verify stage wants is the one the map task already
+    # holds. ``n`` rides the array size instead of a count-over-window.
+    # (r14: 3 corpus-sized exchanges removed — distinct + collect_list ×2;
+    # plan-verified, output bit-identical.)
+    toks = F.array_distinct(
+        F.transform(F.array_distinct(sh3), lambda s: md5_60bit(s))
+    )
+    docs0 = documents.select("doc_id", toks.alias("toks"))
+    docs = docs0.select("doc_id", F.sort_array("toks").alias("toks"))
+    tok = docs0.select(
+        "doc_id", F.size("toks").alias("n"), F.explode("toks").alias("tok")
+    )
     dfq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id")
-    ranked = (
-        tok.join(dfq, "tok")
-        .withColumn("rn", F.row_number().over(w.orderBy("df", "tok")))
-        .withColumn("n", F.count(F.lit(1)).over(w))
+    ranked = tok.join(dfq, "tok").withColumn(
+        "rn", F.row_number().over(w.orderBy("df", "tok"))
     )
     prefix = ranked.filter(
         F.col("rn")
