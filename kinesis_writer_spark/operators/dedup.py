@@ -316,7 +316,7 @@ def q52_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rep_id")
         .distinct()
     )
-    wa = w.select(F.col("doc_id"), F.col("words").alias("words_a"))
+    wa = w.select(F.col("doc_id"), F.col("lang"), F.col("words").alias("words_a"))
     wb = w.select(F.col("doc_id").alias("rep_id"), F.col("words").alias("words_b"))
     removed = (
         cand.join(wa, "doc_id")
@@ -326,18 +326,24 @@ def q52_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(F.array_union("words_a", "words_b"))
             >= _THRESHOLD
         )
-        .select("doc_id")
+        .select("doc_id", "lang")
         .distinct()
-        .withColumn("is_removed", F.lit(1))
     )
-    return (
-        w.join(removed, "doc_id", "left")
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.when(F.col("is_removed").isNull(), 1).otherwise(0)).alias("n_kept"),
-            F.sum(F.when(F.col("is_removed").isNull(), 0).otherwise(1)).alias("n_removed"),
-        )
+    # Per-lang rollup WITHOUT joining the removed set back onto the corpus:
+    # every doc is either kept or removed, so n_kept = n_docs - n_removed
+    # and the final join is lang-cardinality-sized instead of the previous
+    # corpus-wide SortMergeJoin of w against the removed flags (r14: the
+    # verify side carries lang, the rollup becomes two narrow aggregates
+    # joined on lang — plan loses the corpus SMJ + its two exchanges).
+    base = w.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    rem = removed.groupBy("lang").agg(F.count(F.lit(1)).alias("n_removed_"))
+    # rem is language-cardinality at ANY corpus size: broadcast explicitly
+    # (the planner's post-aggregate size estimate picked a SortMergeJoin)
+    return base.join(F.broadcast(rem), "lang", "left").select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs") - F.coalesce("n_removed_", F.lit(0))).alias("n_kept"),
+        F.coalesce("n_removed_", F.lit(0)).alias("n_removed"),
     )
 
 

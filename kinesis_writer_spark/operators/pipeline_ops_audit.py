@@ -130,7 +130,9 @@ def q230_incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataF
     full = view_of(orders).withColumnRenamed("cnt", "f_cnt").withColumnRenamed(
         "cents", "f_cents"
     )
-    return maintained.join(full, "nation").select(
+    # full is nation-cardinality (post-aggregate); broadcast explicitly —
+    # the planner's estimate picked a SortMergeJoin for this 25-row side
+    return maintained.join(F.broadcast(full), "nation").select(
         "nation",
         "cnt",
         "cents",

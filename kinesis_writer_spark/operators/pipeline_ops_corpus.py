@@ -1514,7 +1514,9 @@ def q216_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("grp_train").cast("bigint").alias("n_train"),
         F.sum(1 - F.col("grp_train")).cast("bigint").alias("n_test"),
     )
-    return counts.join(viol, "lang", "left").select(
+    # viol is language-cardinality at any corpus size; the planner's
+    # post-aggregate estimate picked a SortMergeJoin — broadcast explicitly
+    return counts.join(F.broadcast(viol), "lang", "left").select(
         "lang",
         "n_train",
         "n_test",
