@@ -286,17 +286,21 @@ def q101_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated = (
         grams.filter(F.col("split") == "test")
         .join(train_grams, "g", "left_semi")
-        .select("doc_id")
+        .select("doc_id", "lang")
         .distinct()
-        .withColumn("hit", F.lit(1))
     )
-    return (
-        test_docs.join(contaminated, "doc_id", "left")
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_test_docs"),
-            F.sum(F.when(F.col("hit").isNull(), 0).otherwise(1)).alias("n_contaminated"),
-        )
+    # Rollup without joining the contaminated set back onto the test
+    # corpus: contaminated docs are a subset of test_docs, so the per-lang
+    # counts aggregate independently and meet in a lang-cardinality
+    # broadcast join instead of the previous corpus-sized left join (r14).
+    base = test_docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_test_docs"))
+    cont = contaminated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_contaminated_")
+    )
+    return base.join(F.broadcast(cont), "lang", "left").select(
+        "lang",
+        "n_test_docs",
+        F.coalesce("n_contaminated_", F.lit(0)).alias("n_contaminated"),
     )
 
 
@@ -395,18 +399,21 @@ def q102_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("label").alias("r_label"), "dup_id")
         .distinct()
-        .withColumn("hit", F.lit(1))
     )
+    # Rollup without joining the removed set back onto the corpus: every
+    # vector is either kept or removed, so n_kept = n_vectors - n_removed
+    # and the final join is label-cardinality-sized (broadcast) instead of
+    # the previous corpus-wide SortMergeJoin on (label, vec_id) (r14).
+    base = embeddings.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    rem = removed.groupBy("r_label").agg(F.count(F.lit(1)).alias("n_removed_"))
     return (
-        embeddings.join(
-            removed,
-            (F.col("label") == F.col("r_label")) & (F.col("vec_id") == F.col("dup_id")),
-            "left",
-        )
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.sum(F.when(F.col("hit").isNull(), 0).otherwise(1)).alias("n_removed"),
-            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias("n_kept"),
+        base.join(F.broadcast(rem), base.label == rem.r_label, "left")
+        .select(
+            "label",
+            "n_vectors",
+            F.coalesce("n_removed_", F.lit(0)).alias("n_removed"),
+            (F.col("n_vectors") - F.coalesce("n_removed_", F.lit(0))).alias(
+                "n_kept"
+            ),
         )
     )
