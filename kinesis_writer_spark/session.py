@@ -31,6 +31,23 @@ def get_spark(app_name: str = "kinesis_writer_spark", shuffle_partitions: int | 
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Join strategy (optimization guide §3.1/§9): let the planner pick
+        # shuffled-hash over sort-merge when its size conditions hold, and
+        # let AQE rewrite SMJ->SHJ at runtime when EVERY post-shuffle
+        # partition fits the local-map threshold — that runtime gate is
+        # what keeps SHJ safe at cluster scale (a build partition above the
+        # threshold keeps sort-merge; AQE skew-join still applies to SHJ).
+        # Measured r14 same-session A/B over the 12 join-heaviest queries
+        # at sf0.1: 16.79 s -> 13.69 s, every query faster or equal.
+        # Env-overridable for clusters that prefer the sort-merge default.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_MAX", str(64 * 1024 * 1024)),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
