@@ -347,10 +347,13 @@ def incremental_verdicts(incoming_docs: DataFrame, corpus_docs: DataFrame) -> Da
         .distinct()
     )
 
+    # exact/near are subsets of the incoming batch — batch-sized by the
+    # same contract that broadcasts the digests and band keys above, so
+    # the verdict joins broadcast too instead of shuffling the batch (r14)
     return (
         incoming.select("doc_id", "lang")
-        .join(exact.withColumn("is_exact", F.lit(1)), "doc_id", "left")
-        .join(near.withColumn("is_near", F.lit(1)), "doc_id", "left")
+        .join(F.broadcast(exact.withColumn("is_exact", F.lit(1))), "doc_id", "left")
+        .join(F.broadcast(near.withColumn("is_near", F.lit(1))), "doc_id", "left")
         .select(
             "doc_id",
             "lang",
