@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import duckdb_md5_60bit, md5_60bit
 from ..registry import register
 from ._util import (
+    cached_exprs,
     checkpoint_clean,
     checkpoint_partitioned,
     release_checkpoint,
@@ -107,7 +108,13 @@ _MINHASH_A = [((j + 1) * 0x9E3779B1) % (2**31) | 1 for j in range(_N_HASHES)]
 _MINHASH_B = [(j * 0x85EBCA77 + 0x165667B1) % (2**31) for j in range(_N_HASHES)]
 
 
-def _word_hashes_spark(words):
+def _word_hashes_spark(words="words"):
+    # str input -> constant expression, memoized (construction is py4j-
+    # bound; see _util.cached_exprs). Column input builds fresh.
+    if isinstance(words, str):
+        return cached_exprs(
+            ("word_hashes", words), lambda: _word_hashes_spark(F.col(words))
+        )
     return F.transform(words, lambda w: md5_60bit(w).bitwiseAND(F.lit(_MINHASH_MASK)))
 
 
@@ -116,7 +123,13 @@ _WORD_HASHES_SQL = (
 )
 
 
-def _minhash_sig_spark(hashes) -> list:
+def _minhash_sig_spark(hashes="hashes") -> list:
+    # str input -> constant expression list, memoized (16 permutations x
+    # a lambda each is ~1 s of py4j construction; see _util.cached_exprs)
+    if isinstance(hashes, str):
+        return cached_exprs(
+            ("minhash_sig", hashes), lambda: _minhash_sig_spark(F.col(hashes))
+        )
     return [
         F.array_min(
             F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MINHASH_P))
@@ -152,10 +165,10 @@ def q51_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (documents,) = tables(spark, sf_dir, "documents")
     words = documents.select("doc_id", _WORDS_SPARK().alias("words"))
-    hs = words.select("doc_id", _word_hashes_spark(F.col("words")).alias("hashes"))
+    hs = words.select("doc_id", _word_hashes_spark("words").alias("hashes"))
     return hs.select(
         "doc_id",
-        F.concat_ws(",", *[s.cast("string") for s in _minhash_sig_spark(F.col("hashes"))]).alias(
+        F.concat_ws(",", *[s.cast("string") for s in _minhash_sig_spark("hashes")]).alias(
             "signature"
         ),
     )
@@ -187,13 +200,22 @@ def _band_exprs_spark(n_bands: int = _N_BANDS, rows_per_band: int | None = None)
     reads signature slots ``[b*rows, (b+1)*rows)``; bands*rows may
     undershoot the 16 permutations (3x5 uses 15)."""
     rows = _check_banding(n_bands, rows_per_band)
-    out = []
-    for b in range(n_bands):
-        slice_concat = F.concat_ws(
-            ",", *[F.col("signature").getItem(b * rows + r).cast("string") for r in range(rows)]
-        )
-        out.append(md5_60bit(slice_concat, salt=f"band{b}"))
-    return out
+
+    def _build() -> list:
+        out = []
+        for b in range(n_bands):
+            slice_concat = F.concat_ws(
+                ",",
+                *[
+                    F.col("signature").getItem(b * rows + r).cast("string")
+                    for r in range(rows)
+                ],
+            )
+            out.append(md5_60bit(slice_concat, salt=f"band{b}"))
+        return out
+
+    # constant per (bands, rows): memoized construction (_util.cached_exprs)
+    return cached_exprs(("band_exprs", n_bands, rows), _build)
 
 
 def _band_exprs_sql(n_bands: int = _N_BANDS, rows_per_band: int | None = None) -> list[str]:
@@ -306,8 +328,8 @@ def q52_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = documents.select("doc_id", "lang", _WORDS_SPARK().alias("words")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    hs = w.select("doc_id", "words", _word_hashes_spark(F.col("words")).alias("hashes"))
-    sigs = hs.select("doc_id", "words", F.array(*_minhash_sig_spark(F.col("hashes"))).alias("signature"))
+    hs = w.select("doc_id", "words", _word_hashes_spark("words").alias("hashes"))
+    sigs = hs.select("doc_id", "words", F.array(*_minhash_sig_spark("hashes")).alias("signature"))
     bands = sigs.select("doc_id", F.explode(F.array(*_band_exprs_spark())).alias("band_key"))
     reps = bands.groupBy("band_key").agg(F.min("doc_id").alias("rep_id"))
     cand = (
@@ -383,32 +405,40 @@ def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     output. CollapseProject does not inline the hash-array producer into
     the 60 consumers — verified one md5 per plan.) Zero UDFs.
     """
-    import operator
-    from functools import reduce
-
     (documents,) = tables(spark, sf_dir, "documents")
     documents = documents.repartition(spark.sparkContext.defaultParallelism)
     hs = documents.select(
-        "doc_id", F.transform(_WORDS_SPARK(), lambda w: md5_60bit(w)).alias("hs")
+        "doc_id",
+        cached_exprs(
+            "q53_hs", lambda: F.transform(_WORDS_SPARK(), lambda w: md5_60bit(w))
+        ).alias("hs"),
     )
 
-    def _ones(k: int):
-        # count of word-hashes with bit k set; votes = 2*ones - n_words
-        return F.aggregate(
-            F.col("hs"),
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc + F.shiftrightunsigned(h, k).bitwiseAND(F.lit(1)),
+    def _build_simhash():
+        import operator
+        from functools import reduce
+
+        def _ones(k: int):
+            # count of word-hashes with bit k set; votes = 2*ones - n_words
+            return F.aggregate(
+                F.col("hs"),
+                F.lit(0).cast("bigint"),
+                lambda acc, h: acc + F.shiftrightunsigned(h, k).bitwiseAND(F.lit(1)),
+            )
+
+        return reduce(
+            operator.add,
+            [
+                F.when(_ones(k) * 2 > F.size("hs"), F.lit(1 << k))
+                .otherwise(F.lit(0))
+                .cast("bigint")
+                for k in range(_SIMHASH_BITS)
+            ],
         )
 
-    simhash = reduce(
-        operator.add,
-        [
-            F.when(_ones(k) * 2 > F.size("hs"), F.lit(1 << k))
-            .otherwise(F.lit(0))
-            .cast("bigint")
-            for k in range(_SIMHASH_BITS)
-        ],
-    )
+    # 60 array-aggregate lambdas = ~1.3 s of py4j construction; constant
+    # expression, memoized per process (_util.cached_exprs)
+    simhash = cached_exprs("q53_simhash", _build_simhash)
     return hs.select("doc_id", simhash.alias("simhash"))
 
 
@@ -489,26 +519,34 @@ def q54_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sh = q53_simhash(spark, sf_dir).localCheckpoint()
 
-    def _blk(i: int):
-        return F.shiftrightunsigned(
-            "simhash", _SIMHASH_BLOCK_BITS * i
-        ).bitwiseAND(F.lit((1 << _SIMHASH_BLOCK_BITS) - 1))
+    def _build_chunk_structs():
+        def _blk(i: int):
+            return F.shiftrightunsigned(
+                "simhash", _SIMHASH_BLOCK_BITS * i
+            ).bitwiseAND(F.lit((1 << _SIMHASH_BLOCK_BITS) - 1))
 
-    chunk_structs = F.array(
-        *[
-            F.struct(
-                F.lit(t).cast("bigint").alias("c"),
-                (
-                    _blk(i) * F.lit(1 << (2 * _SIMHASH_BLOCK_BITS))
-                    + _blk(j) * F.lit(1 << _SIMHASH_BLOCK_BITS)
-                    + _blk(k)
-                ).alias("chunk_key"),
-            )
-            for t, (i, j, k) in enumerate(
-                combinations(range(_SIMHASH_BLOCKS), _SIMHASH_BLOCKS - _HAMMING_MAX)
-            )
-        ]
-    )
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(t).cast("bigint").alias("c"),
+                    (
+                        _blk(i) * F.lit(1 << (2 * _SIMHASH_BLOCK_BITS))
+                        + _blk(j) * F.lit(1 << _SIMHASH_BLOCK_BITS)
+                        + _blk(k)
+                    ).alias("chunk_key"),
+                )
+                for t, (i, j, k) in enumerate(
+                    combinations(
+                        range(_SIMHASH_BLOCKS), _SIMHASH_BLOCKS - _HAMMING_MAX
+                    )
+                )
+            ]
+        )
+
+    # constant 20-triple struct array + the first-clean CASE chain below:
+    # both memoized — their py4j construction dominated a fresh q54 call
+    # (_util.cached_exprs)
+    chunk_structs = cached_exprs("q54_chunk_structs", _build_chunk_structs)
     chunks = sh.select("doc_id", "simhash", F.explode(chunk_structs).alias("ck")).select(
         "doc_id", "simhash", F.col("ck.c").alias("c"), F.col("ck.chunk_key").alias("chunk_key")
     )
@@ -530,26 +568,32 @@ def q54_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct exchange disappears. Every joined row's own triple is clean
     # (its 30-bit key matched), so a qualifying pair always survives in
     # exactly one table: no false negatives, no duplicates.
-    xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
-    hamming = F.bit_count(xor)
+    def _build_pair_filter_exprs():
+        xor = F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+        hamming = F.bit_count(xor)
 
-    def _clean(i: int):
-        return (
-            F.shiftrightunsigned(xor, _SIMHASH_BLOCK_BITS * i).bitwiseAND(
-                F.lit((1 << _SIMHASH_BLOCK_BITS) - 1)
+        def _clean(i: int):
+            return (
+                F.shiftrightunsigned(xor, _SIMHASH_BLOCK_BITS * i).bitwiseAND(
+                    F.lit((1 << _SIMHASH_BLOCK_BITS) - 1)
+                )
+                == 0
             )
-            == 0
-        )
 
-    combos = list(
-        combinations(range(_SIMHASH_BLOCKS), _SIMHASH_BLOCKS - _HAMMING_MAX)
+        combos = list(
+            combinations(range(_SIMHASH_BLOCKS), _SIMHASH_BLOCKS - _HAMMING_MAX)
+        )
+        first_clean = F.lit(None).cast("bigint")
+        for t in range(len(combos) - 1, -1, -1):
+            i, j, k = combos[t]
+            first_clean = F.when(
+                _clean(i) & _clean(j) & _clean(k), F.lit(t).cast("bigint")
+            ).otherwise(first_clean)
+        return hamming, first_clean
+
+    hamming, first_clean = cached_exprs(
+        "q54_pair_filter", _build_pair_filter_exprs
     )
-    first_clean = F.lit(None).cast("bigint")
-    for t in range(len(combos) - 1, -1, -1):
-        i, j, k = combos[t]
-        first_clean = F.when(
-            _clean(i) & _clean(j) & _clean(k), F.lit(t).cast("bigint")
-        ).otherwise(first_clean)
     return (
         a.join(
             b,
@@ -1925,9 +1969,9 @@ def q161_blocking_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", noisy_words.alias("words")
     )
     corpus = orig.unionByName(noisy)
-    hs = corpus.select("doc_id", _word_hashes_spark(F.col("words")).alias("hashes"))
+    hs = corpus.select("doc_id", _word_hashes_spark("words").alias("hashes"))
     sigs = hs.select(
-        "doc_id", F.array(*_minhash_sig_spark(F.col("hashes"))).alias("signature")
+        "doc_id", F.array(*_minhash_sig_spark("hashes")).alias("signature")
     )
     bands = sigs.select(
         "doc_id", F.explode(F.array(*_band_exprs_spark())).alias("band_key")

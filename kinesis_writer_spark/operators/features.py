@@ -243,13 +243,13 @@ def q133_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (documents,) = tables(spark, sf_dir, "documents")
     words = documents.select("doc_id", _WORDS_SPARK().alias("words"))
-    hs = words.select("doc_id", "words", _word_hashes_spark(F.col("words")).alias("hashes"))
+    hs = words.select("doc_id", "words", _word_hashes_spark("words").alias("hashes"))
     # materialize ONCE: the signature table feeds the band explode, the
     # rep aggregate, and BOTH sides of the verify join — without the
     # checkpoint the per-word MD5 + 16-permutation lineage re-executes five
     # times through the self-joins (measured 10.7 s -> 3.6 s cold at sf0.1)
     sigs = hs.select(
-        "doc_id", "words", F.array(*_minhash_sig_spark(F.col("hashes"))).alias("signature")
+        "doc_id", "words", F.array(*_minhash_sig_spark("hashes")).alias("signature")
     ).localCheckpoint()
     bands = sigs.select(
         "doc_id", F.explode(F.array(*_band_exprs_spark())).alias("band_key")

@@ -989,9 +989,9 @@ def q239_dedup_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = documents.select("doc_id", _WORDS_SPARK().alias("words")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    hs = w.select("doc_id", "words", _word_hashes_spark(F.col("words")).alias("hashes"))
+    hs = w.select("doc_id", "words", _word_hashes_spark("words").alias("hashes"))
     sigs = hs.select(
-        "doc_id", F.array(*_minhash_sig_spark(F.col("hashes"))).alias("signature")
+        "doc_id", F.array(*_minhash_sig_spark("hashes")).alias("signature")
     )
     bands = sigs.select(
         "doc_id", F.explode(F.array(*_band_exprs_spark())).alias("band_key")
@@ -1300,9 +1300,9 @@ def q243_net_training_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = documents.select("doc_id", "lang", _WORDS_SPARK().alias("words")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    hs = w.select("doc_id", "words", _word_hashes_spark(F.col("words")).alias("hashes"))
+    hs = w.select("doc_id", "words", _word_hashes_spark("words").alias("hashes"))
     sigs = hs.select(
-        "doc_id", F.array(*_minhash_sig_spark(F.col("hashes"))).alias("signature")
+        "doc_id", F.array(*_minhash_sig_spark("hashes")).alias("signature")
     )
     bands = sigs.select(
         "doc_id", F.explode(F.array(*_band_exprs_spark())).alias("band_key")

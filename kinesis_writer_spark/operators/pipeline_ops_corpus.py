@@ -318,7 +318,7 @@ def incremental_verdicts(incoming_docs: DataFrame, corpus_docs: DataFrame) -> Da
         sigs = hs.select(
             id_col,
             "toks",
-            F.array(*_minhash_sig_spark(F.col("hashes"))).alias("signature"),
+            F.array(*_minhash_sig_spark("hashes")).alias("signature"),
         )
         cols = [id_col, F.explode(F.array(*_band_exprs_spark())).alias("band_key")]
         if carry_toks:

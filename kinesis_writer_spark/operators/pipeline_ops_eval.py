@@ -439,7 +439,7 @@ def q220_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     sigs = hs.select(
-        "doc_id", F.array(*_minhash_sig_spark(F.col("hashes"))).alias("signature")
+        "doc_id", F.array(*_minhash_sig_spark("hashes")).alias("signature")
     )
     bands = sigs.select(
         "doc_id", F.explode(F.array(*_band_exprs_spark())).alias("band_key")
