@@ -12,19 +12,38 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+#: Construction memo for str-named columns (r14): each call builds 2-5
+#: py4j lambda round-trips; callers invoke these per query. Same contract
+#: as operators._util.cached_exprs — constant trees only, driver-only,
+#: GIL-atomic dict ops, holds no data.
+_VEC_EXPR_CACHE: dict = {}
+
+
+def _cached(key, builder) -> Column:
+    got = _VEC_EXPR_CACHE.get(key)
+    if got is None:
+        got = _VEC_EXPR_CACHE.setdefault(key, builder())
+    return got
+
 
 def dot(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return _cached(("dot", a, b), lambda: dot(F.col(a), F.col(b)))
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def sq_norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return _cached(("sq_norm", a), lambda: sq_norm(F.col(a)))
     return F.aggregate(
         F.transform(a, lambda x: x.cast("double")), F.lit(0.0), lambda acc, x: acc + x * x
     )
 
 
 def cosine(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return _cached(("cosine", a, b), lambda: cosine(F.col(a), F.col(b)))
     return dot(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
 
 

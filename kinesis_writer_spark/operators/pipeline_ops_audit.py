@@ -1297,9 +1297,12 @@ def q243_net_training_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     (documents,) = tables(spark, sf_dir, "documents")
-    w = documents.select("doc_id", "lang", _WORDS_SPARK().alias("words")).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    w = documents.select(
+        "doc_id",
+        "lang",
+        _WORDS_SPARK().alias("words"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     hs = w.select("doc_id", "words", _word_hashes_spark("words").alias("hashes"))
     sigs = hs.select(
         "doc_id", F.array(*_minhash_sig_spark("hashes")).alias("signature")
@@ -1314,7 +1317,13 @@ def q243_net_training_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "rep_id")
         .distinct()
     )
-    wa = w.select(F.col("doc_id"), F.col("words").alias("words_a"))
+    # the verify side carries lang + token count, so the accounting rolls
+    # up from the (small) removed set alone — the corpus-wide left join
+    # that existed only to flag removed rows is gone (r14; the q52 rollup
+    # decomposition, with token sums riding along instead of bare counts)
+    wa = w.select(
+        F.col("doc_id"), F.col("lang"), F.col("n_tok"), F.col("words").alias("words_a")
+    )
     wb = w.select(F.col("doc_id").alias("rep_id"), F.col("words").alias("words_b"))
     removed = (
         cand.join(wa, "doc_id")
@@ -1324,28 +1333,28 @@ def q243_net_training_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(F.array_union("words_a", "words_b"))
             >= _THRESHOLD
         )
-        .select("doc_id")
+        .select("doc_id", "lang", "n_tok")
         .distinct()
-        .withColumn("is_removed", F.lit(1))
     )
-    toks = documents.select(
-        "doc_id", "lang", F.size(F.split("text", " ")).cast("bigint").alias("n_tok")
+    raw = w.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("raw_tokens"),
+    )
+    rem = removed.groupBy("lang").agg(
+        F.sum("n_tok").cast("bigint").alias("removed_tokens_")
     )
     return (
-        toks.join(removed, "doc_id", "left")
-        .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_tok").cast("bigint").alias("raw_tokens"),
-            F.sum(F.when(F.col("is_removed").isNull(), 0).otherwise(F.col("n_tok")))
-            .cast("bigint")
-            .alias("removed_tokens"),
-            F.sum(F.when(F.col("is_removed").isNull(), F.col("n_tok")).otherwise(0))
+        raw.join(F.broadcast(rem), "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "raw_tokens",
+            F.coalesce("removed_tokens_", F.lit(0)).cast("bigint").alias("removed_tokens"),
+            (F.col("raw_tokens") - F.coalesce("removed_tokens_", F.lit(0)))
             .cast("bigint")
             .alias("net_tokens"),
             F.expr(
-                "CAST(SUM(CASE WHEN is_removed IS NULL THEN 0 ELSE n_tok END)"
-                " * 1000000 DIV SUM(n_tok) AS BIGINT)"
+                "CAST(COALESCE(removed_tokens_, 0) * 1000000 DIV raw_tokens AS BIGINT)"
             ).alias("savings_ppm"),
         )
     )

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_60bit
 from ..registry import register
-from ._util import tables
+from ._util import cached_exprs, tables
 
 
 # ---------------------------------------------------------------------------
@@ -269,19 +269,26 @@ def incremental_verdicts(incoming_docs: DataFrame, corpus_docs: DataFrame) -> Da
     from ..functions.hashing import md5_60bit
 
     def prep(df: DataFrame) -> DataFrame:
-        ws = F.split("text", " ")
-        inner = F.zip_with(
-            F.slice(ws, 2, F.size(ws) - 2),
-            F.slice(ws, 3, F.size(ws) - 2),
-            lambda b, c: F.concat_ws(" ", b, c),
-        )
-        sh3 = F.zip_with(
-            F.slice(ws, 1, F.size(ws) - 2), inner, lambda a, bc: F.concat_ws(" ", a, bc)
-        )
-        toks = F.when(
-            F.size(ws) >= 3,
-            F.array_distinct(F.transform(sh3, lambda s: md5_60bit(s))),
-        ).otherwise(F.array().cast("array<bigint>"))
+
+        def _build_toks():
+            ws = F.split("text", " ")
+            inner = F.zip_with(
+                F.slice(ws, 2, F.size(ws) - 2),
+                F.slice(ws, 3, F.size(ws) - 2),
+                lambda b, c: F.concat_ws(" ", b, c),
+            )
+            sh3 = F.zip_with(
+                F.slice(ws, 1, F.size(ws) - 2),
+                inner,
+                lambda a, bc: F.concat_ws(" ", a, bc),
+            )
+            return F.when(
+                F.size(ws) >= 3,
+                F.array_distinct(F.transform(sh3, lambda s: md5_60bit(s))),
+            ).otherwise(F.array().cast("array<bigint>"))
+
+        # constant shingle chain, construction memoized (_util.cached_exprs)
+        toks = cached_exprs("incremental_shingle_toks", _build_toks)
         return df.select(
             "doc_id",
             "lang",
@@ -311,8 +318,11 @@ def incremental_verdicts(incoming_docs: DataFrame, corpus_docs: DataFrame) -> Da
         hs = df.filter(F.size("toks") > 0).select(
             F.col("doc_id").alias(id_col),
             "toks",
-            F.transform(
-                "toks", lambda t: t.bitwiseAND(F.lit(_MINHASH_MASK))
+            cached_exprs(
+                "incremental_mask_hashes",
+                lambda: F.transform(
+                    "toks", lambda t: t.bitwiseAND(F.lit(_MINHASH_MASK))
+                ),
             ).alias("hashes"),
         )
         sigs = hs.select(

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_60bit
 from ..registry import register
-from ._util import tables
+from ._util import cached_exprs, tables
 
 
 # ---------------------------------------------------------------------------
@@ -416,27 +416,36 @@ def q220_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     truth = q193_prefix_filter_join(spark, sf_dir).select("doc_a", "doc_b")
 
+
     (documents,) = tables(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
-    inner = F.zip_with(
-        F.slice(ws, 2, F.size(ws) - 2),
-        F.slice(ws, 3, F.size(ws) - 2),
-        lambda b, c: F.concat_ws(" ", b, c),
-    )
-    sh3 = F.zip_with(
-        F.slice(ws, 1, F.size(ws) - 2), inner, lambda a, bc: F.concat_ws(" ", a, bc)
-    )
-    toks = F.when(
-        F.size(ws) >= 3, F.array_distinct(F.transform(sh3, lambda s: md5_60bit(s)))
-    ).otherwise(F.array().cast("array<bigint>"))
+
+    def _build_toks():
+        ws = F.split("text", " ")
+        inner = F.zip_with(
+            F.slice(ws, 2, F.size(ws) - 2),
+            F.slice(ws, 3, F.size(ws) - 2),
+            lambda b, c: F.concat_ws(" ", b, c),
+        )
+        sh3 = F.zip_with(
+            F.slice(ws, 1, F.size(ws) - 2), inner, lambda a, bc: F.concat_ws(" ", a, bc)
+        )
+        return F.when(
+            F.size(ws) >= 3, F.array_distinct(F.transform(sh3, lambda s: md5_60bit(s)))
+        ).otherwise(F.array().cast("array<bigint>"))
+
+    # constant shingle chain + mask transform: construction memoized (r14)
+    toks = cached_exprs("q220_shingle_toks", _build_toks)
     toksrc = documents.select("doc_id", toks.alias("toks")).filter(
         F.size("toks") > 0
     )
     hs = toksrc.select(
         "doc_id",
-        F.transform("toks", lambda t: t.bitwiseAND(F.lit(_MINHASH_MASK))).alias(
-            "hashes"
-        ),
+        cached_exprs(
+            "q220_mask_hashes",
+            lambda: F.transform(
+                "toks", lambda t: t.bitwiseAND(F.lit(_MINHASH_MASK))
+            ),
+        ).alias("hashes"),
     )
     sigs = hs.select(
         "doc_id", F.array(*_minhash_sig_spark("hashes")).alias("signature")

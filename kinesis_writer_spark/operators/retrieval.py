@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import duckdb_md5_60bit, md5_60bit
 from ..functions.vectors import duckdb_dot, duckdb_sq_norm
 from ..registry import register
-from ._util import tables
+from ._util import cached_exprs, tables
 from .sampling import _bucket, _duckdb_bucket
 from .similarity import _km_assign_expr, ivf_assigned_sql_ctes, ivf_train_centroids
 
@@ -261,16 +261,21 @@ def q101_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(b < 80, "train").when(b < 90, "valid").otherwise("test").alias("split"),
         F.split("text", " ").alias("w"),
     )
-    wcol = F.col("w")
-    grams_arr = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(wcol) - _DECON_N),
-            lambda i: md5_60bit(F.array_join(F.slice(wcol, i + 1, _DECON_N), " ")),
+    def _build_guarded():
+        wcol = F.col("w")
+        grams_arr = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(wcol) - _DECON_N),
+                lambda i: md5_60bit(F.array_join(F.slice(wcol, i + 1, _DECON_N), " ")),
+            )
         )
-    )
-    guarded = F.when(F.size(wcol) >= _DECON_N, grams_arr).otherwise(
-        F.array().cast("array<bigint>")
-    )
+        return F.when(F.size(wcol) >= _DECON_N, grams_arr).otherwise(
+            F.array().cast("array<bigint>")
+        )
+
+
+    # constant gram-array chain: construction memoized (_util.cached_exprs)
+    guarded = cached_exprs("q101_guarded_grams", _build_guarded)
     # explode in the SAME select that computes the gram array: aliasing the
     # array in one projection and exploding it in the next leaves the whole
     # transform inlined into Generate where it re-evaluates per OUTPUT row

@@ -77,17 +77,24 @@ def q193_stages(
        passes, so filtering rows then distinct-ing pairs is exact.
     """
     from ..functions.hashing import md5_60bit
+    from ._util import cached_exprs
 
     (documents,) = tables(spark, sf_dir, "documents")
-    ws = F.split("text", " ")
-    inner = F.zip_with(
-        F.slice(ws, 2, F.size(ws) - 2),
-        F.slice(ws, 3, F.size(ws) - 2),
-        lambda b, c: F.concat_ws(" ", b, c),
-    )
-    sh3 = F.zip_with(
-        F.slice(ws, 1, F.size(ws) - 2), inner, lambda a, bc: F.concat_ws(" ", a, bc)
-    )
+
+    def _build_toks():
+        ws = F.split("text", " ")
+        inner = F.zip_with(
+            F.slice(ws, 2, F.size(ws) - 2),
+            F.slice(ws, 3, F.size(ws) - 2),
+            lambda b, c: F.concat_ws(" ", b, c),
+        )
+        sh3 = F.zip_with(
+            F.slice(ws, 1, F.size(ws) - 2), inner, lambda a, bc: F.concat_ws(" ", a, bc)
+        )
+        return F.array_distinct(
+            F.transform(F.array_distinct(sh3), lambda s: md5_60bit(s))
+        )
+
     # Per-doc distinct hashed shingle set built entirely map-side: the outer
     # array_distinct collapses 60-bit hash collisions within a doc exactly
     # like the row-level DISTINCT it replaces, so the (doc_id, tok) row set
@@ -96,10 +103,9 @@ def q193_stages(
     # all: the array the verify stage wants is the one the map task already
     # holds. ``n`` rides the array size instead of a count-over-window.
     # (r14: 3 corpus-sized exchanges removed — distinct + collect_list ×2;
-    # plan-verified, output bit-identical.)
-    toks = F.array_distinct(
-        F.transform(F.array_distinct(sh3), lambda s: md5_60bit(s))
-    )
+    # plan-verified, output bit-identical. Construction memoized — the
+    # zip_with/transform chain is py4j-bound; _util.cached_exprs.)
+    toks = cached_exprs("q193_shingle_toks", _build_toks)
     docs0 = documents.select("doc_id", toks.alias("toks"))
     docs = docs0.select("doc_id", F.sort_array("toks").alias("toks"))
     tok = docs0.select(

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, duckdb_cosine
 from ..registry import register
-from ._util import tables
+from ._util import cached_exprs, tables
 
 
 @register(
@@ -72,15 +72,20 @@ _LSH_TABLE_BITS = 16  # sign bits per table -> 2^16 buckets per table
 
 
 def _table_code_spark(t: int):
-    """16-bit sign code of dimensions [16t, 16t+16) -- one LSH table."""
-    bits = [
-        F.when(
-            F.element_at("embedding", t * _LSH_TABLE_BITS + i + 1) > 0,
-            F.lit(1 << i),
-        ).otherwise(F.lit(0))
-        for i in range(_LSH_TABLE_BITS)
-    ]
-    return reduce(lambda a, b: a + b, bits).cast("int")
+    """16-bit sign code of dimensions [16t, 16t+16) -- one LSH table.
+    Constant expression per table index — construction memoized (r14)."""
+
+    def _build():
+        bits = [
+            F.when(
+                F.element_at("embedding", t * _LSH_TABLE_BITS + i + 1) > 0,
+                F.lit(1 << i),
+            ).otherwise(F.lit(0))
+            for i in range(_LSH_TABLE_BITS)
+        ]
+        return reduce(lambda a, b: a + b, bits).cast("int")
+
+    return cached_exprs(("lsh_table_code", t), _build)
 
 
 def _table_code_sql(t: int, col: str = "embedding") -> str:
@@ -294,8 +299,22 @@ _IVF_TRAIN_MOD = 4  # IVF codebooks train on a 1-in-4 deterministic sample
 def _km_best_struct(centroid_rows: list[tuple[int, list[int]]], col="embedding"):
     """least-of-k (d2, cluster_id) struct over a vector column — the narrow
     assignment core shared by :func:`_km_assign_expr` (cell id only) and the
-    PQ encoder (which also needs the chosen distance)."""
-    column = F.col(col) if isinstance(col, str) else col
+    PQ encoder (which also needs the chosen distance).
+
+    Construction is memoized keyed by the CENTROID VALUES plus the column
+    name (r14): k zip_with/aggregate lambdas are py4j-bound to build, and
+    the same trained codebook re-assigns in every consumer query. A
+    retrained codebook is a different key, so memo-cold measurement
+    honesty is untouched — only the py4j construction of an identical
+    expression is skipped."""
+    if isinstance(col, str):
+        key = (
+            "km_best_struct",
+            col,
+            tuple((int(cid), tuple(int(v) for v in cvec)) for cid, cvec in sorted(centroid_rows)),
+        )
+        return cached_exprs(key, lambda: _km_best_struct(centroid_rows, F.col(col)))
+    column = col
     structs = []
     for cid, cvec in sorted(centroid_rows):
         # ONE array literal, not k*dim Literal nodes: Catalyst analysis +
