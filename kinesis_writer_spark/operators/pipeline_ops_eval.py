@@ -619,29 +619,42 @@ def _pct_train(spark: SparkSession, sf_dir: str):
         return cached
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     q = embeddings.select(
-        F.when(F.col("label") % 2 == 1, 1).otherwise(-1).alias("y"),
-        F.transform(
-            "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+        cached_exprs(
+            "pct_y",
+            lambda: F.when(F.col("label") % 2 == 1, 1).otherwise(-1),
+        ).alias("y"),
+        cached_exprs(
+            "pct_qv",
+            lambda: F.transform(
+                "embedding", lambda x: F.floor(x.cast("double") * 1000).cast("bigint")
+            ),
         ).alias("qv"),
     )
     w = [0] * _PCT_DIM
-    zero = F.lit(0).cast("bigint")
+    # the 64 gradient aggregates are data-independent; the margin depends
+    # on the epoch's weight literals, so it keys on their values (the
+    # _km_best_struct convention) — construction-only memoization (r14)
+    grads = cached_exprs(
+        "pct_grads",
+        lambda: [
+            F.sum(F.col("y") * F.element_at("qv", d + 1)).cast("bigint").alias(f"g{d}")
+            for d in range(_PCT_DIM)
+        ],
+    )
     counts, weights = [], []
     for _epoch in range(_PCT_EPOCHS):
-        w_arr = F.lit([int(v) for v in w])  # one array<bigint> literal node
-        margin = F.col("y") * F.aggregate(
-            F.zip_with("qv", w_arr, lambda x, wv: x * wv), zero, lambda a, v: a + v
-        )
+        wk = tuple(int(v) for v in w)
+
+        def _build_margin(wk=wk):
+            w_arr = F.lit(list(wk))  # one array<bigint> literal node
+            zero = F.lit(0).cast("bigint")
+            return F.col("y") * F.aggregate(
+                F.zip_with("qv", w_arr, lambda x, wv: x * wv), zero, lambda a, v: a + v
+            )
+
+        margin = cached_exprs(("pct_margin", wk), _build_margin)
         miss = q.withColumn("margin", margin).filter(F.col("margin") <= 0)
-        row = miss.agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.col("y") * F.element_at("qv", d + 1))
-                .cast("bigint")
-                .alias(f"g{d}")
-                for d in range(_PCT_DIM)
-            ],
-        ).collect()[0]
+        row = miss.agg(F.count(F.lit(1)).alias("n"), *grads).collect()[0]
         counts.append(int(row["n"]))
         w = [w[d] + int(row[f"g{d}"] or 0) for d in range(_PCT_DIM)]
         weights.append(list(w))
