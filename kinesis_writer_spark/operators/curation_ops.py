@@ -566,25 +566,37 @@ def q255_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     (documents,) = tables(spark, sf_dir, "documents")
     comps = _neardup_components(spark, sf_dir)
+
+    def _split_of(key):
+        b = md5_60bit(key.cast("string"), salt="leakage") % 100
+        return (
+            F.when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+        )
+
+    # Corpus side: one narrow count per split — every doc's bucket hashes
+    # its cluster representative (comp if clustered, else its own id).
     rep = documents.select("doc_id").join(
         F.broadcast(comps), documents.doc_id == comps.node, "left"
-    ).select(
-        "doc_id",
-        F.coalesce(F.col("comp"), F.col("doc_id")).alias("rep_id"),
-        F.when(F.col("node").isNull(), 0).otherwise(1).alias("in_cluster"),
     )
-    b = md5_60bit(F.col("rep_id").cast("string"), salt="leakage") % 100
-    assigned = rep.select(
-        F.when(b < 80, "train").when(b < 90, "valid").otherwise("test").alias("split"),
-        "rep_id",
-        "in_cluster",
+    base = rep.select(
+        _split_of(F.coalesce(F.col("comp"), F.col("doc_id"))).alias("split")
+    ).groupBy("split").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    # Cluster side: an in-cluster doc's split is its comp's split by
+    # construction (that IS the leakage-free property), so cluster-doc and
+    # distinct-cluster counts come from the duplicate-density-sized
+    # components table alone — the corpus-wide COUNT(DISTINCT) and its
+    # exchanges are gone (r14; previously the distinct ran over all docs).
+    cl = comps.select(_split_of(F.col("comp")).alias("split"), "comp").groupBy(
+        "split"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cluster_docs_"),
+        F.countDistinct("comp").cast("bigint").alias("n_clusters_"),
     )
-    return assigned.groupBy("split").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("in_cluster").cast("bigint").alias("n_cluster_docs"),
-        F.countDistinct(F.when(F.col("in_cluster") == 1, F.col("rep_id")))
-        .cast("bigint")
-        .alias("n_clusters"),
+    return base.join(F.broadcast(cl), "split", "left").select(
+        "split",
+        "n_docs",
+        F.coalesce("n_cluster_docs_", F.lit(0)).cast("bigint").alias("n_cluster_docs"),
+        F.coalesce("n_clusters_", F.lit(0)).cast("bigint").alias("n_clusters"),
     )
 
 
