@@ -47,6 +47,25 @@ def cached_exprs(key, builder):
     return got
 
 
+def spread_small_input(df: DataFrame) -> DataFrame:
+    """Round-robin ``repartition(defaultParallelism)`` ONLY when the scan
+    would otherwise produce fewer partitions than cores.
+
+    The dedup family spreads its (locally single-file) document scan across
+    every core before the per-word MD5 work; unconditionally repartitioning
+    was a full-corpus shuffle at scale, where the input already has orders
+    of magnitude more splits than cores (r14 verdict #1 — it was the only
+    exchange left in q53 and sat under the whole SimHash/MinHash family).
+    The partition-count probe plans the scan but launches no job
+    (sub-millisecond, measured r15). Row placement does not affect any
+    consumer (they are all key aggregates/joins), so output is identical
+    with or without the spread."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def checkpoint_clean(df: DataFrame) -> DataFrame:
     """``localCheckpoint`` that also RESETS the plan's size statistics —
     mandatory inside iterative join loops.

@@ -376,3 +376,47 @@ class TestNoCorpusSingleTaskSorts:
             if name not in self.ALLOWED and (v := _single_partition_scan_violations(p))
         }
         assert not bad, f"corpus-sized rows funnel through one task: {bad}"
+
+
+class TestDedupSpreadGuard:
+    """r15 (r14 verdict #1): the dedup family's input spread must be
+    CONDITIONAL — repartition(defaultParallelism) only when the scan has
+    fewer splits than cores. With a multi-split input (the 100 TB regime)
+    the SimHash query must plan ZERO exchanges and the MinHash family must
+    not round-robin-shuffle the corpus."""
+
+    @pytest.fixture(scope="class")
+    def multisplit_dir(self, spark, tmp_path_factory):
+        import os
+
+        from kinesis_writer_spark import io as kio
+
+        base = tmp_path_factory.mktemp("ms_fixture")
+        docs = spark.read.parquet(kio.table_path(SF_DIR, "documents"))
+        docs.repartition(spark.sparkContext.defaultParallelism).write.parquet(
+            str(base / "documents.parquet")
+        )
+        for t in kio.TABLES:
+            if t == "documents":
+                continue
+            p = kio.table_path(SF_DIR, t)
+            os.symlink(p, str(base / os.path.basename(p)))
+        return str(base)
+
+    def test_q53_zero_exchange_on_multisplit_input(self, spark, multisplit_dir):
+        qs = registry.all_queries()
+        p = formatted_plan(qs["q53_simhash"](spark, multisplit_dir))
+        assert "Exchange" not in p
+
+    def test_q52_no_corpus_spread_shuffle_on_multisplit_input(
+        self, spark, multisplit_dir
+    ):
+        qs = registry.all_queries()
+        p = formatted_plan(qs["q52_minhash_neardup"](spark, multisplit_dir))
+        assert "roundrobinpartitioning" not in p.lower()
+
+    def test_q53_single_file_input_still_spreads(self, spark):
+        # locally a single parquet split must still fan out to every core
+        qs = registry.all_queries()
+        p = formatted_plan(qs["q53_simhash"](spark, SF_DIR))
+        assert "roundrobinpartitioning" in p.lower()
