@@ -993,15 +993,19 @@ def q239_dedup_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = hs.select(
         "doc_id", F.array(*_minhash_sig_spark("hashes")).alias("signature")
     )
+    # bands feeds the rep aggregate AND the candidate probe: persist the
+    # narrow (doc_id, band_key) table so the per-word MD5 + 16 permutations
+    # run once, not once per consumer (the q52 r15 fix); no .distinct() on
+    # the pairs — the decisions groupBy(doc_id) collapses duplicates after
+    # the verify, so the distinct only added a corpus-sized exchange.
     bands = sigs.select(
         "doc_id", F.explode(F.array(*_band_exprs_spark())).alias("band_key")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     reps = bands.groupBy("band_key").agg(F.min("doc_id").alias("rep_id"))
     cand = (
         bands.join(reps, "band_key")
         .filter(F.col("doc_id") > F.col("rep_id"))
         .select("doc_id", "rep_id")
-        .distinct()
     )
     wa = w.select(F.col("doc_id"), F.col("words").alias("words_a"))
     wb = w.select(F.col("doc_id").alias("rep_id"), F.col("words").alias("words_b"))
@@ -1307,15 +1311,19 @@ def q243_net_training_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = hs.select(
         "doc_id", F.array(*_minhash_sig_spark("hashes")).alias("signature")
     )
+    # bands feeds the rep aggregate AND the candidate probe: persist the
+    # narrow (doc_id, band_key) table so the per-word MD5 + 16 permutations
+    # run once, not once per consumer (the q52 r15 fix); no .distinct() on
+    # the pairs — the decisions groupBy(doc_id) collapses duplicates after
+    # the verify, so the distinct only added a corpus-sized exchange.
     bands = sigs.select(
         "doc_id", F.explode(F.array(*_band_exprs_spark())).alias("band_key")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     reps = bands.groupBy("band_key").agg(F.min("doc_id").alias("rep_id"))
     cand = (
         bands.join(reps, "band_key")
         .filter(F.col("doc_id") > F.col("rep_id"))
         .select("doc_id", "rep_id")
-        .distinct()
     )
     # the verify side carries lang + token count, so the accounting rolls
     # up from the (small) removed set alone — the corpus-wide left join

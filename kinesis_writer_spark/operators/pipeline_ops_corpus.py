@@ -341,11 +341,16 @@ def incremental_verdicts(incoming_docs: DataFrame, corpus_docs: DataFrame) -> Da
     # pass just to fetch verify arrays for candidate ids
     inc_bands = bands_of(incoming, "doc_id", carry_toks=False)
     corp_bands = bands_of(corpus, "corp_id", carry_toks=True)
+    # no dropDuplicates on the candidate pairs (r15): a pair surfaces from
+    # at most n_bands(=2) bands and `near` already collapses doc_ids after
+    # the verify — the dedup here was the ONLY exchange on the corpus-sized
+    # path (everything else is broadcast probes), so dropping it makes the
+    # near side fully shuffle-free at the cost of <= n_bands Jaccard evals
+    # per duplicate pair (map-side CPU).
     cand = (
         corp_bands.withColumnRenamed("toks", "toks_b")
         .join(F.broadcast(inc_bands), "band_key")
         .select("doc_id", "corp_id", "toks_b")
-        .dropDuplicates(["doc_id", "corp_id"])
     )
     wa = incoming.select("doc_id", F.col("toks").alias("toks_a"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))

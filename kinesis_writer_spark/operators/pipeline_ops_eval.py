@@ -450,9 +450,14 @@ def q220_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = hs.select(
         "doc_id", F.array(*_minhash_sig_spark("hashes")).alias("signature")
     )
+    # the band self-join consumes `bands` twice; persist the narrow table
+    # so the shingle+MD5+16-permutation chain runs once (locally the join
+    # is broadcast, so ReusedExchange never deduped the two subtrees)
+    from pyspark import StorageLevel
+
     bands = sigs.select(
         "doc_id", F.explode(F.array(*_band_exprs_spark())).alias("band_key")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cands = (
         bands.alias("a")
         .join(
