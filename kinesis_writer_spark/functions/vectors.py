@@ -12,18 +12,11 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: Construction memo for str-named columns (r14): each call builds 2-5
-#: py4j lambda round-trips; callers invoke these per query. Same contract
-#: as operators._util.cached_exprs — constant trees only, driver-only,
-#: GIL-atomic dict ops, holds no data.
-_VEC_EXPR_CACHE: dict = {}
-
-
-def _cached(key, builder) -> Column:
-    got = _VEC_EXPR_CACHE.get(key)
-    if got is None:
-        got = _VEC_EXPR_CACHE.setdefault(key, builder())
-    return got
+# Construction memo for str-named columns (r14): each call builds 2-5
+# py4j lambda round-trips; callers invoke these per query. r15: shares the
+# package-wide implementation (gateway-generation guard; constant keys go
+# to the unbounded store) — see kinesis_writer_spark.exprcache.
+from ..exprcache import cached_exprs as _cached
 
 
 def dot(a: Column | str, b: Column | str) -> Column:

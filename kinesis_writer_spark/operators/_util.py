@@ -13,38 +13,11 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ..
     return tuple(io.load(spark, sf_dir, n) for n in names)
 
 
-#: Construction cache for CONSTANT Column expression trees (r14).
-#:
-#: Building a large expression in Python is py4j-bound: every ``F.xxx``
-#: call and every higher-order-function lambda is one or more JVM round
-#: trips, so builders like the 60-aggregate SimHash projection or the
-#: 16-permutation MinHash signature cost 1-3 s of pure driver-side
-#: construction PER QUERY INVOCATION — an order of magnitude more than
-#: planning and execution combined at bench scale (measured r14: q53
-#: fresh-DataFrame noop 2.2 s vs 0.25 s with the expression pre-built).
-#: Column objects are immutable, unresolved expression trees bound to
-#: nothing — reusing one across DataFrames/queries is exactly as safe as
-#: Spark's own reuse of a parsed SQL string, and analysis still assigns
-#: fresh expression ids per plan. Only DATA-INDEPENDENT expressions may
-#: be cached under a constant key; expressions embedding trained/derived
-#: literals must key on those values (see similarity._km_exprs_cached).
-#:
-#: Concurrency: driver-only, dict get/setitem are GIL-atomic; a race at
-#: worst builds the same immutable tree twice and keeps either. Holds no
-#: executor blocks or data, so it is deliberately NOT memo-registered —
-#: clearing it would re-measure py4j latency, not query work (same class
-#: of process-wide reuse as the JVM codegen cache, adjudicated r2).
-_EXPR_CACHE: dict = {}
-
-
-def cached_exprs(key, builder):
-    """Memoize the (list of) Column(s) returned by ``builder()`` under
-    ``key``. Use only for expressions whose shape AND literals are fully
-    determined by the key."""
-    got = _EXPR_CACHE.get(key)
-    if got is None:
-        got = _EXPR_CACHE.setdefault(key, builder())
-    return got
+# Construction cache for CONSTANT Column expression trees (r14; moved to
+# its own module r15 so operators/ and functions/ share one implementation
+# with the gateway-generation guard and the value-keyed LRU bound — see
+# kinesis_writer_spark.exprcache for the full contract).
+from ..exprcache import cached_exprs  # noqa: F401  (re-exported)
 
 
 def spread_small_input(df: DataFrame) -> DataFrame:

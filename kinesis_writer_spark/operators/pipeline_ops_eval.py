@@ -657,7 +657,9 @@ def _pct_train(spark: SparkSession, sf_dir: str):
                 F.zip_with("qv", w_arr, lambda x, wv: x * wv), zero, lambda a, v: a + v
             )
 
-        margin = cached_exprs(("pct_margin", wk), _build_margin)
+        # value-keyed: one margin tree per epoch weight vector — bounded
+        # LRU store so per-epoch keys from repeated retrains age out (r15)
+        margin = cached_exprs(("pct_margin", wk), _build_margin, value_keyed=True)
         miss = q.withColumn("margin", margin).filter(F.col("margin") <= 0)
         row = miss.agg(F.count(F.lit(1)).alias("n"), *grads).collect()[0]
         counts.append(int(row["n"]))

@@ -313,7 +313,12 @@ def _km_best_struct(centroid_rows: list[tuple[int, list[int]]], col="embedding")
             col,
             tuple((int(cid), tuple(int(v) for v in cvec)) for cid, cvec in sorted(centroid_rows)),
         )
-        return cached_exprs(key, lambda: _km_best_struct(centroid_rows, F.col(col)))
+        # value-keyed: the key embeds the trained centroid matrix, so it
+        # lives in the bounded LRU store (r15 — retrained codebooks age
+        # out instead of leaking py4j trees for the life of the driver)
+        return cached_exprs(
+            key, lambda: _km_best_struct(centroid_rows, F.col(col)), value_keyed=True
+        )
     column = col
     structs = []
     for cid, cvec in sorted(centroid_rows):

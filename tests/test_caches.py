@@ -259,3 +259,56 @@ def test_clear_all_frees_local_checkpoint_blocks(spark):
         assert sc._jsc.getPersistentRDDs().size() == base
     finally:
         memo._CACHES.remove(cache)
+
+
+def test_value_keyed_expr_cache_bounded(spark):
+    """r14 verdict task #3: value-keyed construction-cache entries (keys
+    embedding trained centroid/weight literals) must not grow without
+    bound — retraining N codebooks keeps at most VALUE_KEYED_CAP trees."""
+    from kinesis_writer_spark import exprcache
+    from kinesis_writer_spark.operators.similarity import _km_best_struct
+
+    exprcache._VALUE.clear()
+    n = exprcache.VALUE_KEYED_CAP + 17
+    for i in range(n):
+        # a distinct "trained codebook" per iteration — distinct value keys
+        rows = [(0, [i, i + 1]), (1, [i + 2, i + 3])]
+        _km_best_struct(rows, "embedding")
+    assert len(exprcache._VALUE) <= exprcache.VALUE_KEYED_CAP
+    # the hot entry (most recent model) is still a hit: same object back
+    rows = [(0, [n - 1, n]), (1, [n + 1, n + 2])]
+    a = _km_best_struct(rows, "embedding")
+    b = _km_best_struct(rows, "embedding")
+    assert a is b
+
+
+def test_expr_cache_constant_entries_unbounded(spark):
+    from pyspark.sql import functions as F
+
+    from kinesis_writer_spark import exprcache
+
+    before = len(exprcache._CONST)
+    for i in range(50):
+        exprcache.cached_exprs(("t_const", i), lambda i=i: F.lit(i))
+    assert len(exprcache._CONST) >= before + 50
+    for i in range(50):
+        del exprcache._CONST[("t_const", i)]
+
+
+def test_expr_cache_invalidated_on_gateway_change(spark, monkeypatch):
+    """r14 ADVICE #4: a restarted JVM gateway must invalidate every cached
+    (py4j-handle-wrapping) Column so builders rebuild instead of failing
+    with dead-object errors."""
+    from pyspark.sql import functions as F
+
+    from kinesis_writer_spark import exprcache
+
+    a = exprcache.cached_exprs(("t_gen",), lambda: F.lit(1))
+    assert exprcache.cached_exprs(("t_gen",), lambda: F.lit(1)) is a
+    sentinel = object()  # a "new gateway" identity
+    monkeypatch.setattr(exprcache, "_current_gen", lambda: sentinel)
+    b = exprcache.cached_exprs(("t_gen",), lambda: F.lit(1))
+    assert b is not a  # caches were cleared and the tree rebuilt
+    monkeypatch.undo()
+    exprcache._gen_token = None  # force re-sync with the real gateway
+    exprcache.cached_exprs(("t_gen2",), lambda: F.lit(2))
