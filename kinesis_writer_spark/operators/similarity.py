@@ -531,14 +531,28 @@ def ivf_train_centroids(
         .persist()
     )
     try:
-        rows = _collect_centroids(
-            embeddings.filter(F.col("vec_id") < k).select(
-                F.col("vec_id").alias("cluster_id"),
-                F.transform(
-                    "embedding", lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint")
-                ).alias("cvec"),
-            )
+        seed_df = embeddings.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("cluster_id"),
+            F.transform(
+                "embedding", lambda x: F.floor(x.cast("double") * _KM_SCALE).cast("bigint")
+            ).alias("cvec"),
         )
+        # Overlap the two INDEPENDENT driver-barrier jobs (guide §2.6):
+        # the seed-centroid collect and the training-sample cache
+        # materialization used to run back-to-back, paying two full
+        # per-job scheduling latencies before the first Lloyd iteration
+        # could start. Submitting both from a 2-thread pool lets the
+        # second job back-fill the first's idle executors. Results are
+        # bit-identical — the seed computation is untouched and the
+        # count() result is discarded (it exists only to materialize the
+        # persist before the iterations).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_rows = pool.submit(_collect_centroids, seed_df)
+            f_warm = pool.submit(vectors.count)
+            rows = f_rows.result()
+            f_warm.result()
         for _ in range(iters):
             rows = _collect_centroids(_km_update(_km_assign(vectors, rows)))
     finally:
@@ -1071,9 +1085,22 @@ def q143_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # returned encode plan is a narrow projection off the parquet scan)
     embeddings.persist()
     try:
-        codebooks = [
-            _pq_train_subspace(embeddings, s, cache_key=sf_dir) for s in range(_PQ_M)
-        ]
+        # The 4 subspace trainings are INDEPENDENT chains of 2 driver-
+        # collect jobs each; running them sequentially paid 8 full per-job
+        # scheduling latencies. A 4-thread pool overlaps the chains
+        # (guide §2.6 — later jobs back-fill earlier jobs' idle
+        # executors); each codebook is computed exactly as before, so the
+        # results (and the memo entries) are bit-identical, just not
+        # serialized. pool.map preserves subspace order.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=_PQ_M) as pool:
+            codebooks = list(
+                pool.map(
+                    lambda s: _pq_train_subspace(embeddings, s, cache_key=sf_dir),
+                    range(_PQ_M),
+                )
+            )
     finally:
         embeddings.unpersist()
     for s, rows in enumerate(codebooks):
