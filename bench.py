@@ -12,7 +12,10 @@ and a 250-entry ``all_queries`` dict blew past it (BENCH_r03.json
 only the scalar ``all_queries_total``/``all_queries_n`` rollup inline.
 
 Each query executes fully through the noop sink (no driver collect, no I/O
-cost in the measurement beyond the scan itself).
+cost in the measurement beyond the scan itself). Since r15 the full-registry
+pass also records ``construction_sec`` per query in the artifact — the
+driver-side DataFrame-construction component (py4j expression building +
+training jobs) of the unchanged construct+execute ``all_queries`` figure.
 
 Fault isolation: every per-query execution (warmup AND measured) is wrapped
 so a single failing query records an ``errors`` entry instead of killing the
@@ -236,6 +239,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     all_timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
+    construction_sec: dict[str, float] = {}
     headline_runs: dict[str, list[float]] = {}
     calib: dict = {}
     calib_end: dict = {}
@@ -363,11 +367,22 @@ def main() -> None:
                 try:
                     _clear_memos()
                     t0 = time.monotonic()
-                    _run_once(queries, name, spark, sf_dir)
+                    df = queries[name](spark, sf_dir)
+                    tc = time.monotonic()
+                    df.write.mode("overwrite").format("noop").save()
                     t1 = round(time.monotonic() - t0, 3)
                     spark.catalog.clearCache()
                     all_runs.setdefault(name, []).append(t1)
                     all_timings[name] = min(all_runs[name])
+                    # r14 verdict task #8: driver-side DataFrame-construction
+                    # time (py4j expression building + any training jobs the
+                    # builder runs) measured SEPARATELY so the py4j budget is
+                    # trackable across rounds. all_runs/all_timings semantics
+                    # are unchanged (construction + execution, as always):
+                    # this only splits out where the time went.
+                    c1 = round(tc - t0, 3)
+                    prev = construction_sec.get(name)
+                    construction_sec[name] = c1 if prev is None else min(prev, c1)
                 except Exception:
                     errors[name] = traceback.format_exc(limit=3)
 
@@ -440,6 +455,10 @@ def main() -> None:
         "headline_runs": headline_runs,
         "all_queries": all_timings,
         "all_runs": all_runs,
+        # min-of-passes DataFrame-construction seconds per non-headline
+        # query (r14 verdict task #8): the driver-side py4j budget,
+        # already INCLUDED in all_queries (which stays construct+execute)
+        "construction_sec": construction_sec,
         "calibration": calib,
         "calibration_end": calib_end,
         "load_gate": gate,

@@ -48,6 +48,18 @@ def get_spark(app_name: str = "kinesis_writer_spark", shuffle_partitions: int | 
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
             os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP_MAX", str(64 * 1024 * 1024)),
         )
+        # Shuffle/spill codec (guide §2.3): lz4 is Spark's default; zstd
+        # trades CPU for ratio. NOT runtime-settable, so the choice is a
+        # session-build knob — measured in a dedicated fresh-process A/B
+        # (r15, SCALE.md "shuffle codec"): at sf0.1 and a synthesized sf1
+        # the shuffle-heaviest queries are flat-to-slower under zstd
+        # locally (shuffle volumes are MBs; the CPU tax shows, the ratio
+        # doesn't pay until network/disk bound), so the local default
+        # stays lz4 and a cluster deployment flips the env var.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
