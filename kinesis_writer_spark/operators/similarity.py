@@ -17,7 +17,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, duckdb_cosine
+from ..functions.vectors import dot, duckdb_cosine, sq_norm
 from ..registry import register
 from ._util import cached_exprs, tables
 
@@ -47,16 +47,24 @@ def q60_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     computing zip_with/aggregate dot products, then a per-query top-k window.
     """
     (embeddings,) = tables(spark, sf_dir, "embeddings")
-    q = embeddings.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    # each side's squared norm is a PER-ROW invariant: computing it once
+    # per vector before the pair join (instead of inside cosine(), per
+    # pair) drops two of the three 64-element folds from the O(|q|·n)
+    # inner loop — same expression on the same input, so every double is
+    # bit-identical (r15; the factoring q102 got in r14)
+    corp = embeddings.select("vec_id", "embedding", sq_norm("embedding").alias("sn_e"))
+    q = corp.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("sn_e").alias("sn_q"),
     )
     scored = (
         F.broadcast(q)
-        .join(embeddings, F.col("vec_id") != F.col("query_id"))
+        .join(corp, F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            cosine("qv", "embedding").alias("cos"),
+            (dot("qv", "embedding") / (F.sqrt("sn_q") * F.sqrt("sn_e"))).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -158,12 +166,22 @@ def q61_lsh_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .distinct()
     )
-    ea = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    # per-row squared norms computed once per side, not per pair (r15 —
+    # bit-identical factoring, see q60)
+    ea = embeddings.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        sq_norm("embedding").alias("sn_a"),
+    )
+    eb = embeddings.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        sq_norm("embedding").alias("sn_b"),
+    )
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
-        .withColumn("cos", cosine("emb_a", "emb_b"))
+        .withColumn("cos", dot("emb_a", "emb_b") / (F.sqrt("sn_a") * F.sqrt("sn_b")))
         .filter(F.col("cos") >= 0.2)
         .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
     )
@@ -215,11 +233,22 @@ def q62_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means codebook, which would be trained offline).
     """
     (embeddings,) = tables(spark, sf_dir, "embeddings")
-    centroids = embeddings.filter(F.col("vec_id") < _N_CENTROIDS).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    # squared norms once per vector / per centroid, not per (vector,
+    # centroid) pair and again per probe pair (r15 — bit-identical
+    # factoring, see q60); sn_e rides the assignment checkpoint so the
+    # probe side reuses it too
+    emb_sn = embeddings.select("vec_id", "embedding", sq_norm("embedding").alias("sn_e"))
+    centroids = emb_sn.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cv"),
+        F.col("sn_e").alias("sn_cv"),
     )
-    scored = F.broadcast(centroids).crossJoin(embeddings).select(
-        "vec_id", "embedding", "centroid_id", cosine("embedding", "cv").alias("ccos")
+    scored = F.broadcast(centroids).crossJoin(emb_sn).select(
+        "vec_id",
+        "embedding",
+        "sn_e",
+        "centroid_id",
+        (dot("embedding", "cv") / (F.sqrt("sn_e") * F.sqrt("sn_cv"))).alias("ccos"),
     )
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(), F.col("centroid_id").asc())
     # materialized once: both the query side and the probe side consume the
@@ -229,18 +258,23 @@ def q62_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = (
         scored.withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+        .select("vec_id", "embedding", "sn_e", "centroid_id")
         .localCheckpoint()
     )
     q = assigned.filter(F.col("vec_id") % 100 == 50).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
+        F.col("sn_e").alias("sn_q"),
         F.col("centroid_id").alias("qcell"),
     )
     probed = (
         F.broadcast(q)
         .join(assigned, (F.col("centroid_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), cosine("qv", "embedding").alias("cos"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot("qv", "embedding") / (F.sqrt("sn_q") * F.sqrt("sn_e"))).alias("cos"),
+        )
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -762,10 +796,15 @@ def q134_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     (embeddings,) = tables(spark, sf_dir, "embeddings")
     vectors = embeddings.select("vec_id", "embedding")
-    assigned = _km_assign(vectors, ivf_train_centroids(embeddings, cache_key=sf_dir))
+    # per-row squared norm hoisted out of the probe pair loop (r15 —
+    # bit-identical factoring, see q60)
+    assigned = _km_assign(vectors, ivf_train_centroids(embeddings, cache_key=sf_dir)).withColumn(
+        "sn_e", sq_norm("embedding")
+    )
     q = assigned.filter(F.col("vec_id") % 100 == 50).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
+        F.col("sn_e").alias("sn_q"),
         F.col("cluster_id").alias("qcell"),
     )
     probed = (
@@ -774,7 +813,11 @@ def q134_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
             assigned,
             (F.col("cluster_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), cosine("qv", "embedding").alias("cos"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot("qv", "embedding") / (F.sqrt("sn_q") * F.sqrt("sn_e"))).alias("cos"),
+        )
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -838,20 +881,28 @@ def q135_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three consumers (q, brute via q, ivf) would each re-scan for the
     # narrow assignment; persist the built index once — the q52
     # persist-before-multi-consumer shape
-    assigned = _km_assign(vectors, ivf_train_centroids(embeddings, cache_key=sf_dir)).persist()
+    # per-row squared norm hoisted out of BOTH pair loops (r15 — bit-
+    # identical factoring, see q60); rides the persisted index
+    assigned = (
+        _km_assign(vectors, ivf_train_centroids(embeddings, cache_key=sf_dir))
+        .withColumn("sn_e", sq_norm("embedding"))
+        .persist()
+    )
     q = assigned.filter(F.col("vec_id") % 100 == 50).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
+        F.col("sn_e").alias("sn_q"),
         F.col("cluster_id").alias("qcell"),
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
+    corp = embeddings.select("vec_id", "embedding", sq_norm("embedding").alias("sn_e"))
     brute = (
-        F.broadcast(q.select("query_id", "qv"))
-        .join(embeddings, F.col("vec_id") != F.col("query_id"))
+        F.broadcast(q.select("query_id", "qv", "sn_q"))
+        .join(corp, F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                cosine("qv", "embedding").alias("cos"))
+                (dot("qv", "embedding") / (F.sqrt("sn_q") * F.sqrt("sn_e"))).alias("cos"))
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= 10)
         .select("query_id", F.col("neighbor_id").alias("b_neighbor"))
@@ -863,7 +914,7 @@ def q135_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cluster_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
         )
         .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                cosine("qv", "embedding").alias("cos"))
+                (dot("qv", "embedding") / (F.sqrt("sn_q") * F.sqrt("sn_e"))).alias("cos"))
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id")
@@ -929,10 +980,13 @@ def q261_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     # resolve first (memoized per cache_key — one count() per dataset, r13
     # ADVICE), then the ivf_assign call below reuses the memo entry
     k = _resolve_k_cells(embeddings, "auto", cache_key=sf_dir)
-    assigned = ivf_assign(embeddings, k_cells="auto", cache_key=sf_dir)
+    assigned = ivf_assign(embeddings, k_cells="auto", cache_key=sf_dir).withColumn(
+        "sn_e", sq_norm("embedding")
+    )
     q = assigned.filter(F.col("vec_id") % 100 == 50).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
+        F.col("sn_e").alias("sn_q"),
         F.col("cluster_id").alias("qcell"),
     )
     probed = (
@@ -941,7 +995,11 @@ def q261_ivf_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
             assigned,
             (F.col("cluster_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
         )
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), cosine("qv", "embedding").alias("cos"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (dot("qv", "embedding") / (F.sqrt("sn_q") * F.sqrt("sn_e"))).alias("cos"),
+        )
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return (
