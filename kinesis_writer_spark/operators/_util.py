@@ -20,7 +20,20 @@ def tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ..
 from ..exprcache import cached_exprs  # noqa: F401  (re-exported)
 
 
-def spread_small_input(df: DataFrame) -> DataFrame:
+#: (applicationId, probe_key, target) -> planned scan partition count.
+#: A LAYOUT property of the input path, not data or results (the same
+#: class as Spark's own session-scoped file-listing cache): probing a
+#: FRESH Dataset costs a full analyze+plan round (~0.15-0.2 s steady,
+#: measured r15 — the first uncached implementation put q53's headline
+#: from 0.28 s to 0.50 s), so repeat invocations against the same table
+#: path reuse the first probe. Keyed by applicationId so a new session
+#: (or a changed core target) re-probes; a path whose file set grows
+#: within one session re-probes only via a new SparkSession — identical
+#: staleness semantics to Spark's listing cache.
+_SPREAD_PROBE_CACHE: dict = {}
+
+
+def spread_small_input(df: DataFrame, probe_key=None) -> DataFrame:
     """Round-robin ``repartition(defaultParallelism)`` ONLY when the scan
     would otherwise produce fewer partitions than cores.
 
@@ -29,12 +42,21 @@ def spread_small_input(df: DataFrame) -> DataFrame:
     was a full-corpus shuffle at scale, where the input already has orders
     of magnitude more splits than cores (r14 verdict #1 — it was the only
     exchange left in q53 and sat under the whole SimHash/MinHash family).
-    The partition-count probe plans the scan but launches no job
-    (sub-millisecond, measured r15). Row placement does not affect any
-    consumer (they are all key aggregates/joins), so output is identical
-    with or without the spread."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    Row placement does not affect any consumer (they are all key
+    aggregates/joins), so output is identical with or without the spread.
+    ``probe_key`` (recommended: the table path) memoizes the partition
+    probe per session — see :data:`_SPREAD_PROBE_CACHE`."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if probe_key is not None:
+        key = (sc.applicationId, probe_key, target)
+        n = _SPREAD_PROBE_CACHE.get(key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _SPREAD_PROBE_CACHE[key] = n
+    else:
+        n = df.rdd.getNumPartitions()
+    if n >= target:
         return df
     return df.repartition(target)
 

@@ -322,7 +322,7 @@ def q52_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature expression uses every core — SKIPPED when the scan already
     # has >= cores splits (at 100 TB the unconditional form shuffled the
     # whole corpus for nothing; r14 verdict #1)
-    documents = spread_small_input(documents)
+    documents = spread_small_input(documents, probe_key=(sf_dir, "documents"))
     # w feeds four consumers (signatures, both verify sides, final rollup);
     # persist so split+distinct runs once per row instead of four times.
     # MEMORY_AND_DISK: spills rather than OOMs when the word sets are large.
@@ -433,7 +433,7 @@ def q53_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     both shapes hash identically on the declared data.
     """
     (documents,) = tables(spark, sf_dir, "documents")
-    documents = spread_small_input(documents)
+    documents = spread_small_input(documents, probe_key=(sf_dir, "documents"))
     hs = documents.select(
         "doc_id",
         cached_exprs(
