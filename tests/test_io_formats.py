@@ -142,3 +142,19 @@ class TestOrc:
         kio.write_table(events, p, partition_by=("event_type",), target_rows_per_file=200, format="orc")
         back = kio.read_orc(spark, p)
         assert back.count() == events.count()
+
+
+def test_io_load_handle_cache(spark):
+    """r15: io.load memoizes the immutable DataFrame HANDLE per
+    (application, dir, table) — file-listing metadata reuse, the same
+    contract as a catalog table's cached relation. No data is held: every
+    execution still scans parquet (the oracle sweeps pin output
+    freshness); this test pins the reuse + key separation."""
+    from kinesis_writer_spark import io as kio
+    from tests.conftest import SF_DIR
+
+    a = kio.load(spark, SF_DIR, "lineitem")
+    assert kio.load(spark, SF_DIR, "lineitem") is a
+    assert kio.load(spark, SF_DIR, "orders") is not a
+    key_apps = {k[0] for k in kio._DF_HANDLE_CACHE}
+    assert key_apps == {spark.sparkContext.applicationId}
